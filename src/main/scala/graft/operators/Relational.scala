@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Core relational operator suite — the Spark 1.3 DataFrame/SQL surface of
+  * the reference (see SURVEY.md §2.1), re-expressed declaratively on the
+  * Spark 4 Dataset API so Catalyst handles pushdown, join selection and
+  * whole-stage codegen.
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - every computed column is aliased identically on both sides;
+  *  - double aggregates are rounded (2 dp) on both sides to absorb float
+  *    summation-order differences between engines;
+  *  - every query ends in a deterministic ORDER BY with a unique tiebreak;
+  *  - computed integers are cast to long (DuckDB ints are 64-bit).
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-heavy groupBy agg with map-side partial
+    * aggregation. At scale this is a single shuffle of ~|groups| rows. */
+  val q01 = Q.sql(
+    "q01_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Filter + projection — both must reach the parquet scan (PushedFilters
+    * + 2-column ReadSchema; verified in RelationalPlanSpec). */
+  // Per-row arithmetic is bit-identical across engines (same parquet
+  // doubles, same IEEE ops) — no rounding, unlike aggregates.
+  val q02 = Q.sql(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_quantity >= 45 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** TPC-H Q3 shape: filter-reduced shuffle joins + agg + top-k. */
+  val q03 = Q.sql(
+    "q03_join_agg",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15'
+      |GROUP BY l_orderkey, orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** Broadcast hash join against small dimensions — nation and region are
+    * tiny at any scale factor, so the hint keeps them off the shuffle. */
+  val q04 = Q.sql(
+    "q04_broadcast_join",
+    """SELECT r_name, n_name, count(*) AS customers, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("customers"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** TPC-H Q5 shape: 5-way join, dims broadcast, facts shuffled once. */
+  val q05 = Q.sql(
+    "q05_multi_join",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: highly selective scan + global agg — no shuffle at
+    * all beyond the final single-row combine. */
+  val q06 = Q.sql(
+    "q06_selective_agg",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition heaps, no full sort shuffle. */
+  val q07 = Q.sql(
+    "q07_sort_limit",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** DISTINCT = shuffle dedup on the projected keys. */
+  val q08 = Q.sql(
+    "q08_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus, l_suppkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_suppkey")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "l_suppkey")
+  }
+
+  /** UNION ALL of two tagged branches then re-agg. */
+  val q09 = Q.sql(
+    "q09_union",
+    """SELECT src, count(*) AS n, round(sum(v), 2) AS total
+      |FROM (
+      |  SELECT 'high_qty' AS src, l_extendedprice AS v FROM lineitem WHERE l_quantity > 40
+      |  UNION ALL
+      |  SELECT 'big_order' AS src, o_totalprice AS v FROM orders WHERE o_totalprice > 300000
+      |) u
+      |GROUP BY src
+      |ORDER BY src""".stripMargin) { (s, dir) =>
+    val a = Tables.lineitem(s, dir).filter(col("l_quantity") > 40)
+      .select(lit("high_qty").as("src"), col("l_extendedprice").as("v"))
+    val b = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+      .select(lit("big_order").as("src"), col("o_totalprice").as("v"))
+    a.unionAll(b)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("total"))
+      .orderBy("src")
+  }
+
+  /** LEFT SEMI join (EXISTS): customers that placed at least one urgent
+    * order. Semi join keeps build side small — no row multiplication. */
+  val q10 = Q.sql(
+    "q10_semi_join",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI join (NOT EXISTS): parts with no deep-discount bulk
+    * shipment. The filter keeps the probe side selective so the anti join
+    * has a non-trivial survivor set at every scale factor. */
+  val q11 = Q.sql(
+    "q11_anti_join",
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey
+      |                    AND l_discount > 0.09 AND l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .join(
+        Tables.lineitem(s, dir).filter(col("l_discount") > 0.09 && col("l_quantity") > 45),
+        col("l_partkey") === col("p_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  /** LEFT OUTER join + null-aware agg: order count per customer including
+    * customers with no orders (count of nulls must be 0, not 1). */
+  val q12 = Q.sql(
+    "q12_outer_join",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0), 2) AS spend
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0)), 2).as("spend"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+}
