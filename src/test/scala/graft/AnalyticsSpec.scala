@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkTestBase {
+
+  test("every analytics query runs") {
+    Analytics.all.foreach { q =>
+      assert(q.run(spark, sfDir).count() >= 0, s"${q.name} failed")
+    }
+  }
+
+  test("q13 emits at most 3 rows per customer, ranks 1..3") {
+    val got = Analytics.q13.run(spark, sfDir)
+    val maxPer = got.groupBy("o_custkey").count().agg(max("count")).head.getLong(0)
+    assert(maxPer <= 3)
+    assert(got.agg(min("rk"), max("rk")).head.toSeq == Seq(1, 3))
+  }
+
+  test("q14 running_spend final row equals customer total") {
+    val got = Analytics.q14.run(spark, sfDir)
+    val finalRunning = got.groupBy("o_custkey").agg(max("running_spend").as("rs"))
+    val direct = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tot"))
+    val joined = finalRunning.join(direct, "o_custkey")
+      .filter(abs(col("rs") - col("tot")) > 1e-6)
+    assert(joined.count() == 0)
+  }
+
+  test("q15 rollup includes grand total row equal to table count") {
+    val got = Analytics.q15.run(spark, sfDir)
+    val grand = got.filter(col("o_orderstatus").isNull && col("o_orderpriority").isNull)
+    assert(grand.count() == 1)
+    assert(grand.head.getLong(2) == Tables.orders(spark, sfDir).count())
+  }
+
+  test("q30 HLL approx distinct within 5% of exact") {
+    Analytics.q30.run(spark, sfDir).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"HLL err too big: $approx vs $exact")
+    }
+  }
+
+  test("q29 pivot cell sums equal order count") {
+    val got = Analytics.q29.run(spark, sfDir)
+    val total = got.agg(sum(col("F") + col("O") + col("P"))).head.getLong(0)
+    assert(total == Tables.orders(spark, sfDir).count())
+  }
+}

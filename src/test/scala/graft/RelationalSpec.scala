@@ -6,7 +6,7 @@ import graft.operators.Relational
 class RelationalSpec extends SparkTestBase {
 
   test("every registered query runs and respects its declared contract") {
-    Relational.all.foreach { q =>
+    (Relational.all ++ graft.operators.Analytics.all).foreach { q =>
       val df = q.run(spark, sfDir)
       assert(df.columns.nonEmpty, s"${q.name}: no columns")
       assert(df.count() >= 0, s"${q.name}: failed to execute")
