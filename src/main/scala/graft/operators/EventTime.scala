@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.streaming.EventTimeOps
+
+/** Batch-verified event-time window queries over the `events` table —
+  * SURVEY.md §2.2. Each re-expresses a DStream operation of the reference
+  * (window / reduceByKeyAndWindow / session state / dedup) through the
+  * shared EventTimeOps transforms, which also run under readStream.
+  */
+object EventTime {
+
+  /** Tumbling 1-hour windows per event type. */
+  val s01 = Q.sql(
+    "s01_tumbling_window",
+    """SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+    EventTimeOps.tumblingAgg(Tables.events(s, dir), "ts", "1 hour", "event_type")
+      .orderBy("ws", "event_type")
+  }
+
+  /** Sliding 1-hour windows every 30 minutes: each event lands in 2
+    * windows (k = 0,1 grid offsets in the oracle). */
+  val s02 = Q.sql(
+    "s02_sliding_window",
+    """SELECT CAST(epoch_us(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes') AS BIGINT) AS ws,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) g
+      |GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+    EventTimeOps.slidingAgg(Tables.events(s, dir), "ts", "1 hour", "30 minutes", "event_type")
+      .orderBy("ws", "event_type")
+  }
+
+  /** Gap-based sessions (1 hour) per user — gaps-and-islands in the
+    * oracle; Spark session_window starts a new session when
+    * ts - prev_ts >= gap. */
+  val s03 = Q.sql(
+    "s03_session_window",
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM marked
+      |)
+      |SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS sess_start, user_id,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM numbered
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+    EventTimeOps.sessionAgg(Tables.events(s, dir), "ts", "1 hour", "user_id")
+      .orderBy("user_id", "sess_start")
+  }
+
+  /** Deterministic dedup: first event per (user, type) by (ts, event_id). */
+  val s04 = Q.sql(
+    "s04_event_dedup",
+    """SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    EventTimeOps.firstPerKey(Tables.events(s, dir), Seq("user_id", "event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Per-user per-day activity profile (countByValueAndWindow shape). */
+  val s05 = Q.sql(
+    "s05_user_activity",
+    """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  count(*) AS n, count(DISTINCT event_type) AS n_types,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY user_id, day
+      |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("event_type").as("n_types"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Stream-to-static dimension join: events enriched with the customer
+    * dimension (broadcast — the exact plan a streaming micro-batch uses). */
+  val s06 = Q.sql(
+    "s06_stream_batch_join",
+    """SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+}
