@@ -1,0 +1,148 @@
+package graft.streaming
+
+import scala.collection.mutable
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.Partitioner
+
+/** Spark-4-native re-expression of Lever's capacity-aware load balancing
+  * (reference: core/src/main/scala/org/apache/spark/monitor/
+  * JobMonitor.scala and WorkerMonitor.scala).
+  *
+  * The reference measures per-worker handle speed (bytes/ms,
+  * WorkerMonitor.scala:44), classifies nodes into helpee/median/helper
+  * sets (JobMonitor.scala:204-302) and re-places the next micro-batch's
+  * input with proportional / greedy / two-choice / power-of-two-choice
+  * strategies (JobMonitor.scala:389-548). Spark 4 has no receiver layer
+  * to re-place into, so the same policy plugs in as:
+  *   - [[CapacityMonitor]] — a SparkListener computing per-executor
+  *     bytes/ms from real task metrics (no actors needed);
+  *   - [[Assignment]] — the four placement strategies as pure partition
+  *     math, usable to size a weighted repartition before a heavy stage;
+  *   - [[WeightedPartitioner]] — an RDD Partitioner granting each node a
+  *     partition share proportional to its measured capacity.
+  */
+object Capacity {
+
+  final case class NodeCapacity(id: String, bytesPerMs: Double, cores: Int)
+
+  /** Helpee = straggler candidate, helper = spare capacity — the node
+    * classification of JobMonitor.decidestraggler, driven off relative
+    * distance from the median capability. */
+  final case class Classification(
+      helpees: Set[String], medians: Set[String], helpers: Set[String])
+
+  def classify(caps: Map[String, Double], tolerance: Double = 0.2): Classification = {
+    if (caps.isEmpty) return Classification(Set.empty, Set.empty, Set.empty)
+    val sorted = caps.values.toSeq.sorted
+    val median = sorted(sorted.size / 2)
+    val helpees = caps.filter(_._2 < median * (1 - tolerance)).keySet
+    val helpers = caps.filter(_._2 > median * (1 + tolerance)).keySet
+    Classification(helpees, caps.keySet -- helpees -- helpers, helpers)
+  }
+
+  /** Placement strategies: split `totalItems` work units across nodes.
+    * Every strategy returns shares summing exactly to totalItems. */
+  object Assignment {
+
+    /** proportionStrategy (JobMonitor.scala:389): share ∝ capacity, with
+      * largest-remainder correction so shares sum exactly. */
+    def proportional(caps: Map[String, Double], totalItems: Long): Map[String, Long] = {
+      val total = caps.values.sum
+      if (total <= 0) return caps.map { case (k, _) => k -> totalItems / math.max(1, caps.size) }
+      val ideal = caps.view.mapValues(c => totalItems * c / total).toMap
+      val floors = ideal.view.mapValues(_.toLong).toMap
+      var remaining = totalItems - floors.values.sum
+      val byRemainder = ideal.toSeq.sortBy { case (k, v) => (-(v - v.toLong), k) }
+      val out = mutable.Map(floors.toSeq: _*)
+      for ((k, _) <- byRemainder if remaining > 0) { out(k) += 1; remaining -= 1 }
+      out.toMap
+    }
+
+    /** greedyStrategy (JobMonitor.scala:427): items (largest first) go to
+      * the node with the lowest projected finish time load/capacity. */
+    def greedy(caps: Map[String, Double], itemSizes: Seq[Long]): Map[String, Seq[Int]] = {
+      val load = mutable.Map(caps.keys.map(_ -> 0.0).toSeq: _*)
+      val out = mutable.Map(caps.keys.map(_ -> mutable.Buffer.empty[Int]).toSeq: _*)
+      val order = itemSizes.zipWithIndex.sortBy { case (sz, i) => (-sz, i) }
+      for ((sz, i) <- order) {
+        val best = load.keys.minBy(k => ((load(k) + sz) / math.max(caps(k), 1e-9), k))
+        load(best) += sz
+        out(best) += i
+      }
+      out.view.mapValues(_.toSeq).toMap
+    }
+
+    /** twoChoiceStrategy (JobMonitor.scala:471): each item probes a pair
+      * of nodes (deterministic rotation) and picks the less loaded,
+      * capacity-normalized. powerOfTwoChoiceStrategy (:524) is the same
+      * policy with randomized probes; a seeded RNG keeps runs repeatable. */
+    def powerOfTwoChoice(
+        caps: Map[String, Double], itemSizes: Seq[Long], seed: Long = 42L): Map[String, Seq[Int]] = {
+      val nodes = caps.keys.toIndexedSeq.sorted
+      val rnd = new scala.util.Random(seed)
+      val load = mutable.Map(nodes.map(_ -> 0.0): _*)
+      val out = mutable.Map(nodes.map(_ -> mutable.Buffer.empty[Int]): _*)
+      for ((sz, i) <- itemSizes.zipWithIndex) {
+        val a = nodes(rnd.nextInt(nodes.size))
+        val b = nodes(rnd.nextInt(nodes.size))
+        val best = if ((load(a) + sz) / math.max(caps(a), 1e-9) <=
+                       (load(b) + sz) / math.max(caps(b), 1e-9)) a else b
+        load(best) += sz
+        out(best) += i
+      }
+      out.view.mapValues(_.toSeq).toMap
+    }
+  }
+
+  /** Live capability estimation from task metrics — WorkerMonitor's
+    * bytes/ms handle speed, without the actor plumbing: listens to task
+    * completions and keeps an exponentially-decayed per-executor rate. */
+  final class CapacityMonitor(alpha: Double = 0.3) extends SparkListener {
+    private val speed = mutable.Map.empty[String, Double] // executorId -> bytes/ms
+    private val runTime = mutable.Map.empty[String, Long]
+    private val bytes = mutable.Map.empty[String, Long]
+
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = synchronized {
+      val m = taskEnd.taskMetrics
+      if (m != null) {
+        val ex = taskEnd.taskInfo.executorId
+        val read = m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead
+        val ms = math.max(1L, m.executorRunTime)
+        runTime(ex) = runTime.getOrElse(ex, 0L) + ms
+        bytes(ex) = bytes.getOrElse(ex, 0L) + read
+        val inst = read.toDouble / ms
+        speed(ex) = speed.get(ex).map(s => s * (1 - alpha) + inst * alpha).getOrElse(inst)
+      }
+    }
+
+    def capacities: Map[String, Double] = synchronized { speed.toMap }
+    def totals: Map[String, (Long, Long)] = synchronized {
+      runTime.keys.map(k => k -> (bytes.getOrElse(k, 0L), runTime(k))).toMap
+    }
+    def classification(tolerance: Double = 0.2): Classification =
+      classify(capacities, tolerance)
+  }
+
+  /** RDD-level partitioner giving node i a contiguous block of partitions
+    * sized by Assignment.proportional — keys hash uniformly into
+    * `numPartitions` slots, slots are owned proportionally to capacity. */
+  final class WeightedPartitioner(weights: Seq[Double], val numPartitions: Int)
+      extends Partitioner {
+    require(weights.nonEmpty && weights.forall(_ >= 0) && weights.sum > 0)
+    private val cum: Array[Double] = {
+      val total = weights.sum
+      weights.scanLeft(0.0)(_ + _).tail.map(_ / total).toArray
+    }
+    /** slot → owner node (exposed for tests and placement maps). */
+    def ownerOfPartition(p: Int): Int = {
+      val frac = (p + 0.5) / numPartitions
+      val i = java.util.Arrays.binarySearch(cum, frac)
+      if (i >= 0) i else math.min(weights.size - 1, -i - 1)
+    }
+    override def getPartition(key: Any): Int = {
+      val h = key.hashCode()
+      val nonNeg = if (h == Int.MinValue) 0 else math.abs(h)
+      nonNeg % numPartitions
+    }
+  }
+}

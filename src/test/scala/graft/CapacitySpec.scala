@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Capacity
+import graft.streaming.Capacity.Assignment
+
+class CapacitySpec extends SparkTestBase {
+
+  test("proportional shares sum to total and track capacity ratios (100 random cases)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 100) {
+      val n = 1 + rnd.nextInt(12)
+      val caps = (0 until n).map(i => s"node$i" -> (1.0 + rnd.nextDouble() * 99)).toMap
+      val total = rnd.nextLong(100000L)
+      val shares = Assignment.proportional(caps, total)
+      assert(shares.values.sum == total)
+      val capSum = caps.values.sum
+      shares.foreach { case (k, s) =>
+        val ideal = total * caps(k) / capSum
+        assert(math.abs(s - ideal) <= caps.size, s"$k got $s, ideal $ideal")
+      }
+    }
+  }
+
+  test("greedy assigns every item exactly once and beats uniform makespan on skewed nodes") {
+    val caps = Map("fast" -> 10.0, "slow" -> 1.0)
+    val items = Seq.fill(110)(100L)
+    val placed = Assignment.greedy(caps, items)
+    assert(placed.values.flatten.toSeq.sorted == items.indices)
+    val fastN = placed("fast").size
+    // fast node should take ~10x the slow node's items
+    assert(fastN > 90, s"fast node only got $fastN of 110")
+    val makespan = placed.map { case (k, is) => is.size * 100.0 / caps(k) }.max
+    val uniformMakespan = 55 * 100.0 / 1.0
+    assert(makespan < uniformMakespan / 2)
+  }
+
+  test("power-of-two-choice is deterministic under a seed and covers all items") {
+    val caps = Map("a" -> 5.0, "b" -> 5.0, "c" -> 1.0)
+    val items = Seq.tabulate(500)(i => (i % 7 + 1) * 10L)
+    val p1 = Assignment.powerOfTwoChoice(caps, items, seed = 7)
+    val p2 = Assignment.powerOfTwoChoice(caps, items, seed = 7)
+    assert(p1 == p2)
+    assert(p1.values.flatten.toSeq.sorted == items.indices)
+    // capacity-normalized load should be reasonably balanced
+    val loads = p1.map { case (k, is) => is.map(items).sum / caps(k) }
+    assert(loads.max / loads.min < 3.0)
+  }
+
+  test("classify splits nodes around the median capability") {
+    val caps = Map("s1" -> 1.0, "s2" -> 1.1, "m" -> 5.0, "f1" -> 9.0, "f2" -> 10.0)
+    val c = Capacity.classify(caps, tolerance = 0.2)
+    assert(c.helpees == Set("s1", "s2"))
+    assert(c.helpers == Set("f1", "f2"))
+    assert(c.medians == Set("m"))
+  }
+
+  test("WeightedPartitioner keeps keys in range and owners match weights") {
+    val wp = new Capacity.WeightedPartitioner(Seq(0.5, 0.3, 0.2), 100)
+    val parts = (0 until 10000).map(k => wp.getPartition(k))
+    assert(parts.forall(p => p >= 0 && p < 100))
+    val ownerCounts = (0 until 100).groupBy(wp.ownerOfPartition).view.mapValues(_.size).toMap
+    assert(ownerCounts(0) == 50 && ownerCounts(1) == 30 && ownerCounts(2) == 20)
+  }
+
+  test("CapacityMonitor observes real task metrics from a spark job") {
+    val mon = new Capacity.CapacityMonitor()
+    spark.sparkContext.addSparkListener(mon)
+    try {
+      Tables.lineitem(spark, sfDir).agg(sum("l_quantity")).collect()
+      // listener bus is async; poll until task-end events are delivered
+      val deadline = System.currentTimeMillis() + 10000
+      while (mon.capacities.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val caps = mon.capacities
+      assert(caps.nonEmpty, "no executor metrics observed")
+      assert(caps.values.forall(_ >= 0))
+      assert(mon.totals.values.map(_._1).sum > 0, "no bytes read observed")
+    } finally spark.sparkContext.removeSparkListener(mon)
+  }
+
+  test("salted join equals plain join; two-phase agg equals plain agg") {
+    val ev = Tables.events(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val plain = ev.join(cust, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().toSeq
+    val salted = graft.operators.SkewTools
+      .saltedJoin(ev, cust, "user_id", "c_custkey", "event_id", 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(salted == plain)
+  }
+}
