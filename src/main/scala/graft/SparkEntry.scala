@@ -12,7 +12,9 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     operators.Relational.all ++ operators.Analytics.all ++
-      operators.EventTime.all ++ operators.SkewTools.all
+      operators.EventTime.all ++ operators.SkewTools.all ++
+      operators.TextOps.all ++ operators.Similarity.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection and similarity search — SURVEY.md §2.4.
+  *
+  * Scale design: candidate generation is always a key-equality join
+  * (shared shingle, LSH band, hyperplane bucket) so Spark shuffles on the
+  * candidate key instead of computing O(n²) pairs; the exact re-check
+  * runs only on candidates. Brute-force cosine is kept as the verified
+  * baseline and bounds a small query set, not the full cross product.
+  */
+object Similarity {
+
+  /** Exact word-trigram Jaccard over shingle-join candidates. Non-vacuous
+    * on the test corpus (it contains planted near-duplicate pairs). */
+  val d02 = Q.sql(
+    "d02_ngram_jaccard",
+    """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |          FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY d1, d2)
+      |SELECT d1, d2, c * 1.0 / (s1.sz + s2.sz - c) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordGrams(tokens(col("text")), 3)).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = grams.as("a")
+    val b = grams.as("b")
+    val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("s1.sz") + col("s2.sz") - col("c"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), jac.as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates with the
+    * signature-estimated Jaccard. Rows-only (engine-local hash family);
+    * SimilaritySpec asserts recall against exact d02 pairs. */
+  val d03 = Q.rowsOnly("d03_minhash_lsh") { (s, dir) =>
+    minhashLshPairs(Tables.documents(s, dir), k = 32, bands = 8, minEstJaccard = 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, minEstJaccard: Double): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = docs.select(
+      col("doc_id"),
+      minhashSignature(wordGrams(tokens(col("text")), 3), k).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
+    val aB = banded.as("a")
+    val bB = banded.as("b")
+    aB.join(bB,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        minhashJaccard(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** SimHash near-dup pairs: 63-bit fingerprints, candidates via matching
+    * 16-bit bands, kept when hamming distance <= 6. Rows-only. */
+  val d04 = Q.rowsOnly("d04_simhash") { (s, dir) =>
+    val hashed = simhash63Agg(Tables.documents(s, dir), "doc_id", tokens(col("text")))
+      .withColumnRenamed("simhash", "sh")
+    val banded = hashed.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(0xFFFF)): _*)).as(Seq("band", "bh")))
+    val aB = banded.as("a")
+    val bB = banded.as("b")
+    aB.join(bB,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("d1", "d2")
+  }
+
+  /** Brute-force cosine top-5 for a bounded query set. Float multiplies +
+    * double left-fold accumulation — bit-identical with the oracle's
+    * list_sum(list_transform(...)) computation; ranking ties broken by
+    * candidate id. */
+  val d05 = Q.sql(
+    "d05_embedding_topk",
+    """WITH sims AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i] * q.embedding[i])))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i] * c.embedding[i])))) AS sim
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+      |), ranked AS (
+      |  SELECT qid, cid, round(sim, 6) AS sim6,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+      |  FROM sims)
+      |SELECT qid, cid, sim6, rk FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val sims = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim6"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Random-hyperplane LSH ANN: fixed seeded hyperplanes bucket every
+    * vector by sign pattern; top-k runs inside each bucket only. The
+    * scale path of d05 — candidate generation is a bucket-equality join.
+    * Bucket count must track corpus size (≈√n): 4 planes → 16 buckets
+    * for the 500-5000-vector test tables; at 100 TB you'd raise planes
+    * so buckets stay ~1k vectors and add multi-probe for recall.
+    * Rows-only; SimilaritySpec asserts agreement with brute force. */
+  val d06 = Q.rowsOnly("d06_ann_lsh") { (s, dir) =>
+    annLshTopK(Tables.embeddings(s, dir), nPlanes = 4, k = 5)
+      .orderBy("qid", "rk")
+  }
+
+  def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int): DataFrame = {
+    val dim = 64
+    val rnd = new scala.util.Random(20240812L)
+    // fixed gaussian hyperplanes, literal-encoded so executors get them via
+    // the plan (no closure serialization of state)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planeCols = planes.map(p => typedlit(p))
+    def bucketOf(v: org.apache.spark.sql.Column) =
+      concat_ws("", planeCols.map(p =>
+        when(aggregate(zip_with(v.cast("array<double>"), p, (x, y) => x * y),
+          lit(0.0), (acc, t) => acc + t) >= 0, "1").otherwise("0")): _*)
+
+    val bucketed = emb.select(
+      col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    broadcast(q).join(c, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim6"), col("rk"))
+  }
+
+  val all: Seq[Q] = Seq(d02, d03, d04, d05, d06)
+}

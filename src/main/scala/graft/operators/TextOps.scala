@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — SURVEY.md §2.4.
+  * Everything is column expressions (codegen'd, fully distributed); the
+  * language-ID model is trained distributedly from the corpus itself.
+  */
+object TextOps {
+
+  /** Exact dedup by content: one row per distinct text, keeping the
+    * smallest doc_id (deterministic winner). At 100 TB the groupBy key
+    * would be xxhash64(text) to keep shuffle rows narrow; key collisions
+    * are then resolved per-bucket. Here the oracle groups the raw text. */
+  val d01 = Q.sql(
+    "d01_exact_dedup",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish subword count. */
+  val t01 = Q.sql(
+    "t01_token_count",
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '$subwordPattern')) AS BIGINT) AS n_subwords
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(subwordPattern), lit(0))).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Quality scoring: length, word stats, symbol/stopword ratios — all
+    * integer-derived double divisions, so the oracle is exact. */
+  val t02 = Q.sql(
+    "t02_quality_score",
+    s"""SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+      |  list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> length(w)))
+      |    * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_word_len,
+      |  length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) * 1.0 / length(text) AS symbol_ratio,
+      |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |      w -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], w)))
+      |    * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nWords.cast("long").as("n_words"),
+        (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") / nWords)
+          .as("avg_word_len"),
+        (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
+          length(col("text"))).as("symbol_ratio"),
+        (size(filter(toks, w => w.isInCollection(stops))).cast("double") / nWords)
+          .as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Self-trained unigram language ID: per-(lang, word) Laplace-smoothed
+    * log-probabilities fitted from the corpus (one shuffle over exploded
+    * words), broadcast back, scored per document, argmax. Rows-only —
+    * accuracy against the `lang` ground truth is asserted in TextSpec. */
+  val t03 = Q.rowsOnly("t03_lang_id") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val words = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+
+    val counts = words.groupBy("word").pivot("lang", langs).count().na.fill(0L)
+    val totals = words.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = counts.count()
+
+    val logp = counts.select(
+      col("word") +: langs.map(lg =>
+        log((col(lg) + 1.0) / (totals.getOrElse(lg, 0L) + vocab.toDouble)).as(s"lp_$lg")): _*)
+
+    val scored = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(logp), "word")
+      .groupBy("doc_id", "lang")
+      .agg(langs.map(lg => sum(s"lp_$lg").as(s"s_$lg")).head,
+        langs.map(lg => sum(s"lp_$lg").as(s"s_$lg")).tail: _*)
+
+    val best = langs.map(lg => struct(col(s"s_$lg").as("score"), lit(lg).as("lang")))
+    scored
+      .select(col("doc_id"), col("lang").as("actual"),
+        greatest(best: _*).getField("lang").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Order-sensitive rolling fingerprint + 63-bit SimHash per document.
+    * Rows-only (the hash family is engine-local); determinism and
+    * sensitivity are asserted in TextSpec. */
+  val t04 = Q.rowsOnly("t04_fingerprint") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val fp = docs.select(
+      col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fingerprint"))
+    fp.join(simhash63Agg(docs, "doc_id", tokens(col("text"))), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04)
+}

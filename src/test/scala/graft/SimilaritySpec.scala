@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("d02 finds the planted near-duplicate pairs with high Jaccard") {
+    val pairs = Similarity.d02.run(spark, sfDir).cache()
+    assert(pairs.count() > 0, "corpus contains planted near-dups; none found")
+    assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
+  }
+
+  test("minhash LSH recalls every exact pair with Jaccard >= 0.9") {
+    val exact = Similarity.d02.run(spark, sfDir)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2")
+    val lsh = Similarity.d03.run(spark, sfDir).select("d1", "d2")
+    val missed = exact.except(lsh)
+    assert(exact.count() > 0, "need at least one high-Jaccard pair for recall test")
+    assert(missed.count() == 0, s"LSH missed pairs: ${missed.collect().mkString(",")}")
+  }
+
+  test("planted identical docs collide under minhash (est=1.0) and simhash (hamming=0)") {
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val withDups = docs.unionByName(planted)
+
+    val mh = Similarity.minhashLshPairs(withDups, k = 32, bands = 8, minEstJaccard = 0.99)
+      .filter(col("d2") >= 1000000L && col("d1") === col("d2") - 1000000L)
+    assert(mh.count() == 3, "every identical pair must be an LSH candidate with est 1.0")
+
+    val sh = graft.functions.TextFunctions
+      .simhash63Agg(withDups, "doc_id", graft.functions.TextFunctions.tokens(col("text")))
+    val joined = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") === col("b.doc_id") - 1000000L)
+      .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+    assert(joined.filter(col("h") =!= 0).count() == 0)
+  }
+
+  test("d05 brute-force top-k: 5 neighbors per query, descending similarity") {
+    val got = Similarity.d05.run(spark, sfDir).cache()
+    assert(got.groupBy("qid").count().filter(col("count") =!= 5).count() == 0)
+    val bad = got.as("a").join(got.as("b"),
+        col("a.qid") === col("b.qid") && col("a.rk") === col("b.rk") - 1 &&
+          col("a.sim6") < col("b.sim6"))
+    assert(bad.count() == 0, "similarity must be non-increasing in rank")
+  }
+
+  test("ANN LSH finds a planted duplicate vector as its top neighbor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(999999L))
+    val withDup = emb.unionByName(planted)
+    val ann = Similarity.annLshTopK(withDup, nPlanes = 4, k = 5)
+      .filter(col("qid") === 0)
+    val top = ann.orderBy("rk").limit(1).collect()
+    assert(top.nonEmpty, "query 0 found no candidates in its bucket")
+    assert(top.head.getLong(1) == 999999L,
+      s"planted duplicate must be rank-1 (sim=1), got ${top.head}")
+  }
+
+  test("ANN buckets agree with brute force on shared candidates") {
+    val ann = Similarity.d06.run(spark, sfDir)
+      .select(col("qid"), col("cid"), col("sim6"))
+    val brute = Similarity.d05.run(spark, sfDir)
+      .select(col("qid"), col("cid"), col("sim6").as("bsim"))
+    val joined = ann.join(brute, Seq("qid", "cid"))
+      .filter(col("sim6") =!= col("bsim"))
+    assert(joined.count() == 0, "same pair must score identically in both paths")
+  }
+}

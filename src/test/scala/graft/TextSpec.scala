@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.TextOps
+
+class TextSpec extends SparkTestBase {
+
+  test("t03 self-trained language ID beats chance, matching the ideal NB bound") {
+    // The synthetic corpus draws all languages from one shared vocabulary
+    // with mildly different weights: an *ideal* unigram NB tops out at
+    // ~34% here (5 classes, 20% chance). The distributed implementation
+    // must reach that bound, not a number the data cannot support.
+    val got = TextOps.t03.run(spark, sfDir).cache()
+    val total = got.count()
+    val correct = got.filter(col("pred") === col("actual")).count()
+    assert(total > 0)
+    val acc = correct.toDouble / total
+    assert(acc >= 0.30, s"lang-id accuracy $acc vs 0.2 chance / ~0.34 ideal")
+  }
+
+  test("rolling fingerprint is order-sensitive; simhash is order-invariant") {
+    import java.util.Collections
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "alpha beta gamma delta"),
+        org.apache.spark.sql.Row(2L, "delta gamma beta alpha"),
+        org.apache.spark.sql.Row(3L, "alpha beta gamma delta")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val fp = df.select(col("doc_id"),
+        TextFunctions.rollingFingerprint(TextFunctions.tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1) == fp(3), "identical text must fingerprint equal")
+    assert(fp(1) != fp(2), "permuted text must fingerprint differently")
+
+    val sh = TextFunctions.simhash63Agg(df, "doc_id", TextFunctions.tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1) == sh(2), "simhash over the token multiset is permutation-invariant")
+    assert(sh(1) == sh(3))
+  }
+
+  test("d01 exact dedup collapses planted duplicates to the smallest doc_id") {
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val withDups = docs.unionByName(planted)
+    val deduped = withDups.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    assert(deduped.filter(col("n_copies") >= 2).count() == 5)
+    assert(deduped.filter(col("doc_id") >= 1000000L).count() == 0,
+      "winner must be the original, smaller doc_id")
+  }
+
+  test("t01/t02 emit one row per document with sane ranges") {
+    val t1 = TextOps.t01.run(spark, sfDir)
+    val t2 = TextOps.t02.run(spark, sfDir)
+    val n = Tables.documents(spark, sfDir).count()
+    assert(t1.count() == n && t2.count() == n)
+    assert(t1.filter(col("n_ws_tokens") <= 0 || col("n_subwords") < col("n_ws_tokens")).count() == 0)
+    assert(t2.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
+  }
+}
