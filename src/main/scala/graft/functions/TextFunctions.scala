@@ -16,18 +16,30 @@ object TextFunctions {
   /** Mersenne prime 2^31-1: modulus for the hash families. */
   val P: Long = 2147483647L
 
+  /** Let-binding for expressions: evaluates `v` once per row and passes
+    * the result to `body` as a lambda variable. Without this, Catalyst's
+    * CollapseProject inlines a derived column's *definition* at every use
+    * site — an expression like a MinHash signature then re-derives its
+    * gram array (and re-splits the text) per seed and per band, a
+    * multiplicative blowup that took d03 from seconds to minutes. */
+  def bind(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** BPE-ish subword pattern: letter runs, digit runs, single symbols. */
   val subwordPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-  /** Distinct word n-grams (shingles) of the token array. */
+  /** Distinct word n-grams (shingles) of the token array. The token array
+    * is let-bound so it is computed once, not once per element access. */
   def wordGrams(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))))
+    bind(toks) { ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + lit(k))): _*))))
+    }
 
   /** Non-negative base hash of a shingle into [0, P). */
   def baseHash(g: Column): Column = pmod(xxhash64(g), lit(P))
@@ -36,12 +48,17 @@ object TextFunctions {
     * h_s(x) = (a_s·x + b_s) mod P, minimized over the shingle set.
     * a_s odd and < 2^8, so a_s·x + b_s < 2^40 — ANSI-safe. */
   def minhashSignature(grams: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), s => {
-      val a = s * 2 + lit(1)
-      val b = pmod(s * lit(2654435761L % P), lit(P))
-      when(size(grams) === 0, lit(P))
-        .otherwise(array_min(transform(grams, g => pmod(a * baseHash(g) + b, lit(P)))))
-    })
+    bind(grams) { gs =>
+      // pre-hash each gram once; the k affine functions then act on longs
+      bind(transform(gs, g => baseHash(g))) { hs =>
+        transform(sequence(lit(0), lit(k - 1)), s => {
+          val a = s * 2 + lit(1)
+          val b = pmod(s * lit(2654435761L % P), lit(P))
+          when(size(hs) === 0, lit(P))
+            .otherwise(array_min(transform(hs, h => pmod(a * h + b, lit(P)))))
+        })
+      }
+    }
 
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def minhashJaccard(sigA: Column, sigB: Column, k: Int): Column =
@@ -52,11 +69,13 @@ object TextFunctions {
   /** LSH band keys: the signature split into `bands` rows-per-band groups,
     * each band hashed to one long — docs sharing any band are candidates. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64(concat_ws("_",
-        lit(b).cast("string"),
-        concat_ws(",", transform(
-          slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string")))))): _*)
+    bind(sig) { sg =>
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws("_",
+          lit(b).cast("string"),
+          concat_ws(",", transform(
+            slice(sg, b * rowsPerBand + 1, rowsPerBand), _.cast("string")))))): _*)
+    }
 
   /** 63-bit SimHash per id over the token multiset: per bit j, sum ±1
     * across token hashes; the sign vector becomes the fingerprint.

@@ -152,9 +152,11 @@ object Similarity {
       Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
     val planeCols = planes.map(p => typedlit(p))
     def bucketOf(v: org.apache.spark.sql.Column) =
-      concat_ws("", planeCols.map(p =>
-        when(aggregate(zip_with(v.cast("array<double>"), p, (x, y) => x * y),
-          lit(0.0), (acc, t) => acc + t) >= 0, "1").otherwise("0")): _*)
+      graft.functions.TextFunctions.bind(v.cast("array<double>")) { vd =>
+        concat_ws("", planeCols.map(p =>
+          when(aggregate(zip_with(vd, p, (x, y) => x * y),
+            lit(0.0), (acc, t) => acc + t) >= 0, "1").otherwise("0")): _*)
+      }
 
     val bucketed = emb.select(
       col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))

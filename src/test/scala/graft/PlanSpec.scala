@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Relational}
+
+/** Physical-plan hygiene: the properties that decide whether these
+  * operators survive a 100× scale-up — pushdown reaching the scan,
+  * dimensions broadcast, top-k not globally sorted, aggregates partial.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan(Relational.q02.run(spark, sfDir))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters in:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_returnflag"), s"unpruned scan read l_returnflag:\n$p")
+  }
+
+  test("q04/q05 broadcast the small dimensions") {
+    assert(plan(Relational.q04.run(spark, sfDir)).contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q05.run(spark, sfDir))
+    assert(p5.contains("BroadcastHashJoin"), s"q05 lost its broadcasts:\n$p5")
+  }
+
+  test("q07 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q07.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"q07 plan:\n$p")
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan(Relational.q01.run(spark, sfDir))
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("q06 global agg reads only the four needed columns") {
+    val p = plan(Relational.q06.run(spark, sfDir))
+    assert(!p.contains("l_orderkey") && !p.contains("l_tax"),
+      s"q06 scan reads unneeded columns:\n$p")
+  }
+
+  test("q19 scalar subquery broadcasts the one-row aggregate") {
+    val p = plan(Analytics.q19.run(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar compare not broadcast:\n$p")
+  }
+
+  test("whole-stage codegen is active on the scan-agg path") {
+    // AQE finalizes the physical plan only on execution; run the query
+    // first, then the adaptive plan shows its codegen stages as "*(n)"
+    val df = Relational.q01.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true") && p.contains("*("),
+      s"codegen disabled?\n${p.take(800)}")
+  }
+}
