@@ -118,12 +118,14 @@ object Similarity {
       |  FROM sims)
       |SELECT qid, cid, sim6, rk FROM ranked WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    graft.plans.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val sims = broadcast(q).join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .select(col("qid"), col("cid"),
+        call_function("float_cosine", col("qe"), col("ce")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     sims.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -144,6 +146,7 @@ object Similarity {
   }
 
   def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val dim = 64
     val rnd = new scala.util.Random(20240812L)
     // fixed gaussian hyperplanes, literal-encoded so executors get them via
@@ -166,7 +169,8 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim"))
+      .select(col("qid"), col("cid"),
+        call_function("float_cosine", col("qe"), col("ce")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim6"), col("rk"))

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Statistical aggregates and ordered selection — the DataFrame.stat /
+  * min_by surface of the reference (SURVEY.md §2.1 q31-q33). */
+object Stats {
+
+  /** Pearson correlation, sample covariance and stddev per group. Both
+    * engines use streaming co-moment formulas whose low bits differ, so
+    * results are rounded at 6 dp (values are O(1)-O(1e4)). */
+  val q31 = Q.sql(
+    "q31_stat_agg",
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov,
+      |  round(stddev_samp(l_extendedprice), 4) AS price_sd,
+      |  round(var_samp(l_quantity), 4) AS qty_var
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("qty_price_corr"),
+        round(covar_samp("l_quantity", "l_discount"), 6).as("qty_disc_cov"),
+        round(stddev_samp("l_extendedprice"), 4).as("price_sd"),
+        round(var_samp("l_quantity"), 4).as("qty_var"))
+      .orderBy("l_returnflag")
+  }
+
+  /** argmin/argmax with a tie-proof ordering key: prices have 2 decimals,
+    * so price·10^5 + (orderkey mod 10^5) is unique and exactly
+    * representable in a double on both engines. */
+  val q32 = Q.sql(
+    "q32_min_by",
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, o_totalprice * 100000 + (o_orderkey % 100000)) AS priciest_order,
+      |  arg_min(o_orderkey, o_totalprice * 100000 + (o_orderkey % 100000)) AS cheapest_order,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val key = col("o_totalprice") * 100000 + pmod(col("o_orderkey"), lit(100000))
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), key).as("priciest_order"),
+        min_by(col("o_orderkey"), key).as("cheapest_order"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Regex extraction/replacement feeding an aggregate: customer id
+    * parsed back out of the name, bucketed mod 7. */
+  val q33 = Q.sql(
+    "q33_regexp",
+    """SELECT CAST(CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) % 7 AS BIGINT) AS id_bucket,
+      |  count(*) AS n,
+      |  min(regexp_replace(c_name, '[0-9]', '', 'g')) AS stripped
+      |FROM customer
+      |GROUP BY id_bucket
+      |ORDER BY id_bucket""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy((regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long") % 7).as("id_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(regexp_replace(col("c_name"), lit("[0-9]"), lit(""))).as("stripped"))
+      .orderBy("id_bucket")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33)
+}

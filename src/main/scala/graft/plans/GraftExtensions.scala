@@ -1,0 +1,24 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Registers graft's native expressions.
+  *
+  * Two entry points:
+  *  - config: `spark.sql.extensions=graft.plans.GraftExtensions` picks the
+  *    functions up at session build (cluster deployments);
+  *  - [[GraftFunctions.register]]: idempotent runtime registration for an
+  *    existing session (tests, notebooks, the Verify/Bench mains).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("float_cosine"), FloatCosine.info, FloatCosine.builder))
+}
+
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("float_cosine"), FloatCosine.info, FloatCosine.builder)
+}
