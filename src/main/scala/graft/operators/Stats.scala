@@ -70,5 +70,32 @@ object Stats {
       .orderBy("id_bucket")
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33)
+  final case class CoGroupOut(key: Long, n_events: Long, n_orders: Long)
+
+  /** Typed cogroup (the DStream/PairRDD cogroup surface): events and
+    * orders grouped by their key meet in one function per key. The oracle
+    * is the relational equivalent — a full outer join of two aggregates —
+    * which is also the shape Catalyst would pick; cogroup exists for
+    * per-key logic joins can't express, verified here on one it can. */
+  val q34 = Q.sql(
+    "q34_cogroup",
+    """SELECT coalesce(e.user_id, o.o_custkey) AS key,
+      |  coalesce(e.n, 0) AS n_events,
+      |  coalesce(o.n, 0) AS n_orders
+      |FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) e
+      |FULL JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+      |  ON e.user_id = o.o_custkey
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.{Encoders, Row}
+    val evKV = Tables.events(s, dir).select(col("user_id"))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    val ordKV = Tables.orders(s, dir).select(col("o_custkey"))
+      .groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[CoGroupOut]
+    evKV.cogroup(ordKV) { (key: Long, evs: Iterator[Row], ords: Iterator[Row]) =>
+      Iterator.single(CoGroupOut(key, evs.size.toLong, ords.size.toLong))
+    }.toDF().orderBy("key")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34)
 }

@@ -65,4 +65,34 @@ object Pipelines {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
+
+  /** Watermarked stream-stream inner join: each side keeps only the state
+    * the 10-minute join window needs — the DStream-era join(otherStream)
+    * with bounded state instead of unbounded RDD retention. */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts >= c_ts AND
+        |p_ts <= c_ts + interval 10 minutes""".stripMargin))
+  }
+
+  /** foreachBatch escape hatch: arbitrary batch-DataFrame logic per
+    * micro-batch (multi-sink writes, upserts) with the batch id for
+    * idempotence — the DStream foreachRDD analog. */
+  def startForeachBatch(df: DataFrame, name: String)(
+      handle: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        handle(batch.toDF(), id)
+      }
+      .start()
 }

@@ -75,6 +75,52 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted > 0, "append mode emitted nothing")
   }
 
+  test("stream-stream join matches the batch join on the same windows") {
+    val src1 = Files.createTempDirectory("graft-ss-clicks").toString
+    val src2 = Files.createTempDirectory("graft-ss-buys").toString
+    val ev = Tables.events(spark, sfDir).cache()
+    val clicksB = ev.filter(col("event_type") === "click")
+    val buysB = ev.filter(col("event_type") === "purchase")
+
+    val joined = Pipelines.streamStreamJoin(
+      Pipelines.eventStream(spark, src1, eventsSchema)
+        .filter(col("event_type") === "click"),
+      Pipelines.eventStream(spark, src2, eventsSchema)
+        .filter(col("event_type") === "purchase"))
+    val q = Pipelines.startToMemory(joined, "ss_join_test", "append")
+    ev.filter(col("event_type") === "click").write.mode("append").parquet(src1)
+    ev.filter(col("event_type") === "purchase").write.mode("append").parquet(src2)
+    q.processAllAvailable()
+    q.stop()
+
+    val want = clicksB.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .join(buysB.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value")),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"))
+      .count()
+    assert(spark.table("ss_join_test").count() == want)
+    assert(want > 0, "test needs at least one click->purchase pair in range")
+  }
+
+  test("foreachBatch receives every micro-batch exactly once") {
+    val src = Files.createTempDirectory("graft-feb-src").toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = Pipelines.startForeachBatch(
+      Pipelines.eventStream(spark, src, eventsSchema), "feb_test") { (batch, id) =>
+      seen.put(id, batch.count())
+    }
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val total = seen.values().stream().mapToLong(l => l).sum()
+    assert(total == ev.count(), s"foreachBatch saw $total of ${ev.count()} rows")
+    assert(seen.size() >= 2, "expected at least two micro-batches")
+  }
+
   test("session windows via shared EventTimeOps match gaps-and-islands ground truth") {
     val ev = Tables.events(spark, sfDir)
     val sessions = EventTimeOps.sessionAgg(ev, "ts", "1 hour", "user_id")
