@@ -97,5 +97,41 @@ object Stats {
     }.toDF().orderBy("key")
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34)
+  /** FULL OUTER join with side-tagging: customers vs event activity. */
+  val q35 = Q.sql(
+    "q35_full_outer",
+    """SELECT coalesce(c_custkey, user_id) AS key,
+      |  CASE WHEN c_custkey IS NULL THEN 'event_only'
+      |       WHEN user_id IS NULL THEN 'customer_only'
+      |       ELSE 'both' END AS side,
+      |  coalesce(n_events, 0) AS n_events
+      |FROM customer
+      |FULL JOIN (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+      |  ON c_custkey = user_id
+      |ORDER BY key""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    Tables.customer(s, dir)
+      .join(e, col("c_custkey") === col("user_id"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("key"),
+        when(col("c_custkey").isNull, "event_only")
+          .when(col("user_id").isNull, "customer_only")
+          .otherwise("both").as("side"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("key")
+  }
+
+  /** Bounded cartesian product: every (region, order status) cell. */
+  val q36 = Q.sql(
+    "q36_cross_join",
+    """SELECT r_name, o_orderstatus, r_regionkey
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      |ORDER BY r_name, o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.region(s, dir)
+      .crossJoin(Tables.orders(s, dir).select("o_orderstatus").distinct())
+      .select("r_name", "o_orderstatus", "r_regionkey")
+      .orderBy("r_name", "o_orderstatus")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36)
 }

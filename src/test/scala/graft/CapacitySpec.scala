@@ -78,6 +78,37 @@ class CapacitySpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(mon)
   }
 
+  test("AQE splits a pathologically skewed join partition (Lever's straggler case)") {
+    import org.apache.spark.sql.functions.when
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // 100k rows, 95% on one hot key — the straggler Lever pre-scheduled around
+      val skewed = spark.range(100000)
+        .withColumn("k", when(col("id") % 100 < 95, 0L).otherwise(col("id") % 50))
+      val dim = spark.range(50).withColumn("payload", col("id") * 2)
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // collect() executes this DataFrame's own QueryExecution (a write
+      // plans a fresh one and leaves this plan un-finalized); no op after
+      // the join — a distribution-dependent agg would veto the skew split
+      val joined = skewed.join(dim, skewed("k") === dim("id"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${p.take(1200)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("salted join equals plain join; two-phase agg equals plain agg") {
     val ev = Tables.events(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)
