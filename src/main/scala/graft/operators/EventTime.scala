@@ -110,5 +110,48 @@ object EventTime {
       .orderBy("c_mktsegment", "event_type")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Top-2 event types per hour: windowed agg + per-window rank. */
+  val s07 = Q.sql(
+    "s07_window_topk",
+    """SELECT ws, event_type, n, rk FROM (
+      |  SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+      |    event_type, count(*) AS n,
+      |    row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+      |                       ORDER BY count(*) DESC, event_type) AS rk
+      |  FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type) t
+      |WHERE rk <= 2
+      |ORDER BY ws, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"), col("n"))
+    val w = Window.partitionBy("ws").orderBy(col("n").desc, col("event_type"))
+    hourly.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .orderBy("ws", "rk")
+  }
+
+  /** Hour-over-hour delta per event type (lag across windows). */
+  val s08 = Q.sql(
+    "s08_window_delta",
+    """SELECT ws, event_type, n,
+      |  n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY ws) AS delta
+      |FROM (
+      |  SELECT CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+      |    event_type, count(*) AS n
+      |  FROM events GROUP BY ws, event_type) t
+      |ORDER BY event_type, ws""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"), col("n"))
+    val w = Window.partitionBy("event_type").orderBy("ws")
+    hourly
+      .withColumn("delta", col("n") - lag("n", 1).over(w))
+      .orderBy("event_type", "ws")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

@@ -133,5 +133,42 @@ object Stats {
       .orderBy("r_name", "o_orderstatus")
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36)
+  final case class WAvgBuf(num: Double, den: Double)
+
+  /** Custom typed Aggregator (the UDAF extension surface): weighted
+    * average with an explicit merge — the same partial/final shape
+    * Spark's built-ins use, so it distributes without a second shuffle. */
+  object WeightedAvg extends org.apache.spark.sql.expressions.Aggregator[(Double, Double), WAvgBuf, Double] {
+    override def zero: WAvgBuf = WAvgBuf(0.0, 0.0)
+    override def reduce(b: WAvgBuf, in: (Double, Double)): WAvgBuf =
+      WAvgBuf(b.num + in._1 * in._2, b.den + in._2)
+    override def merge(a: WAvgBuf, b: WAvgBuf): WAvgBuf =
+      WAvgBuf(a.num + b.num, a.den + b.den)
+    override def finish(b: WAvgBuf): Double = b.num / b.den
+    override def bufferEncoder: org.apache.spark.sql.Encoder[WAvgBuf] =
+      org.apache.spark.sql.Encoders.product[WAvgBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Quantity-weighted average discount per return flag via the custom
+    * Aggregator; the oracle is the algebraic identity sum(xw)/sum(w). */
+  val q37 = Q.sql(
+    "q37_weighted_avg",
+    """SELECT l_returnflag,
+      |  round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val wavg = udaf(WeightedAvg)
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(wavg(col("l_discount"), col("l_quantity")), 6).as("wavg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37)
 }
