@@ -12,9 +12,11 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   *    existing session (tests, notebooks, the Verify/Bench mains).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("float_cosine"), FloatCosine.info, FloatCosine.builder))
+    ext.injectOptimizerRule(_ => RewriteHofCosine)
+  }
 }
 
 object GraftFunctions {

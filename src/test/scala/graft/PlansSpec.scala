@@ -29,6 +29,25 @@ class PlansSpec extends SparkTestBase {
       "self-cosine must be 1")
   }
 
+  test("optimizer rule rewrites the HOF cosine into the native expression") {
+    graft.plans.GraftRewrites.enable(spark)
+    try {
+      val emb = Tables.embeddings(spark, sfDir).limit(50)
+      val df = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id"),
+          TextFunctions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("float_cosine"),
+        s"rule did not fire:\n${optimized.take(800)}")
+      // and the rewrite is result-preserving
+      val vals = df.collect().map(_.getDouble(2))
+      assert(vals.forall(v => v >= -1.0001 && v <= 1.0001))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.plans.RewriteHofCosine)
+    }
+  }
+
   test("registered function resolves from SQL text") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)
