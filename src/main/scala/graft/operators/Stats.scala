@@ -170,5 +170,15 @@ object Stats {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37)
+  /** Seeded Bernoulli sample — reproducible across runs (same seed, same
+    * rows) but engine-specific RNG, so rows-only; StatsSpec asserts
+    * determinism and the sampling fraction. */
+  val q38 = Q.rowsOnly("q38_sample") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38)
 }
