@@ -180,5 +180,24 @@ object Stats {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38)
+  /** Native per-key top-k via the custom LogicalPlan/Strategy/SparkPlan
+    * (graft.plans.TopK): bounded heaps instead of a full windowed sort.
+    * Same oracle shape as q13 — the results must be identical. */
+  val q39 = Q.sql(
+    "q39_native_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+    graft.plans.TopK.perKey(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keyCol = "o_custkey", orderCol = "o_totalprice", tiebreak = "o_orderkey", k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

@@ -1,0 +1,102 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftshim.GraftDatasetFactory
+
+/** Whole-operator extension path (custom LogicalPlan + SparkStrategy +
+  * SparkPlan, SURVEY.md §2): exact per-key top-k with bounded heaps.
+  *
+  * The declarative equivalent — row_number() over a partitioned window,
+  * filter rk <= k — sorts every group in full. This operator keeps only k
+  * rows per key in a heap: O(n log k) per partition and O(k·|keys|)
+  * memory, the difference between sorting 100 TB and scanning it. The
+  * planner contract (requiredChildDistribution = clustered on the key)
+  * makes Spark insert exactly the one hash exchange the semantics need,
+  * so AQE/EnsureRequirements stay in charge of the shuffle.
+  */
+case class TopKPerKeyLogical(
+    k: Int,
+    key: Attribute,
+    sortOrder: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyLogical =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(
+    k: Int,
+    key: Attribute,
+    sortOrder: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(key)) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val localK = k
+    val localKey = key
+    val localOrder = sortOrder
+    child.execute().mapPartitions { rows =>
+      // best row first; heap head is the current worst of the kept k
+      val ordering = RowOrdering.create(localOrder, childOutput)
+      val keyProj = UnsafeProjection.create(Seq(localKey), childOutput)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      rows.foreach { row =>
+        val heap = heaps.getOrElseUpdate(
+          keyProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](ordering))
+        if (heap.size < localK) {
+          heap.enqueue(row.copy())
+        } else if (ordering.lt(row, heap.head)) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case t: TopKPerKeyLogical =>
+      TopKPerKeyExec(t.k, t.key, t.sortOrder, planLater(t.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Exact top-k rows per key, ordered by `orderCol` descending with
+    * `tiebreak` ascending making the kept set deterministic. */
+  def perKey(df: DataFrame, keyCol: String, orderCol: String,
+             tiebreak: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not in ${analyzed.output.map(_.name)}"))
+    val order = Seq(
+      SortOrder(attr(orderCol), Descending),
+      SortOrder(attr(tiebreak), Ascending))
+    GraftDatasetFactory.ofRows(spark, TopKPerKeyLogical(k, attr(keyCol), order, analyzed))
+  }
+}

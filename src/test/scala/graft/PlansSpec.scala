@@ -48,6 +48,36 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("native TopK matches the windowed formulation and plans one exchange") {
+    import graft.plans.TopK
+    val orders = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
+    val native = TopK.perKey(orders, "o_custkey", "o_totalprice", "o_orderkey", k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = orders.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    assert(native.collect().toSeq == windowed.collect().toSeq)
+
+    // AQE's toString echoes the initial plan too — inspect the final only
+    val p = native.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TopKPerKey"), s"custom exec missing:\n${p.take(600)}")
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("native TopK handles k=1 and groups smaller than k") {
+    import graft.plans.TopK
+    val orders = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
+    val top1 = TopK.perKey(orders, "o_custkey", "o_totalprice", "o_orderkey", k = 1)
+    val perKey = top1.groupBy("o_custkey").count()
+    assert(perKey.filter(col("count") =!= 1).count() == 0)
+    // k larger than any group: every row comes back
+    val topBig = TopK.perKey(orders, "o_custkey", "o_totalprice", "o_orderkey", k = 100000)
+    assert(topBig.count() == orders.count())
+  }
+
   test("registered function resolves from SQL text") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)
