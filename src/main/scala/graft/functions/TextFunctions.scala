@@ -60,6 +60,19 @@ object TextFunctions {
       }
     }
 
+  /** MinHash signature from pre-hashed shingles (graft.plans.
+    * HashedWordGrams): identical output to [[minhashSignature]] over the
+    * corresponding gram strings, since baseHash(g) == pmod(xxhash64(g),P). */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    bind(transform(hashes, h => pmod(h, lit(P)))) { hs =>
+      transform(sequence(lit(0), lit(k - 1)), s => {
+        val a = s * 2 + lit(1)
+        val b = pmod(s * lit(2654435761L % P), lit(P))
+        when(size(hs) === 0, lit(P))
+          .otherwise(array_min(transform(hs, h => pmod(a * h + b, lit(P)))))
+      })
+    }
+
   /** Estimated Jaccard from two equal-length MinHash signatures. */
   def minhashJaccard(sigA: Column, sigB: Column, k: Int): Column =
     aggregate(

@@ -33,8 +33,13 @@ object Similarity {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    graft.plans.GraftFunctions.register(s)
+    // native shingle hashing: the candidate join shuffles longs, not
+    // gram strings (oracle still joins strings — equal modulo 64-bit
+    // hash collisions)
     val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(wordGrams(tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id"),
+        explode(call_function("hashed_word_grams", col("text"), lit(3))).as("g"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = grams.as("a")
     val b = grams.as("b")
@@ -60,21 +65,29 @@ object Similarity {
   }
 
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, minEstJaccard: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val rowsPerBand = k / bands
     val sigs = docs.select(
       col("doc_id"),
-      minhashSignature(wordGrams(tokens(col("text")), 3), k).as("sig"))
+      minhashFromHashes(call_function("hashed_word_grams", col("text"), lit(3)), k).as("sig"))
+    // band join carries only (doc_id, band, bh): the shuffle stays narrow
+    // and pair-dedup happens before the signature compare, so each
+    // candidate pair is scored exactly once
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")))
     val aB = banded.as("a")
     val bB = banded.as("b")
-    aB.join(bB,
+    val candidates = aB.join(bB,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        minhashJaccard(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .select(col("d1"), col("d2"),
+        minhashJaccard(col("sig1"), col("sig2"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 

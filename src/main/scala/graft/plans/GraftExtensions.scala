@@ -15,12 +15,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("float_cosine"), FloatCosine.info, FloatCosine.builder))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_word_grams"), HashedWordGrams.info, HashedWordGrams.builder))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }
 
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_cosine"), FloatCosine.info, FloatCosine.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hashed_word_grams"), HashedWordGrams.info, HashedWordGrams.builder)
+  }
 }

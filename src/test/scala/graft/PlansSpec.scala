@@ -78,6 +78,18 @@ class PlansSpec extends SparkTestBase {
     assert(topBig.count() == orders.count())
   }
 
+  test("hashed_word_grams equals xxhash64 over the composed gram strings") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val native = docs.select(col("doc_id"),
+        explode(call_function("hashed_word_grams", col("text"), lit(3))).as("h"))
+    val composed = docs.select(col("doc_id"),
+        explode(TextFunctions.wordGrams(TextFunctions.tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    assert(native.except(composed).count() == 0)
+    assert(composed.except(native).count() == 0)
+  }
+
   test("registered function resolves from SQL text") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)
