@@ -96,6 +96,9 @@ object Similarity {
   val d04 = Q.rowsOnly("d04_simhash") { (s, dir) =>
     val hashed = simhash63Agg(Tables.documents(s, dir), "doc_id", tokens(col("text")))
       .withColumnRenamed("simhash", "sh")
+    // unlike minhash (32-long signature), the simhash fingerprint is a
+    // single long: carrying it through the band join is cheaper than
+    // re-joining, which would recompute the simhash aggregation twice
     val banded = hashed.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
