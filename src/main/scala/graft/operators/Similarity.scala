@@ -157,34 +157,47 @@ object Similarity {
     * so buckets stay ~1k vectors and add multi-probe for recall.
     * Rows-only; SimilaritySpec asserts agreement with brute force. */
   val d06 = Q.rowsOnly("d06_ann_lsh") { (s, dir) =>
-    annLshTopK(Tables.embeddings(s, dir), nPlanes = 4, k = 5)
+    annLshTopK(Tables.embeddings(s, dir), nPlanes = 4, k = 5, nTables = 4)
       .orderBy("qid", "rk")
   }
 
-  def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int): DataFrame = {
+  /** Multi-table random-hyperplane ANN: `nTables` independently seeded
+    * plane sets each bucket every vector; a pair is a candidate if it
+    * collides in ANY table (union → recall compounds: 1-(1-p)^T). The
+    * candidate set is deduped narrow (qid,cid) before scoring, and the
+    * wide embedding columns are re-joined from the base projection. */
+  def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int, nTables: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val dim = 64
-    val rnd = new scala.util.Random(20240812L)
-    // fixed gaussian hyperplanes, literal-encoded so executors get them via
-    // the plan (no closure serialization of state)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-    val planeCols = planes.map(p => typedlit(p))
-    def bucketOf(v: org.apache.spark.sql.Column) =
+    // fixed gaussian hyperplanes per table, literal-encoded so executors
+    // get them via the plan (no closure serialization of state)
+    def planesFor(table: Int): Seq[org.apache.spark.sql.Column] = {
+      val rnd = new scala.util.Random(20240812L + table * 7919L)
+      Seq.fill(nPlanes)(typedlit(Seq.fill(dim)(rnd.nextGaussian())))
+    }
+    def bucketOf(v: org.apache.spark.sql.Column, table: Int) =
       graft.functions.TextFunctions.bind(v.cast("array<double>")) { vd =>
-        concat_ws("", planeCols.map(p =>
+        concat_ws("", planesFor(table).map(p =>
           when(aggregate(zip_with(vd, p, (x, y) => x * y),
             lit(0.0), (acc, t) => acc + t) >= 0, "1").otherwise("0")): _*)
       }
 
-    val bucketed = emb.select(
-      col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"))
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val bucketed = base.select(
+      col("vec_id"),
+      posexplode(array((0 until nTables).map(t => bucketOf(col("embedding"), t)): _*))
+        .as(Seq("tbl", "bucket")))
     val q = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    broadcast(q).join(c, Seq("bucket"))
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+    val candidates = broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    candidates
+      .join(base.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(base.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
       .select(col("qid"), col("cid"),
         call_function("float_cosine", col("qe"), col("ce")).as("sim"))
       .withColumn("rk", row_number().over(w))
