@@ -16,13 +16,25 @@ import graft.functions.TextFunctions._
   */
 object Similarity {
 
-  /** Exact word-trigram Jaccard over shingle-join candidates. Non-vacuous
-    * on the test corpus (it contains planted near-duplicate pairs). */
+  /** Max document frequency for a shingle to participate in the d02
+    * candidate join. A gram shared by m docs contributes m²/2 candidate
+    * rows — one stop-phrase shingle across 1M docs is a quadratic blowup
+    * that no placement strategy fixes (it's semantic fanout, not skew).
+    * Capping df bounds the worst gram's fanout at dfCap²/2; the cap is
+    * applied identically in the DuckDB oracle, so results stay
+    * hash-equal (and at test scale no gram reaches the cap anyway). */
+  val d02DfCap = 1000
+
+  /** Exact word-trigram Jaccard over shingle-join candidates, computed on
+    * the df-capped shingle space (see [[d02DfCap]]). Non-vacuous on the
+    * test corpus (it contains planted near-duplicate pairs). */
   val d02 = Q.sql(
     "d02_ngram_jaccard",
-    """WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-      |grams AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+    s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      |grams0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
       |          FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)),
+      |grams AS (SELECT doc_id, g FROM grams0
+      |          QUALIFY count(*) OVER (PARTITION BY g) <= $d02DfCap),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
       |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -33,13 +45,30 @@ object Similarity {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    graft.plans.GraftFunctions.register(s)
+    jaccardPairs(Tables.documents(s, dir), dfCap = d02DfCap, minJaccard = 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact n-gram Jaccard pairs over the df-capped shingle space: grams
+    * with document frequency > dfCap are removed (from sizes AND the
+    * join, so the Jaccard stays self-consistent) before the candidate
+    * self-join. */
+  def jaccardPairs(docs: DataFrame, dfCap: Int, minJaccard: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     // native shingle hashing: the candidate join shuffles longs, not
     // gram strings (oracle still joins strings — equal modulo 64-bit
     // hash collisions)
-    val grams = Tables.documents(s, dir)
+    val grams0 = docs
       .select(col("doc_id"),
         explode(call_function("hashed_word_grams", col("text"), lit(3))).as("g"))
+    // hot grams are few by definition: partial-agg the df counts (map-side
+    // combine collapses each gram to one row per partition) and remove
+    // them with a broadcast anti-join — no full sort of the gram table,
+    // unlike a count() window
+    val hot = grams0.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("g")
+    val grams = grams0.join(broadcast(hot), Seq("g"), "left_anti")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = grams.as("a")
     val b = grams.as("b")
@@ -51,9 +80,8 @@ object Similarity {
     inter
       .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .filter(jac >= 0.5)
+      .filter(jac >= minJaccard)
       .select(col("d1"), col("d2"), jac.as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   /** MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates with the
@@ -67,9 +95,13 @@ object Similarity {
   def minhashLshPairs(docs: DataFrame, k: Int, bands: Int, minEstJaccard: Double): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val rowsPerBand = k / bands
+    // native codegen signature (graft.plans.MinhashSignature) — bit-
+    // identical to TextFunctions.minhashFromHashes but one tight loop
+    // per row instead of k×|grams| interpreted lambda calls
     val sigs = docs.select(
       col("doc_id"),
-      minhashFromHashes(call_function("hashed_word_grams", col("text"), lit(3)), k).as("sig"))
+      call_function("minhash_signature",
+        call_function("hashed_word_grams", col("text"), lit(3)), lit(k)).as("sig"))
     // band join carries only (doc_id, band, bh): the shuffle stays narrow
     // and pair-dedup happens before the signature compare, so each
     // candidate pair is scored exactly once
@@ -161,34 +193,39 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** Multi-table random-hyperplane ANN: `nTables` independently seeded
-    * plane sets each bucket every vector; a pair is a candidate if it
-    * collides in ANY table (union → recall compounds: 1-(1-p)^T). The
-    * candidate set is deduped narrow (qid,cid) before scoring, and the
-    * wide embedding columns are re-joined from the base projection. */
+  /** Multi-table, multi-probe random-hyperplane ANN: `nTables`
+    * independently seeded plane sets each bucket every vector via the
+    * native codegen [[graft.plans.HyperplaneSign]] (a long sign bitmask —
+    * the interpreted aggregate/zip_with per plane per table it replaces
+    * never entered codegen). A pair is a candidate if it collides in ANY
+    * table (union → recall compounds: 1-(1-p)^T), and the query side
+    * additionally probes every 1-bit-flipped neighbor bucket
+    * (`bits ^ (1<<p)`) — multi-probe buys recall on the near-orthogonal
+    * planes without growing the candidate side. The candidate set is
+    * deduped narrow (qid,cid) before scoring, and the wide embedding
+    * columns are re-joined from the base projection. */
   def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int, nTables: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val dim = 64
     // fixed gaussian hyperplanes per table, literal-encoded so executors
     // get them via the plan (no closure serialization of state)
-    def planesFor(table: Int): Seq[org.apache.spark.sql.Column] = {
+    def planesFor(table: Int): Seq[Double] = {
       val rnd = new scala.util.Random(20240812L + table * 7919L)
-      Seq.fill(nPlanes)(typedlit(Seq.fill(dim)(rnd.nextGaussian())))
+      Seq.fill(nPlanes * dim)(rnd.nextGaussian())
     }
     def bucketOf(v: org.apache.spark.sql.Column, table: Int) =
-      graft.functions.TextFunctions.bind(v.cast("array<double>")) { vd =>
-        concat_ws("", planesFor(table).map(p =>
-          when(aggregate(zip_with(vd, p, (x, y) => x * y),
-            lit(0.0), (acc, t) => acc + t) >= 0, "1").otherwise("0")): _*)
-      }
+      call_function("hyperplane_sign", v, typedlit(planesFor(table)), lit(nPlanes))
 
     val base = emb.select(col("vec_id"), col("embedding"))
     val bucketed = base.select(
       col("vec_id"),
       posexplode(array((0 until nTables).map(t => bucketOf(col("embedding"), t)): _*))
         .as(Seq("tbl", "bucket")))
+    // query side fans out to the home bucket plus each 1-bit probe
+    val probeArr = array((col("bucket") +:
+      (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val q = bucketed.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("tbl"), explode(probeArr).as("bucket"))
     val c = bucketed.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
     val candidates = broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))

@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_cosine"), FloatCosine.info, FloatCosine.builder))
     ext.injectFunction((
       FunctionIdentifier("hashed_word_grams"), HashedWordGrams.info, HashedWordGrams.builder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"), MinhashSignature.info, MinhashSignature.builder))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sign"), HyperplaneSign.info, HyperplaneSign.builder))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }
@@ -27,5 +31,9 @@ object GraftFunctions {
       FunctionIdentifier("float_cosine"), FloatCosine.info, FloatCosine.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hashed_word_grams"), HashedWordGrams.info, HashedWordGrams.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_signature"), MinhashSignature.info, MinhashSignature.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hyperplane_sign"), HyperplaneSign.info, HyperplaneSign.builder)
   }
 }

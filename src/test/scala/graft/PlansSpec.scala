@@ -90,6 +90,48 @@ class PlansSpec extends SparkTestBase {
     assert(composed.except(native).count() == 0)
   }
 
+  test("minhash_signature is bit-identical to the HOF minhashFromHashes") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val hashes = call_function("hashed_word_grams", col("text"), lit(3))
+    val both = docs.select(
+      call_function("minhash_signature", hashes, lit(32)).as("native"),
+      TextFunctions.minhashFromHashes(hashes, 32).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "native signature must reproduce the HOF arithmetic exactly")
+  }
+
+  test("minhash_signature of an empty shingle set is the sentinel [P,..]") {
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val sig = s2.sql("SELECT minhash_signature(CAST(array() AS ARRAY<BIGINT>), 4) AS s")
+      .head.getSeq[Long](0)
+    assert(sig == Seq.fill(4)(graft.plans.MinhashSignature.P))
+  }
+
+  test("hyperplane_sign matches the interpreted per-plane dot signs") {
+    GraftFunctions.register(spark)
+    val nPlanes = 4
+    val dim = 64
+    val rnd = new scala.util.Random(7L)
+    val planes = Seq.fill(nPlanes * dim)(rnd.nextGaussian())
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val native = call_function(
+      "hyperplane_sign", col("embedding"), typedlit(planes), lit(nPlanes))
+    val nativeBits = concat((0 until nPlanes).map(p =>
+      when(shiftright(native, p).bitwiseAND(1) === 1, "1").otherwise("0")): _*)
+    val hofBits = TextFunctions.bind(col("embedding").cast("array<double>")) { vd =>
+      concat((0 until nPlanes).map { p =>
+        val plane = typedlit(planes.slice(p * dim, (p + 1) * dim))
+        when(aggregate(zip_with(vd, plane, (x, y) => x * y),
+          lit(0.0), (acc, t) => acc + t) >= 0, "1").otherwise("0")
+      }: _*)
+    }
+    val diff = emb.select(nativeBits.as("n"), hofBits.as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(diff.count() == 0, "native sign bits must match the interpreted dots")
+  }
+
   test("registered function resolves from SQL text") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)

@@ -61,6 +61,35 @@ class SimilaritySpec extends SparkTestBase {
       s"planted duplicate must be rank-1 (sim=1), got ${top.head}")
   }
 
+  test("d02 df-cap drops an ultra-common shingle and bounds its candidates") {
+    import TestSpark.spark.implicits._
+    // 200 docs sharing ONE hot phrase (df=200 ≫ cap) but otherwise unique,
+    // plus one genuine near-dup pair whose shared grams stay under the cap
+    val hot = (0 until 200).map(i =>
+      (i.toLong, s"unique$i alpha$i beta$i gamma$i delta$i common hot shingle phrase"))
+    val dup = Seq(
+      (9000L, "the quick brown fox jumps over the lazy dog tonight"),
+      (9001L, "the quick brown fox jumps over the lazy dog tonight"))
+    val docs = (hot ++ dup).toDF("doc_id", "text")
+    val pairs = Similarity.jaccardPairs(docs, dfCap = 100, minJaccard = 0.1)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((9000L, 9001L)),
+      s"hot-shingle fanout must be capped away, near-dup kept; got ${pairs.mkString(",")}")
+    // without the cap the hot gram alone would generate ~200²/2 candidates
+    val uncapped = Similarity.jaccardPairs(docs, dfCap = 100000, minJaccard = 0.1)
+    assert(uncapped.count() >= pairs.length)
+  }
+
+  test("ANN multi-probe recall@5 vs brute force >= 0.6") {
+    val brute = Similarity.d05.run(spark, sfDir).select("qid", "cid")
+    val ann = Similarity.d06.run(spark, sfDir).select("qid", "cid")
+    val total = brute.count()
+    val hits = brute.intersect(ann).count()
+    assert(total > 0)
+    val recall = hits.toDouble / total
+    assert(recall >= 0.6, s"recall@5 = $recall below 0.6 ($hits/$total)")
+  }
+
   test("ANN buckets agree with brute force on shared candidates") {
     val ann = Similarity.d06.run(spark, sfDir)
       .select(col("qid"), col("cid"), col("sim6"))
