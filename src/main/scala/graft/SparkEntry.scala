@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.Analytics.all ++
       operators.EventTime.all ++ operators.SkewTools.all ++
       operators.TextOps.all ++ operators.Similarity.all ++
+      operators.Clusters.all ++
       operators.Multimodal.all ++ operators.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

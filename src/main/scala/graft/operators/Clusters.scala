@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Duplicate-cluster resolution: candidate pairs → canonical keep/drop
+  * sets — the last step of the dedup pipeline (d02/d03/d04 emit pairs;
+  * a training-data pipeline needs one survivor per duplicate cluster).
+  *
+  * Re-expresses the reference's connected components
+  * (graphx/src/main/scala/org/apache/spark/graphx/lib/
+  * ConnectedComponents.scala:1, Graph.scala:505) as iterative min-label
+  * propagation over plain DataFrames: no GraphX dependency, every step
+  * a shuffle-on-key join/agg that AQE can re-plan.
+  */
+object Clusters {
+
+  /** Connected components by min-label propagation to fixpoint.
+    *
+    * @param vertices single-column DataFrame `id`
+    * @param edges    two-column DataFrame `src`,`dst` (undirected; both
+    *                 orientations are generated internally)
+    * @return (id, label) where label = min id of the component
+    *
+    * Each iteration: every vertex takes the min of its own label and its
+    * neighbors' labels (one shuffle join + one shuffle agg), then the
+    * lineage is cut with localCheckpoint so iteration N's plan stays
+    * O(1) instead of O(N). Iteration count = graph diameter — tiny for
+    * dup clusters (chains of near-identical docs). The fixpoint test is
+    * one count() per iteration: driver-coordinated loops are how
+    * iterative graph algorithms run on Spark (GraphX Pregel does the
+    * same); the data itself never leaves the executors. At cluster
+    * scale, swap localCheckpoint for reliable checkpointing and — for
+    * adversarially deep graphs — the large-star/small-star contraction
+    * of Kiveris et al. (MR connected components in O(log² n) rounds).
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val msgs = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val updated = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dup-cluster resolution over the exact near-dup pair graph (d02's
+    * df-capped trigram Jaccard >= 0.5, which subsumes exact duplicates at
+    * jaccard 1.0): every document gets its component's min doc_id as
+    * cluster_id; `keep` marks the canonical survivor. Singleton docs keep
+    * themselves. The oracle recomputes the same graph and closes it with
+    * a recursive CTE. */
+  val d07 = Q.sql(
+    "d07_dup_clusters",
+    s"""WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      |grams0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |          FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)),
+      |grams AS (SELECT doc_id, g FROM grams0
+      |          QUALIFY count(*) OVER (PARTITION BY g) <= ${Similarity.d02DfCap}),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+      |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |          GROUP BY d1, d2),
+      |pairs AS (SELECT d1, d2 FROM inter
+      |          JOIN sizes s1 ON s1.doc_id = d1
+      |          JOIN sizes s2 ON s2.doc_id = d2
+      |          WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |reach AS (SELECT doc_id, doc_id AS label FROM documents
+      |          UNION
+      |          SELECT e.b, r.label FROM reach r JOIN edges e ON r.doc_id = e.a
+      |          WHERE r.label < e.b)
+      |SELECT doc_id, min(label) AS cluster_id,
+      |  CAST(min(label) = doc_id AS BIGINT) AS keep
+      |FROM reach GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Similarity.jaccardPairs(docs, dfCap = Similarity.d02DfCap, minJaccard = 0.5)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    labels.select(
+        col("id").as("doc_id"),
+        col("label").as("cluster_id"),
+        (col("label") === col("id")).cast("long").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d07)
+}
