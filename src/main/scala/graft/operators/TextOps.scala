@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
@@ -76,36 +77,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Self-trained unigram language ID: per-(lang, word) Laplace-smoothed
-    * log-probabilities fitted from the corpus (one shuffle over exploded
-    * words), broadcast back, scored per document, argmax. Rows-only —
-    * accuracy against the `lang` ground truth is asserted in TextSpec. */
+  /** Self-trained unigram language ID. Rows-only — accuracy against the
+    * `lang` ground truth is asserted in TextSpec. */
   val t03 = Q.rowsOnly("t03_lang_id") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val langs = Seq("de", "en", "es", "fr", "zh")
+    langIdPredictions(Tables.documents(s, dir), topNVocab = 20000).orderBy("doc_id")
+  }
+
+  val langIdLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Per-(lang, word) Laplace-smoothed log-probabilities fitted from the
+    * corpus, scored per document, argmax.
+    *
+    * One fully distributed pass — no driver-side actions anywhere:
+    * corpus totals and vocabulary size are a 1-row aggregate cross-joined
+    * back (broadcast of one row), and the model is capped to the
+    * `topNVocab` highest-total-count words via a distributed
+    * TakeOrdered, so the scoring join broadcasts a bounded model no
+    * matter how large the corpus vocabulary grows (an unbounded-vocab
+    * broadcast dies at 100 TB). Out-of-model words simply don't vote;
+    * docs with no in-model words predict "unk". */
+  def langIdPredictions(docs: DataFrame, topNVocab: Int): DataFrame = {
+    val langs = langIdLangs
     val words = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
 
     val counts = words.groupBy("word").pivot("lang", langs).count().na.fill(0L)
-    val totals = words.groupBy("lang").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vocab = counts.count()
-
-    val logp = counts.select(
+    // Laplace denominators over the FULL vocab (cap changes the model,
+    // not the smoothing), as one broadcastable row
+    val stats = counts.agg(
+      count(lit(1)).as("_vocab"),
+      langs.map(lg => sum(col(lg)).as(s"_tot_$lg")): _*)
+    val model = counts
+      .withColumn("_tot", langs.map(col).reduce(_ + _))
+      .orderBy(col("_tot").desc, col("word")) // deterministic tiebreak
+      .limit(topNVocab)
+    val logp = model.crossJoin(broadcast(stats)).select(
       col("word") +: langs.map(lg =>
-        log((col(lg) + 1.0) / (totals.getOrElse(lg, 0L) + vocab.toDouble)).as(s"lp_$lg")): _*)
+        log((col(lg) + 1.0) / (col(s"_tot_$lg") + col("_vocab").cast("double")))
+          .as(s"lp_$lg")): _*)
 
-    val scored = docs
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+    val scored = words
       .join(broadcast(logp), "word")
-      .groupBy("doc_id", "lang")
+      .groupBy("doc_id")
       .agg(langs.map(lg => sum(s"lp_$lg").as(s"s_$lg")).head,
         langs.map(lg => sum(s"lp_$lg").as(s"s_$lg")).tail: _*)
 
     val best = langs.map(lg => struct(col(s"s_$lg").as("score"), lit(lg).as("lang")))
-    scored
-      .select(col("doc_id"), col("lang").as("actual"),
-        greatest(best: _*).getField("lang").as("pred"))
-      .orderBy("doc_id")
+    docs.select(col("doc_id"), col("lang").as("actual"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("actual"),
+        coalesce(greatest(best: _*).getField("lang"), lit("unk")).as("pred"))
   }
 
   /** Order-sensitive rolling fingerprint + 63-bit SimHash per document.

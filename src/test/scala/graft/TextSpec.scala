@@ -19,6 +19,26 @@ class TextSpec extends SparkTestBase {
     assert(acc >= 0.30, s"lang-id accuracy $acc vs 0.2 chance / ~0.34 ideal")
   }
 
+  test("t03 builds its whole plan with zero driver-side jobs") {
+    val sc = spark.sparkContext
+    // table read happens outside the group: parquet footer/schema
+    // inference may run a scan-layer job, which is not operator logic
+    val docs = Tables.documents(spark, sfDir)
+    sc.setJobGroup("t03-build", "t03 plan construction must be lazy")
+    val df = TextOps.langIdPredictions(docs, topNVocab = 20000)
+    sc.clearJobGroup()
+    Thread.sleep(500) // let the listener bus drain any (unexpected) job events
+    assert(sc.statusTracker.getJobIdsForGroup("t03-build").isEmpty,
+      "constructing t03 must not run collect()/count() driver actions")
+    assert(df.count() > 0)
+  }
+
+  test("t03 vocab cap keeps one row per doc even when most words fall out of the model") {
+    val docs = Tables.documents(spark, sfDir)
+    val capped = TextOps.langIdPredictions(docs, topNVocab = 50)
+    assert(capped.count() == docs.count(), "left join + unk fallback must keep coverage")
+  }
+
   test("rolling fingerprint is order-sensitive; simhash is order-invariant") {
     import java.util.Collections
     val df = spark.createDataFrame(
