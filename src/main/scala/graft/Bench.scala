@@ -10,11 +10,18 @@ import org.apache.spark.sql.SparkSession
   * columns and undercount the work). A warmup query first absorbs JVM /
   * codegen / parquet-footer startup cost so per-query numbers reflect
   * steady-state throughput.
+  *
+  * De-noising: every query runs once per round for `rounds` (default 3)
+  * full interleaved passes, and the reported number is the per-query
+  * MEDIAN. Interleaving (round-robin, not back-to-back repeats) means a
+  * transient contention spike on a shared machine hits at most one of a
+  * query's samples, so the median survives a contended sandbox.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,12 +44,28 @@ object Bench {
     // warmup: one scan-agg absorbs session/codegen/scan setup cost
     exec("q01_agg")
 
+    // time budget: always complete round 1 (full coverage); later rounds
+    // only start while under budget, so a heavily contended machine gets
+    // a complete single-pass result instead of a timeout
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
+    val start = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - start) / 1e9
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> exec(n))
+    val samples = (1 to rounds).flatMap { r =>
+      if (r == 1 || elapsed < budgetSec) names.map(n => n -> exec(n)) else Nil
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+    val results = names.map(n => n -> median(samples(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // one parse-friendly JSON line, flushed straight to stdout (the
+    // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Console.flush()
     spark.stop()
   }
 }

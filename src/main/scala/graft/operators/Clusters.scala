@@ -53,6 +53,12 @@ object Clusters {
       labels = updated
       iter += 1
     }
+    if (changed > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — results are NOT a fixpoint; " +
+          "for adversarially deep graphs use large-star/small-star contraction")
+    }
     labels
   }
 

@@ -153,5 +153,21 @@ object EventTime {
       .orderBy("event_type", "ws")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** Incremental sliding window (reduceByKeyAndWindow-with-inverse parity):
+    * same result as s02, but raw rows are aggregated once into slide-slice
+    * partials and windows combine partials — the Expand runs over the
+    * slice table, not the corpus. Oracle = s02's. */
+  val s09 = Q.sql(
+    "s09_sliding_incremental",
+    """SELECT CAST(epoch_us(time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes') AS BIGINT) AS ws,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) g
+      |GROUP BY ws, event_type
+      |ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+    EventTimeOps.slidingAggIncremental(
+        Tables.events(s, dir), "ts", "1 hour", "30 minutes", "event_type")
+      .orderBy("ws", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

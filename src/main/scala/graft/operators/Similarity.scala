@@ -61,14 +61,15 @@ object Similarity {
     val grams0 = docs
       .select(col("doc_id"),
         explode(call_function("hashed_word_grams", col("text"), lit(3))).as("g"))
-    // hot grams are few by definition: partial-agg the df counts (map-side
-    // combine collapses each gram to one row per partition) and remove
-    // them with a broadcast anti-join — no full sort of the gram table,
-    // unlike a count() window
+    // partial-agg the df counts (map-side combine collapses each gram to
+    // one row per partition) and remove hot grams with a left_anti join.
+    // No broadcast hint: the hot-gram set scales as totalGrams/dfCap, so
+    // at corpus scale it can exceed broadcast limits — let AQE pick
+    // broadcast when the set is actually small
     val hot = grams0.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select("g")
-    val grams = grams0.join(broadcast(hot), Seq("g"), "left_anti")
+    val grams = grams0.join(hot, Seq("g"), "left_anti")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = grams.as("a")
     val b = grams.as("b")

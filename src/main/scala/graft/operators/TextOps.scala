@@ -122,10 +122,14 @@ object TextOps {
         langs.map(lg => sum(s"lp_$lg").as(s"s_$lg")).tail: _*)
 
     val best = langs.map(lg => struct(col(s"s_$lg").as("score"), lit(lg).as("lang")))
+    // greatest() over structs with a null score field falls through to the
+    // lang field and never returns null, so out-of-model/empty docs must be
+    // guarded explicitly (all s_* are null together: one check suffices)
     docs.select(col("doc_id"), col("lang").as("actual"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("actual"),
-        coalesce(greatest(best: _*).getField("lang"), lit("unk")).as("pred"))
+        when(col(s"s_${langs.head}").isNull, lit("unk"))
+          .otherwise(greatest(best: _*).getField("lang")).as("pred"))
   }
 
   /** Order-sensitive rolling fingerprint + 63-bit SimHash per document.

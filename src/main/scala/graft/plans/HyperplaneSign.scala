@@ -39,8 +39,11 @@ case class HyperplaneSign(child: Expression, planes: IndexedSeq[Double], nPlanes
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  private val dim = planes.length / nPlanes
-  private val flat: Array[Double] = planes.toArray
+  // lazy: evaluated only from compute(), after checkInputDataTypes has
+  // rejected nPlanes < 1 — eager division would throw a raw
+  // ArithmeticException at construction for hyperplane_sign(..., 0)
+  private lazy val dim = planes.length / nPlanes
+  private lazy val flat: Array[Double] = planes.toArray
 
   def compute(vec: ArrayData): Long = {
     val n = math.min(dim, vec.numElements())

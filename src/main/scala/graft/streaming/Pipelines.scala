@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 /** Live Structured Streaming pipelines — the Spark-4 re-expression of the
@@ -82,6 +82,107 @@ object Pipelines {
         |p_ts >= c_ts AND
         |p_ts <= c_ts + interval 10 minutes""".stripMargin))
   }
+
+  final case class TypedEvent(event_type: String, ts: java.sql.Timestamp, value: Double)
+  final case class SliceWindowState(slices: Map[Long, (Long, Double)])
+  final case class WindowEmit(event_type: String, ws: Long, n: Long, total_value: Double)
+
+  /** Live incremental sliding window — reduceByKeyAndWindow WITH inverse
+    * reduce (reference streaming/dstream/PairDStreamFunctions.scala:290),
+    * re-expressed as flatMapGroupsWithState over slide-slice partials:
+    * each raw event folds ONCE into its (key, slice) partial; every
+    * update emits the sliding windows covering the touched slices by
+    * combining the duration/slide slice partials they span. Adding
+    * partials (the "panes" formulation) keeps the one-touch-per-row
+    * property of inverse reduce without the float drift of literally
+    * subtracting expired slices from a running aggregate. State is
+    * bounded: slices older than `retainSlices` behind the newest seen
+    * slice are dropped (the DStream rememberDuration analog).
+    */
+  def incrementalSlidingAgg(
+      events: Dataset[TypedEvent], durUs: Long, slideUs: Long,
+      retainSlices: Int = 1000): Dataset[WindowEmit] = {
+    require(durUs % slideUs == 0, "duration must be a multiple of slide")
+    val k = (durUs / slideUs).toInt
+    implicit val stateEnc = Encoders.product[SliceWindowState]
+    implicit val outEnc = Encoders.product[WindowEmit]
+    implicit val keyEnc = Encoders.STRING
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[TypedEvent], state: GroupState[SliceWindowState]) =>
+          val slices = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+          state.getOption.foreach(s => slices ++= s.slices)
+          val touched = scala.collection.mutable.Set.empty[Long]
+          batch.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val slice = Math.floorDiv(us, slideUs) * slideUs
+            val (n, tot) = slices.getOrElse(slice, (0L, 0.0))
+            slices(slice) = (n + 1, tot + e.value)
+            touched += slice
+          }
+          if (slices.nonEmpty) {
+            val horizon = slices.keys.max - retainSlices.toLong * slideUs
+            slices.filterInPlace((s, _) => s >= horizon)
+          }
+          state.update(SliceWindowState(slices.toMap))
+          touched.toSeq
+            .flatMap(s => (0 until k).map(i => s - i.toLong * slideUs))
+            .distinct.sorted.iterator
+            .map { ws =>
+              var n = 0L
+              var tot = 0.0
+              var i = 0
+              while (i < k) {
+                slices.get(ws + i.toLong * slideUs).foreach { case (pn, pt) => n += pn; tot += pt }
+                i += 1
+              }
+              WindowEmit(key, ws, n, tot)
+            }
+      }
+  }
+
+  /** The Lever closed loop — measurement driving placement (reference
+    * JobMonitor.scala:345-390: batch stats arrive, a strategy sizes the
+    * next batch's per-node share, data is re-placed before processing).
+    * Here each micro-batch reads the CURRENT capacity estimates (by
+    * default [[Capacity.CapacityMonitor]]'s live task-metric rates),
+    * sizes per-node shares with Assignment.proportional, and applies
+    * weightedRepartition so node i's partition receives work ∝ its
+    * measured capacity — then hands the re-placed batch to `handle`.
+    * The transform is semantically invisible: rows are only moved, so
+    * results equal the unbalanced run.
+    */
+  def startCapacityBalanced(
+      df: DataFrame, name: String,
+      capacities: () => Map[String, Double],
+      uniformCol: String)(
+      handle: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val caps = capacities()
+        val balanced =
+          if (caps.size < 2) batch.toDF()
+          else {
+            val nodes = caps.keys.toSeq.sorted
+            // shares out of 1000 work units -> repartition weights
+            val shares = Capacity.Assignment.proportional(caps, 1000L)
+            graft.operators.SkewTools.weightedRepartition(
+              batch.toDF(), uniformCol, nodes.map(n => math.max(1L, shares(n)).toDouble))
+          }
+        handle(balanced, id)
+      }
+      .start()
+
+  /** [[startCapacityBalanced]] wired to a live monitor. */
+  def startCapacityBalanced(
+      df: DataFrame, name: String,
+      monitor: Capacity.CapacityMonitor,
+      uniformCol: String,
+      handle: (DataFrame, Long) => Unit): StreamingQuery =
+    startCapacityBalanced(df, name, () => monitor.capacities, uniformCol)(handle)
 
   /** foreachBatch escape hatch: arbitrary batch-DataFrame logic per
     * micro-batch (multi-sink writes, upserts) with the batch id for

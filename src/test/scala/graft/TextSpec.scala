@@ -39,6 +39,25 @@ class TextSpec extends SparkTestBase {
     assert(capped.count() == docs.count(), "left join + unk fallback must keep coverage")
   }
 
+  test("t03 predicts 'unk' for empty and fully out-of-model docs") {
+    val base = Tables.documents(spark, sfDir).limit(20)
+    val planted = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(9000001L, "", "en"),
+        org.apache.spark.sql.Row(9000002L, "zzqx9 vvkk7 qqpp3", "fr")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType))))
+    val docs = base.select("doc_id", "text", "lang").unionByName(planted)
+    // cap the vocab so the planted nonsense words cannot enter the model
+    val preds = TextOps.langIdPredictions(docs, topNVocab = 30)
+      .filter(col("doc_id") >= 9000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds(9000001L) == "unk", "empty doc must predict unk, not a struct-ordering artifact")
+    assert(preds(9000002L) == "unk", "out-of-model doc must predict unk")
+  }
+
   test("rolling fingerprint is order-sensitive; simhash is order-invariant") {
     import java.util.Collections
     val df = spark.createDataFrame(
