@@ -148,6 +148,69 @@ class StreamingSpec extends SparkTestBase {
     assert(sunk.select("event_id").distinct().count() == ev.count(), "no duplicates")
   }
 
+  test("s09 incremental sliding agg equals the per-row sliding agg and expands slices, not rows") {
+    val ev = Tables.events(spark, sfDir)
+    val inc = EventTimeOps.slidingAggIncremental(ev, "ts", "1 hour", "30 minutes", "event_type")
+    val direct = EventTimeOps.slidingAgg(ev, "ts", "1 hour", "30 minutes", "event_type")
+    val gotRows = inc.orderBy("ws", "event_type").collect().toSeq
+    val wantRows = direct.orderBy("ws", "event_type").collect().toSeq
+    assert(gotRows == wantRows, "incremental sliding window must be result-identical")
+
+    // one-touch-per-row: the per-row plan duplicates every RAW row into
+    // its windows via Expand (window-with-slide codegen); the incremental
+    // plan has NO Expand at all — raw rows aggregate into tumbling slice
+    // partials first, and only the tiny slice table is duplicated (the
+    // explode shows up as Generate, sitting above a HashAggregate)
+    val incPlan = inc.queryExecution.executedPlan.toString
+    assert(!incPlan.contains("Expand"),
+      "incremental plan must not expand raw rows")
+    val gen = incPlan.indexOf("Generate")
+    assert(gen >= 0, "incremental plan duplicates slices via explode/Generate")
+    val genBelow = incPlan.substring(gen)
+    val aggIdx = genBelow.indexOf("HashAggregate")
+    val scanIdx = genBelow.indexOf("Scan")
+    assert(aggIdx >= 0 && scanIdx > aggIdx,
+      "raw rows must aggregate into slice partials BELOW the slice-duplication")
+    val dirPlan = direct.queryExecution.executedPlan.toString
+    assert(dirPlan.contains("Expand"),
+      "sanity: the naive sliding plan expands raw rows directly")
+  }
+
+  test("incremental sliding window over a live stream equals batch recompute") {
+    val src = Files.createTempDirectory("graft-incslide-src").toString
+    val batchEvents = Tables.events(spark, sfDir).cache()
+
+    val typed = Pipelines.eventStream(spark, src, eventsSchema)
+      .select(col("event_type"), col("ts"), col("value"))
+      .as[Pipelines.TypedEvent](org.apache.spark.sql.Encoders.product[Pipelines.TypedEvent])
+    // retention disabled: the test feeds the full 5-month corpus twice,
+    // so no slice may expire between the two passes
+    val out = Pipelines.incrementalSlidingAgg(typed, 3600000000L, 1800000000L,
+      retainSlices = Int.MaxValue)
+    val q = Pipelines.startToMemory(out.toDF(), "inc_slide_test", "update")
+
+    batchEvents.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    batchEvents.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    // window counts only grow, so the final emission per (key, ws) is the
+    // one with max n
+    val got = spark.table("inc_slide_test")
+      .groupBy("event_type", "ws")
+      .agg(max(struct(col("n"), col("total_value"))).as("m"))
+      .select(col("event_type"), col("ws"), col("m.n").as("n"),
+        round(col("m.total_value"), 2).as("total_value"))
+    val want = EventTimeOps.slidingAgg(batchEvents, "ts", "1 hour", "30 minutes", "event_type")
+    assert(got.count() == want.count(), "same set of non-empty windows")
+    val joined = got.join(want, Seq("event_type", "ws", "n"), "inner")
+    assert(joined.count() == want.count(), "per-window counts must match batch")
+    val drift = joined.filter(
+      abs(got("total_value") - want("total_value")) > 1e-6)
+    assert(drift.count() == 0, "per-window totals must match batch within fp tolerance")
+  }
+
   test("session windows via shared EventTimeOps match gaps-and-islands ground truth") {
     val ev = Tables.events(spark, sfDir)
     val sessions = EventTimeOps.sessionAgg(ev, "ts", "1 hour", "user_id")
