@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.Analytics.all ++
       operators.EventTime.all ++ operators.SkewTools.all ++
       operators.TextOps.all ++ operators.Similarity.all ++
-      operators.Clusters.all ++
+      operators.Clusters.all ++ operators.Bucketed.all ++
+      operators.Embeddings.all ++
       operators.Multimodal.all ++ operators.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -42,4 +42,16 @@ object Sources {
       .sortBy(sortCols.head, sortCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** [[writeBucketed]] with an explicit external location, so callers can
+    * lay out bucketed data outside the session warehouse (e.g. a scratch
+    * dir shared by repeated runs). */
+  def writeBucketedAt(df: DataFrame, table: String, path: String, buckets: Int,
+                      bucketCol: String, sortCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
 }

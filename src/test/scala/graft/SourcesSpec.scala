@@ -51,4 +51,30 @@ class SourcesSpec extends SparkTestBase {
         s"bucketed join still shuffles:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("q40 bucketed orders⋈lineitem: zero exchange on the join key, equal to unbucketed") {
+    import graft.operators.Bucketed
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (oTbl, lTbl) = Bucketed.bucketedOrdersLineitem(spark, sfDir)
+      val joined = spark.table(oTbl)
+        .join(spark.table(lTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total_price"))
+      val got = joined.orderBy("o_orderpriority").collect().toSeq
+      // AQE finalizes only after executing this same QueryExecution
+      val p = joined.queryExecution.executedPlan.toString
+      val smj = p.indexOf("SortMergeJoin")
+      assert(smj >= 0, s"expected sort-merge join on the bucketed key:\n$p")
+      assert(!p.substring(smj).contains("Exchange"),
+        s"bucketed o⋈l join must read co-partitioned buckets, not shuffle:\n$p")
+      val want = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total_price"))
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(got == want, "bucketing must be semantically invisible")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
