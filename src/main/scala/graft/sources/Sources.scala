@@ -54,4 +54,72 @@ object Sources {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+
+  // ---- JDBC (reference: sql/core/src/main/scala/org/apache/spark/sql/
+  // jdbc/JDBCRelation.scala:1, JDBCRDD.scala) ----
+
+  /** Whole-table JDBC read (one partition — for dims and lookups). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           driver: Option[String] = None): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    driver.fold(r)(d => r.option("driver", d)).load()
+  }
+
+  /** Range-partitioned JDBC read: `numPartitions` concurrent connections
+    * each scan a stride of `partitionCol` — the only JDBC shape that
+    * scales past one executor (JDBCRelation.columnPartition semantics).
+    * Bounds are caller-supplied: letting the engine min/max the table
+    * first would be an extra full scan on a 100 TB-fed warehouse. */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionCol: String, lower: Long, upper: Long,
+                      numPartitions: Int, driver: Option[String] = None): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lower)
+      .option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+    driver.fold(r)(d => r.option("driver", d)).load()
+  }
+
+  /** JDBC sink. `batchsize` bounds per-round-trip row count; writes run
+    * from executors in parallel, one connection per partition. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite", batchSize: Int = 1000,
+                driver: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode(mode)
+    driver.fold(w)(d => w.option("driver", d)).save()
+  }
+
+  // ---- streaming file sources (reference: streaming/src/main/scala/org/
+  // apache/spark/streaming/StreamingContext.scala:280 socketTextStream,
+  // :396 textFileStream) ----
+
+  /** Micro-batch text-file stream: one `value` column per line — the
+    * textFileStream analog (socket receivers have no exactly-once story;
+    * file listing does, which is why Structured Streaming's file source
+    * replaced them). */
+  def textStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path)
+
+  /** Micro-batch csv stream with explicit schema (streaming sources
+    * cannot infer one). */
+  def csvStream(spark: SparkSession, path: String, schema: StructType,
+                header: Boolean = false, delimiter: String = ","): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** Micro-batch json stream with explicit schema. */
+  def jsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(path)
 }

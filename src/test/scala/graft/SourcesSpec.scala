@@ -52,6 +52,61 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("jdbc sink + partitioned source round-trip through an embedded database") {
+    val dbDir = Files.createTempDirectory("graft-derby").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val driver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    Sources.writeJdbc(orders, url, "orders_jdbc", driver = driver)
+
+    val back = Sources.jdbc(spark, url, "orders_jdbc", driver)
+    assert(back.count() == orders.count())
+    assert(back.agg(sum("o_totalprice")).head.getDouble(0) ==
+      orders.agg(sum("o_totalprice")).head.getDouble(0))
+
+    // range-partitioned read: 4 concurrent stride scans over o_orderkey
+    val bounds = orders.agg(min("o_orderkey"), max("o_orderkey")).head
+    val part = Sources.jdbcPartitioned(spark, url, "orders_jdbc",
+      "o_orderkey", bounds.getLong(0), bounds.getLong(1) + 1, 4, driver)
+    assert(part.rdd.getNumPartitions == 4, "partitioned read must fan out")
+    assert(part.count() == orders.count(), "stride predicates must not drop or duplicate rows")
+  }
+
+  test("csv stream through the shared window transform equals batch") {
+    val dir = Files.createTempDirectory("graft-csvstream").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value").cache()
+    val stream = Sources.csvStream(spark, dir, ev.schema)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory")
+      .queryName("csv_stream_test").outputMode("complete").start()
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").csv(dir)
+    q.processAllAvailable()
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").csv(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("csv_stream_test").orderBy("event_type").collect().toSeq
+    val want = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().toSeq
+    assert(got == want)
+  }
+
+  test("text stream delivers every line exactly once") {
+    val dir = Files.createTempDirectory("graft-textstream").toString
+    val docs = Tables.documents(spark, sfDir).select("text").cache()
+    val q = Sources.textStream(spark, dir)
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("text_stream_test")
+      .outputMode("complete").start()
+    docs.write.mode("append").text(dir)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("text_stream_test").head.getLong(0) >= docs.count(),
+      "every document line must arrive (multi-line docs may add rows)")
+  }
+
   test("q40 bucketed orders⋈lineitem: zero exchange on the join key, equal to unbucketed") {
     import graft.operators.Bucketed
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
