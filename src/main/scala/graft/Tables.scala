@@ -28,7 +28,10 @@ object Tables {
     * long via the legacy conf; convert to microsecond TimestampType with
     * floor division — the same truncation DuckDB applies reading nanos. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // set-if-unset: repeated conf mutation invalidates cached session
+    // state on every call
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

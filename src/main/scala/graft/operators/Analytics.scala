@@ -255,6 +255,21 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Approximate percentiles — the scale path of q25: exact `percentile`
+    * buffers every group value (fine for bounded groups, unbounded memory
+    * on a 100 TB fact table); approx_percentile keeps a fixed-size
+    * sketch per group regardless of row count. Rows-only (sketch results
+    * are engine-specific); AnalyticsSpec bounds the error against the
+    * exact q25 values. */
+  val q41 = Q.rowsOnly("q41_approx_percentiles") { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("median_price"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Array explode (UNNEST) + re-aggregation: per-vector mean over the
     * 64 embedding elements, fully distributed (no collect). */
   val q26 = Q.sql(
@@ -353,5 +368,5 @@ object Analytics {
   }
 
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    q23, q24, q25, q26, q27, q28, q29, q30)
+    q23, q24, q25, q26, q27, q28, q29, q30, q41)
 }

@@ -125,10 +125,16 @@ object Similarity {
   }
 
   /** SimHash near-dup pairs: 63-bit fingerprints, candidates via matching
-    * 16-bit bands, kept when hamming distance <= 6. Rows-only. */
+    * 16-bit bands, kept when hamming distance <= 6. Rows-only.
+    *
+    * Fingerprinting is the native scalar [[graft.plans.SimHash63]]
+    * (bit-identical to the explode+vote aggregate it replaced, but
+    * map-only — no shuffle to build fingerprints). */
   val d04 = Q.rowsOnly("d04_simhash") { (s, dir) =>
-    val hashed = simhash63Agg(Tables.documents(s, dir), "doc_id", tokens(col("text")))
-      .withColumnRenamed("simhash", "sh")
+    graft.plans.GraftFunctions.register(s)
+    val hashed = Tables.documents(s, dir).select(
+      col("doc_id"),
+      call_function("simhash63", tokens(col("text"))).as("sh"))
     // unlike minhash (32-long signature), the simhash fingerprint is a
     // single long: carrying it through the band join is cheaper than
     // re-joining, which would recompute the simhash aggregation twice

@@ -134,12 +134,16 @@ object TextOps {
 
   /** Order-sensitive rolling fingerprint + 63-bit SimHash per document.
     * Rows-only (the hash family is engine-local); determinism and
-    * sensitivity are asserted in TextSpec. */
+    * sensitivity are asserted in TextSpec. Both fingerprints are scalar
+    * per-row expressions (SimHash via the native graft.plans.SimHash63),
+    * so the whole operator is one map-only projection — no join, no
+    * shuffle. */
   val t04 = Q.rowsOnly("t04_fingerprint") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val fp = docs.select(
-      col("doc_id"), rollingFingerprint(tokens(col("text"))).as("fingerprint"))
-    fp.join(simhash63Agg(docs, "doc_id", tokens(col("text"))), "doc_id")
+    graft.plans.GraftFunctions.register(s)
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        rollingFingerprint(tokens(col("text"))).as("fingerprint"),
+        call_function("simhash63", tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signature"), MinhashSignature.info, MinhashSignature.builder))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sign"), HyperplaneSign.info, HyperplaneSign.builder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash63"), SimHash63.info, SimHash63.builder))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }
@@ -35,5 +37,7 @@ object GraftFunctions {
       FunctionIdentifier("minhash_signature"), MinhashSignature.info, MinhashSignature.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("hyperplane_sign"), HyperplaneSign.info, HyperplaneSign.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash63"), SimHash63.info, SimHash63.builder)
   }
 }

@@ -34,21 +34,38 @@ object Pipelines {
     EventTimeOps.tumblingAgg(events, "ts", "1 hour", "event_type")
 
   /** Custom keyed state (updateStateByKey shape): per-user running count +
-    * total maintained across micro-batches via mapGroupsWithState. */
-  def runningUserAgg(events: Dataset[UserEvent]): Dataset[UserSnapshot] = {
+    * total maintained across micro-batches via mapGroupsWithState.
+    *
+    * `idleTimeout` bounds state on a real stream: a user silent for that
+    * long gets a final snapshot and their state removed (per-key state is
+    * otherwise immortal, which on an unbounded key space means unbounded
+    * state). None keeps the unbounded behavior for bounded key spaces. */
+  def runningUserAgg(
+      events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserSnapshot] = {
     implicit val stateEnc = Encoders.product[UserRunning]
     implicit val outEnc = Encoders.product[UserSnapshot]
     implicit val keyEnc = Encoders.scalaLong
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState(timeoutConf) {
         (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(0L, 0.0))
-          var n = prev.n
-          var total = prev.total
-          batch.foreach { e => n += 1; total += e.value }
-          state.update(UserRunning(n, total))
-          UserSnapshot(uid, n, total)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            UserSnapshot(uid, last.n, last.total)
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            batch.foreach { e => n += 1; total += e.value }
+            state.update(UserRunning(n, total))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            UserSnapshot(uid, n, total)
+          }
       }
   }
 

@@ -43,6 +43,22 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q41 approx percentiles track exact q25 within 3%") {
+    // approx_percentile returns an actual element; exact `percentile`
+    // interpolates between elements — at sf0.001 group sizes (~300 rows)
+    // adjacent elements near the median already differ by ~1%, so the
+    // bound covers discretization, not just sketch error
+    val exact = Analytics.q25.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Analytics.q41.run(spark, sfDir).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (m, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - m) / m < 0.03, s"median off: ${r.getDouble(1)} vs $m")
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.03, s"p90 off: ${r.getDouble(2)} vs $p90")
+    }
+  }
+
   test("q29 pivot cell sums equal order count") {
     val got = Analytics.q29.run(spark, sfDir)
     val total = got.agg(sum(col("F") + col("O") + col("P"))).head.getLong(0)

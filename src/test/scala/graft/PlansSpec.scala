@@ -132,6 +132,28 @@ class PlansSpec extends SparkTestBase {
     assert(diff.count() == 0, "native sign bits must match the interpreted dots")
   }
 
+  test("native simhash63 is bit-identical to the explode+vote aggregate") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val scalar = docs.select(col("doc_id"),
+      call_function("simhash63", TextFunctions.tokens(col("text"))).as("sc"))
+    val agg = TextFunctions.simhash63Agg(docs, "doc_id", TextFunctions.tokens(col("text")))
+    val joined = scalar.join(agg, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(col("sc") =!= col("simhash")).count() == 0,
+      "scalar fingerprint must reproduce the aggregate bit-for-bit")
+  }
+
+  test("simhash63 stays map-only and inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = Tables.documents(spark, sfDir).select(
+      call_function("simhash63", TextFunctions.tokens(col("text"))).as("sh"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"a per-row fingerprint must not shuffle:\n$p")
+    assert(p.contains("*("), s"simhash63 fell out of codegen:\n$p")
+  }
+
   test("registered function resolves from SQL text") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)
