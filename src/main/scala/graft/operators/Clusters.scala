@@ -31,9 +31,9 @@ object Clusters {
     * one count() per iteration: driver-coordinated loops are how
     * iterative graph algorithms run on Spark (GraphX Pregel does the
     * same); the data itself never leaves the executors. At cluster
-    * scale, swap localCheckpoint for reliable checkpointing and — for
-    * adversarially deep graphs — the large-star/small-star contraction
-    * of Kiveris et al. (MR connected components in O(log² n) rounds).
+    * scale, swap localCheckpoint for reliable checkpointing; for
+    * adversarially deep graphs use [[connectedComponentsStar]]
+    * (large-star/small-star contraction, O(log² n) rounds).
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
@@ -57,9 +57,66 @@ object Clusters {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge in $maxIter iterations " +
           s"($changed labels still changing) — results are NOT a fixpoint; " +
-          "for adversarially deep graphs use large-star/small-star contraction")
+          "for adversarially deep graphs use connectedComponentsStar")
     }
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the deep-graph path: O(log² n) rounds on ANY
+    * graph, where [[connectedComponents]]' min-label propagation needs
+    * diameter rounds (a 1M-link chain would need 1M iterations there,
+    * ~40 here).
+    *
+    * Each round is two join+agg passes over the canonical edge set
+    * (u > v, distinct, no self-loops), lineage cut per round:
+    *  - large-star: every node connects its LARGER neighbors to
+    *    min(N(u) ∪ u) — long tails fold toward minima;
+    *  - small-star: every node connects its smaller neighbors (and
+    *    itself) to its minimum neighbor — stars flatten.
+    * At fixpoint the edges are exactly {(v, component_min)}.
+    *
+    * The per-round equality check is one anti-join count — at cluster
+    * scale swap for an edge-count + checksum comparison and reliable
+    * checkpointing.
+    *
+    * @return (id, label) with label = component minimum, identical to
+    *         [[connectedComponents]] output on any graph.
+    */
+  def connectedComponentsStar(
+      vertices: DataFrame, edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    var e = canon(edges.select(col("src").as("u"), col("dst").as("v"))).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over both orientations
+      val b = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = b.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = b.join(minsL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val e1 = canon(large).localCheckpoint()
+      // small-star over the canonical (u > v) orientation
+      val minsS = e1.groupBy("u").agg(min("v").as("m"))
+      val small = e1.join(minsS, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+      val e2 = canon(small).localCheckpoint()
+      converged = e2.count() == e.count() && e2.exceptAll(e).isEmpty
+      e = e2
+      round += 1
+    }
+    if (!converged) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponentsStar did not converge in $maxRounds rounds")
+    }
+    vertices.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Dup-cluster resolution over the exact near-dup pair graph (d02's

@@ -31,6 +31,35 @@ class ClustersSpec extends SparkTestBase {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
   }
 
+  test("star contraction clusters a 256-link chain in O(log² n) rounds") {
+    import TestSpark.spark.implicits._
+    // a path graph is the adversarial case for min-label propagation
+    // (needs 256 iterations = the diameter); star contraction must
+    // finish well inside its 40-round cap
+    val n = 256
+    val vertices = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Clusters.connectedComponentsStar(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L), "whole chain must collapse to the minimum id")
+  }
+
+  test("star contraction agrees with min-label propagation on a random graph") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 120
+    val vertices = (0L until n.toLong).toDF("id")
+    val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+    val a = Clusters.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Clusters.connectedComponentsStar(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "both algorithms must produce identical min-id labels")
+  }
+
   test("d07 covers every document once; keep marks exactly the cluster minima") {
     val docs = Tables.documents(spark, sfDir)
     val out = Clusters.d07.run(spark, sfDir).cache()
