@@ -66,5 +66,66 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(mm01)
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, checksum: Long)
+
+  /** STUB: stands in for a pixel resampler — keeps every `factor`-th
+    * byte. Real decode/resample plugs in here unchanged. */
+  def resizeStub(frame: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((frame.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = frame(i * factor); i += 1 }
+    out
+  }
+
+  /** Frame-sampling + resize plumbing (the video path of the multimodal
+    * surface): the payload is treated as a sequence of fixed-size frames;
+    * every `stride`-th frame is sliced out with codegen'd binary
+    * `substring` over a posexploded frame-offset sequence — the row
+    * explosion is all column expressions, so Catalyst sees and optimizes
+    * it — and only the per-frame byte work (the resize stub) runs batched
+    * in mapPartitions. Frames shorter than `frameBytes` (payload tail)
+    * are dropped, as a real fixed-frame decoder would. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, stride: Int,
+                   resizeFactor: Int): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    val nFrames = (col("n_bytes") / frameBytes).cast("int")
+    val sampled = media.toDF()
+      .filter(nFrames > 0)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), nFrames - 1, lit(stride))).as(Seq("_p", "frame_idx")))
+      .select(col("doc_id"), col("frame_idx"))
+    val frames = media.toDF().select(col("doc_id"), col("payload"))
+      .join(sampled, "doc_id")
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)").as("frame"))
+    frames.as[(Long, Int, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, idx, frame) =>
+          val resized = resizeStub(frame, resizeFactor)
+          var ck = 1125899906842597L
+          var i = 0
+          while (i < resized.length) { ck = ck * 31 + (resized(i) & 0xFF); i += 1 }
+          Frame(id, idx, resized.length.toLong, ck)
+        }
+      }
+  }
+
+  /** Frame-sample + resize over the same text-as-bytes payloads: 128-byte
+    * frames, every 2nd frame, resized by 2. Rows-only; MultimodalSpec
+    * pins frame counts, indexes, sizes and checksum determinism. */
+  val mm02 = Q.rowsOnly("mm02_frame_sample") { (s, dir) =>
+    implicit val enc = Encoders.product[MediaRecord]
+    val media = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("video/fake").as("mime"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+    sampleFrames(media, frameBytes = 128, stride = 2, resizeFactor = 2).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(mm01, mm02)
 }

@@ -34,4 +34,36 @@ class MultimodalSpec extends SparkTestBase {
       .as[Multimodal.MediaRecord]
     assert(Multimodal.extractFeatures(media).rdd.getNumPartitions == 7)
   }
+
+  test("mm02 frame sampling cuts the right frames and resize halves the bytes") {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // 1000-byte payload, 128-byte frames -> frames 0..6 (tail dropped),
+    // stride 2 -> sampled frames 0,2,4,6
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, payload, "video/fake", 1000L)),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType),
+        StructField("mime", StringType), StructField("n_bytes", LongType))))
+    implicit val enc = Encoders.product[Multimodal.MediaRecord]
+    val frames = Multimodal.sampleFrames(df.as[Multimodal.MediaRecord],
+        frameBytes = 128, stride = 2, resizeFactor = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6))
+    assert(frames.forall(_.n_bytes == 64), "resize by 2 must halve the 128-byte frame")
+    // deterministic: same payload -> same checksums on a second run
+    val again = Multimodal.sampleFrames(df.as[Multimodal.MediaRecord],
+        frameBytes = 128, stride = 2, resizeFactor = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+    // payload-sensitive: a one-byte change flips at least one checksum
+    val mutated = payload.clone(); mutated(0) = (mutated(0) ^ 0x7F).toByte
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, mutated, "video/fake", 1000L)), df.schema)
+    val other = Multimodal.sampleFrames(df2.as[Multimodal.MediaRecord],
+        frameBytes = 128, stride = 2, resizeFactor = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(other.map(_.checksum).toSeq != frames.map(_.checksum).toSeq)
+  }
 }
