@@ -27,8 +27,12 @@ object Clusters {
     * neighbors' labels (one shuffle join + one shuffle agg), then the
     * lineage is cut with localCheckpoint so iteration N's plan stays
     * O(1) instead of O(N). Iteration count = graph diameter — tiny for
-    * dup clusters (chains of near-identical docs). The fixpoint test is
-    * one count() per iteration: driver-coordinated loops are how
+    * dup clusters (chains of near-identical docs). The fixpoint test
+    * exploits monotonicity: labels only ever DECREASE, so sum(label)
+    * strictly decreases iff any label changed — one 1-row aggregate per
+    * iteration instead of a join+count (sums of long ids stay within
+    * Long well past 10^9 vertices; ANSI mode would throw on overflow
+    * rather than silently wrap). Driver-coordinated loops are how
     * iterative graph algorithms run on Spark (GraphX Pregel does the
     * same); the data itself never leaves the executors. At cluster
     * scale, swap localCheckpoint for reliable checkpointing; for
@@ -40,24 +44,28 @@ object Clusters {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
-    var changed = 1L
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val updated = labels.select(col("id"), col("label")).union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val newSum = labelSum(updated)
+      changed = newSum != prevSum
+      prevSum = newSum
       labels = updated
       iter += 1
     }
-    if (changed > 0) {
+    if (changed) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge in $maxIter iterations " +
-          s"($changed labels still changing) — results are NOT a fixpoint; " +
-          "for adversarially deep graphs use connectedComponentsStar")
+          "— results are NOT a fixpoint; for adversarially deep graphs " +
+          "use connectedComponentsStar")
     }
     labels
   }

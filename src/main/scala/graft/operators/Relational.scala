@@ -257,5 +257,32 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+  /** The `spark.sql` text surface — how the reference's users actually
+    * drive it (Spark 1.3 SQLContext.sql, sql/core/src/main/scala/org/
+    * apache/spark/sql/SQLContext.scala): the TPC-H Q10 shape (returned-
+    * item revenue per customer) submitted as one SQL string over temp
+    * views. The text is engine-portable, so the oracle runs the SAME
+    * query; Catalyst still gets full pushdown/broadcast freedom from the
+    * declarative text. */
+  private val q42Text =
+    """SELECT c_custkey, c_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  val q42 = Q.sql("q42_sql_surface", q42Text) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(q42Text)
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q42)
 }
