@@ -284,5 +284,36 @@ object Relational {
     s.sql(q42Text)
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q42)
+  /** The DataFrameNaFunctions surface (`df.na.drop/fill/replace`,
+    * Spark 1.3 DataFrameNaFunctions.scala parity) — the standard
+    * null-scrubbing pass of a training-data pipeline, exercised in the
+    * documented order drop("all") → fill → replace. Nulls are
+    * synthesized deterministically so the oracle can mirror each step
+    * with CASE/COALESCE; all values pass through untouched (no
+    * arithmetic), keeping the compare bit-exact. */
+  val q43 = Q.sql(
+    "q43_na_clean",
+    """WITH w AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN value < 0.2 THEN NULL ELSE value END AS vn,
+      |    CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS tn
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  coalesce(vn, -1.0) AS vn,
+      |  CASE coalesce(tn, 'unknown') WHEN 'purchase' THEN 'buy'
+      |       ELSE coalesce(tn, 'unknown') END AS tn
+      |FROM w
+      |WHERE vn IS NOT NULL OR tn IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val withNulls = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      when(col("value") < 0.2, lit(null)).otherwise(col("value")).as("vn"),
+      when(col("event_type") === "click", lit(null)).otherwise(col("event_type")).as("tn"))
+    withNulls.na.drop("all", Seq("vn", "tn"))
+      .na.fill(Map("vn" -> -1.0, "tn" -> "unknown"))
+      .na.replace("tn", Map("purchase" -> "buy"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q42, q43)
 }

@@ -211,6 +211,24 @@ class StreamingSpec extends SparkTestBase {
     assert(drift.count() == 0, "per-window totals must match batch within fp tolerance")
   }
 
+  test("unioned streams deliver both sources exactly once (DStream union parity)") {
+    val src1 = Files.createTempDirectory("graft-union-1").toString
+    val src2 = Files.createTempDirectory("graft-union-2").toString
+    val ev = Tables.events(spark, sfDir).cache()
+    val unioned = Pipelines.eventStream(spark, src1, eventsSchema)
+      .unionByName(Pipelines.eventStream(spark, src2, eventsSchema))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = Pipelines.startToMemory(unioned, "union_test", "complete")
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(src1)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(src2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("union_test").orderBy("event_type").collect().toSeq
+    val want = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().toSeq
+    assert(got == want)
+  }
+
   test("session windows via shared EventTimeOps match gaps-and-islands ground truth") {
     val ev = Tables.events(spark, sfDir)
     val sessions = EventTimeOps.sessionAgg(ev, "ts", "1 hour", "user_id")
