@@ -122,4 +122,25 @@ object Sources {
   /** Micro-batch json stream with explicit schema. */
   def jsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).json(path)
+
+  /** Key/value sink shape (the Kafka wire contract: binary key, binary
+    * value): key = the partitioning column's bytes, value = the row as
+    * JSON. Works unchanged against `format("kafka")` when a broker
+    * exists; round-trippable through from_json for tests and file
+    * sinks. Keyed serialization is how a streaming pipeline hands rows
+    * to ANY log-structured transport, so the shape lives here rather
+    * than behind a broker-specific dependency. */
+  def toKeyValue(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = df.columns.map(c => df(c))
+    df.select(
+      df(keyCol).cast("string").cast("binary").as("key"),
+      to_json(struct(payload: _*)).cast("binary").as("value"))
+  }
+
+  /** Inverse of [[toKeyValue]] for a known schema (consumer side). */
+  def fromKeyValue(kv: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    kv.select(from_json(col("value").cast("string"), schema).as("r")).select("r.*")
+  }
 }

@@ -39,16 +39,27 @@ object Pipelines {
     * `idleTimeout` bounds state on a real stream: a user silent for that
     * long gets a final snapshot and their state removed (per-key state is
     * otherwise immortal, which on an unbounded key space means unbounded
-    * state). None keeps the unbounded behavior for bounded key spaces. */
+    * state). None keeps the unbounded behavior for bounded key spaces.
+    *
+    * `eventTimeIdle = true` measures the idle gap on the EVENT-TIME clock
+    * (timer = newest event seen for the key + idleTimeout, fired when the
+    * watermark passes it; the input must carry `withWatermark("ts", …)`).
+    * This is the scale-correct default: expiry is deterministic under
+    * replay and backfill, and the engine only runs batches when data or
+    * the watermark moves. Processing-time expiry (`eventTimeIdle =
+    * false`) keeps wall-clock semantics, at the cost of the engine
+    * re-triggering empty batches purely to poll wall-clock timers. */
   def runningUserAgg(
       events: Dataset[UserEvent],
-      idleTimeout: Option[String] = None): Dataset[UserSnapshot] = {
+      idleTimeout: Option[String] = None,
+      eventTimeIdle: Boolean = false): Dataset[UserSnapshot] = {
     implicit val stateEnc = Encoders.product[UserRunning]
     implicit val outEnc = Encoders.product[UserSnapshot]
     implicit val keyEnc = Encoders.scalaLong
     val timeoutConf =
-      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+      if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout()
+      else if (eventTimeIdle) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.ProcessingTimeTimeout()
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(timeoutConf) {
@@ -61,9 +72,17 @@ object Pipelines {
             val prev = state.getOption.getOrElse(UserRunning(0L, 0.0))
             var n = prev.n
             var total = prev.total
-            batch.foreach { e => n += 1; total += e.value }
+            var maxTsMs = Long.MinValue
+            batch.foreach { e =>
+              n += 1; total += e.value
+              if (e.ts != null) maxTsMs = math.max(maxTsMs, e.ts.getTime)
+            }
             state.update(UserRunning(n, total))
-            idleTimeout.foreach(state.setTimeoutDuration)
+            idleTimeout.foreach { gap =>
+              if (eventTimeIdle) {
+                if (maxTsMs != Long.MinValue) state.setTimeoutTimestamp(maxTsMs, gap)
+              } else state.setTimeoutDuration(gap)
+            }
             UserSnapshot(uid, n, total)
           }
       }

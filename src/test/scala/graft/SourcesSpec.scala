@@ -107,6 +107,19 @@ class SourcesSpec extends SparkTestBase {
       "every document line must arrive (multi-line docs may add rows)")
   }
 
+  test("key/value sink shape round-trips rows through binary key + JSON value") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val kv = Sources.toKeyValue(orders, "o_orderkey")
+    assert(kv.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("key", "binary"), ("value", "binary")), "must match the kafka wire contract")
+    val back = Sources.fromKeyValue(kv, orders.schema)
+    assert(back.count() == orders.count())
+    assert(back.agg(sum("o_totalprice")).head.getDouble(0) ==
+      orders.agg(sum("o_totalprice")).head.getDouble(0))
+    assert(back.except(orders).count() == 0 && orders.except(back).count() == 0)
+  }
+
   test("q40 bucketed orders⋈lineitem: zero exchange on the join key, equal to unbucketed") {
     import graft.operators.Bucketed
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

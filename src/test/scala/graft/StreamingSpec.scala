@@ -211,6 +211,50 @@ class StreamingSpec extends SparkTestBase {
     assert(drift.count() == 0, "per-window totals must match batch within fp tolerance")
   }
 
+  test("idle keyed state expires at the event-time watermark and restarts from zero") {
+    // Deterministic expiry: the idle gap is measured on the EVENT-TIME
+    // clock, so the test drives it entirely with data (a second "clock"
+    // user advances the watermark) — no wall-clock sleeps, no reliance
+    // on the engine's processing-time re-trigger loop.
+    val src = Files.createTempDirectory("graft-evt-timeout").toString
+    val proto = Tables.events(spark, sfDir).limit(8).cache()
+    val uid = 9000001L
+    val clock = 9000002L
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def feed(u: Long, nRows: Int, minuteOffset: Long): Unit =
+      proto.limit(nRows)
+        .withColumn("user_id", lit(u))
+        .withColumn("ts", lit(new java.sql.Timestamp(base + minuteOffset * 60000L)))
+        .write.mode("append").parquet(src)
+
+    val typed = Pipelines.eventStream(spark, src, eventsSchema)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[Pipelines.UserEvent](org.apache.spark.sql.Encoders.product[Pipelines.UserEvent])
+      .withWatermark("ts", "10 seconds")
+    val q = Pipelines.startToMemory(
+      Pipelines.runningUserAgg(typed, idleTimeout = Some("30 minutes"),
+        eventTimeIdle = true).toDF(),
+      "evt_timeout_test", "update")
+
+    feed(uid, 3, 0); feed(clock, 1, 0)
+    q.processAllAvailable()        // snapshot (uid, n=3); timer at t+30m
+    feed(clock, 1, 60)
+    q.processAllAvailable()        // watermark advances past the timer
+    feed(clock, 1, 61)
+    q.processAllAvailable()        // timer fires: final (uid, n=3), state removed
+    feed(uid, 5, 120)
+    q.processAllAvailable()        // uid returns; count restarts from zero
+    q.stop()
+
+    val ns = spark.table("evt_timeout_test").filter(col("user_id") === uid)
+      .select("n").collect().map(_.getLong(0))
+    assert(ns.count(_ == 3L) >= 2,
+      s"expected the initial AND the timeout snapshot at n=3, got ${ns.toSeq}")
+    assert(ns.contains(5L),
+      s"after expiry the count must restart at 5, got ${ns.toSeq}")
+    assert(!ns.contains(8L), "state must NOT have survived the idle timeout")
+  }
+
   test("unioned streams deliver both sources exactly once (DStream union parity)") {
     val src1 = Files.createTempDirectory("graft-union-1").toString
     val src2 = Files.createTempDirectory("graft-union-2").toString
