@@ -158,7 +158,10 @@ object Clusters {
       |FROM reach GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val pairs = Similarity.jaccardPairs(docs, dfCap = Similarity.d02DfCap, minJaccard = 0.5)
+    // shared persisted stage: reuses d02's candidate pairs when both run
+    // in one session (Verify/Bench and any real dedup pipeline do)
+    val pairs = Similarity
+      .jaccardPairsShared(docs, dir, dfCap = Similarity.d02DfCap, minJaccard = 0.5)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val labels = connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     labels.select(

