@@ -284,6 +284,78 @@ object Relational {
     s.sql(q42Text)
   }
 
+  /** TPC-H Q14 shape (promo revenue share) as engine-portable SQL text:
+    * conditional aggregation computing a ratio of sums per ship-year.
+    * `year()` is cast to BIGINT in the text because Spark returns INT
+    * and DuckDB BIGINT for the same function. */
+  private val q44Text =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |                         THEN l_extendedprice * (1 - l_discount)
+      |                         ELSE 0.0 END)
+      |        / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_year
+      |ORDER BY l_year""".stripMargin
+
+  val q44 = Q.sql("q44_sql_promo_share", q44Text) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s.sql(q44Text)
+  }
+
+  /** TPC-H Q15 shape (top supplier by revenue): a CTE consumed twice —
+    * once as the join input, once under a scalar `max` subquery. The
+    * revenue equality compares each engine's own unrounded sums (exact
+    * within an engine); rounding happens only in the projection. */
+  private val q45Text =
+    """WITH revenue AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  val q45 = Q.sql("q45_sql_top_supplier", q45Text) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    s.sql(q45Text)
+  }
+
+  /** TPC-H Q7 shape (volume shipped between nation pairs per year): a
+    * 6-way join with the nation dim joined TWICE under different
+    * aliases — self-join disambiguation through the text surface.
+    * The revenue is summed in DECIMAL(18,4): double sums land near
+    * half-cent boundaries where Spark (decimal HALF_UP) and DuckDB
+    * (binary) round apart, while a decimal sum is exact and
+    * order-free so both engines round the same value. */
+  private val q46Text =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+      |       AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name < n2.n_name
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  val q46 = Q.sql("q46_sql_nation_volume", q46Text) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(q46Text)
+  }
+
   /** The DataFrameNaFunctions surface (`df.na.drop/fill/replace`,
     * Spark 1.3 DataFrameNaFunctions.scala parity) — the standard
     * null-scrubbing pass of a training-data pipeline, exercised in the
@@ -315,5 +387,6 @@ object Relational {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q42, q43)
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
+    q42, q43, q44, q45, q46)
 }
