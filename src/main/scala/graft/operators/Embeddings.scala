@@ -21,9 +21,10 @@ import graft.{Q, Tables}
   * scales to 100 TB; nothing driver-side grows with the corpus.
   *
   * Cosine assignment is scale-invariant in the centroid, so per-cluster
-  * unnormalized means serve directly as spherical centroids. Fixed
-  * deterministic init (the k smallest vec_ids) and a fixed iteration
-  * count keep runs reproducible.
+  * unnormalized means serve directly as spherical centroids. Seeding is
+  * k-means|| ([[Embeddings.kmeansParallelSeeds]]) with hash-derived coin
+  * flips, so init, like the fixed iteration count, is fully
+  * reproducible without driver-side randomness.
   */
 object Embeddings {
 
@@ -31,6 +32,7 @@ object Embeddings {
     * ties to the larger j (deterministic struct ordering). */
   private def withCluster(base: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     graft.plans.GraftFunctions.register(base.sparkSession)
+    if (centroids.length == 1) return base.withColumn("cluster", lit(0))
     val scored: Seq[Column] = centroids.toIndexedSeq.zipWithIndex.map { case (c, j) =>
       struct(
         call_function("float_cosine", col("embedding"), typedlit(c.toSeq)).as("s"),
@@ -39,15 +41,91 @@ object Embeddings {
     base.withColumn("cluster", greatest(scored: _*).getField("c"))
   }
 
-  /** Lloyd's spherical k-means: returns (vec_id, cluster). */
-  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  private def maxSim(centers: Array[Array[Float]]): Column = {
+    val sims = centers.toIndexedSeq.map(c =>
+      call_function("float_cosine", col("embedding"), typedlit(c.toSeq)))
+    if (sims.length == 1) sims.head else greatest(sims: _*)
+  }
+
+  private def cosSim(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** k-means|| seeding (Bahmani et al., "Scalable K-Means++", VLDB'12 —
+    * the init MLlib's KMeans uses, KMeans.scala initKMeansParallel),
+    * re-expressed over DataFrames and made fully deterministic:
+    *
+    *  1. seed with the smallest-vec_id vector;
+    *  2. for each round, every point joins the candidate set
+    *     independently with probability min(1, l·cost(x)/Σcost) where
+    *     cost = 1 − cosine to the nearest current candidate and l = 2k.
+    *     The "coin flip" is a hash of (vec_id, round), so the sample is
+    *     reproducible and needs no driver-side randomness;
+    *  3. candidates (≈ l per round, NOT corpus-sized) come to the
+    *     driver, get weighted by how many points each is closest to
+    *     (one distributed pass), and a greedy weighted D² selection
+    *     reduces them to k spread seeds.
+    *
+    * Unlike first-k init, the seeds land in distinct dense regions even
+    * when small vec_ids all share one region — the failure mode that
+    * makes naive init collapse clusters. Each round is one codegen'd
+    * map + a 1-row agg; driver state is O(k·dim). */
+  def kmeansParallelSeeds(base: DataFrame, k: Int, rounds: Int = 2): Array[Array[Float]] = {
+    graft.plans.GraftFunctions.register(base.sparkSession)
+    val l = 2 * k
+    var centers: Array[Array[Float]] = base.orderBy("vec_id").limit(1)
+      .collect().map(_.getSeq[Float](1).toArray)
+    for (r <- 1 to rounds) {
+      val withCost = base.withColumn("cost", lit(1.0) - maxSim(centers))
+      val total = math.max(
+        withCost.agg(sum("cost")).head.getDouble(0), 1e-12)
+      val draw = (abs(xxhash64(col("vec_id"), lit(r))) % 1000000007L)
+        .cast("double") / lit(1000000007.0)
+      val picked = withCost
+        .filter(draw < least(lit(1.0), lit(l.toDouble) * col("cost") / lit(total)))
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      centers = centers ++ picked
+    }
+    if (centers.length < k) {
+      // degenerate corpus (near-zero costs everywhere): pad with the k
+      // smallest vec_ids so downstream always has k seeds
+      centers = (centers ++ base.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Float](1).toArray)).take(math.max(k, centers.length))
+    }
+    // weight candidates by closest-point counts
+    val w = Array.fill(centers.length)(0L)
+    withCluster(base, centers).groupBy("cluster").count().collect()
+      .foreach(r => w(r.getInt(0)) = r.getLong(1))
+    // greedy weighted D² reduction to k, deterministic tie-break on index
+    val sel = scala.collection.mutable.ArrayBuffer(
+      w.indices.maxBy(i => (w(i), -i.toLong)))
+    while (sel.size < k) {
+      val next = centers.indices.filterNot(sel.contains).maxBy { i =>
+        val d = 1.0 - sel.map(j => cosSim(centers(i), centers(j))).max
+        (w(i) * d, -i.toLong)
+      }
+      sel += next
+    }
+    sel.map(centers).toArray
+  }
+
+  /** Lloyd's spherical k-means: returns (vec_id, cluster).
+    * `parallelInit` seeds with [[kmeansParallelSeeds]] (the default);
+    * false keeps the first-k-vec_ids init (cheaper, but collapses when
+    * the smallest ids share one dense region). */
+  def kmeansAssign(
+      emb: DataFrame, k: Int, iters: Int, parallelInit: Boolean = true): DataFrame = {
     require(k >= 2, "k-means needs k >= 2")
     val base = emb.select(col("vec_id"), col("embedding"))
-    // deterministic seed: the k smallest vec_ids (k rows to the driver —
-    // bounded by k, not by corpus size)
-    var centroids: Array[Array[Float]] = base
-      .orderBy("vec_id").limit(k)
-      .collect().map(_.getSeq[Float](1).toArray)
+    var centroids: Array[Array[Float]] =
+      if (parallelInit) kmeansParallelSeeds(base, k)
+      else base.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Float](1).toArray)
     val dim = centroids.head.length
     for (_ <- 1 to iters) {
       // per-dimension means, k×dim rows back to the driver
