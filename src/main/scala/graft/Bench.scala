@@ -46,8 +46,11 @@ object Bench {
 
     // time budget: always complete round 1 (full coverage); later rounds
     // only start while under budget, so a heavily contended machine gets
-    // a complete single-pass result instead of a timeout
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toDouble
+    // a complete single-pass result instead of a timeout. The default must
+    // comfortably exceed one CONTENDED full pass (~900-950 s observed), or
+    // rounds 2-3 never start and the "median" degenerates to a single
+    // contended sample — hence 3600, not 900.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3600").toDouble
     val start = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - start) / 1e9
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -58,13 +61,17 @@ object Bench {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
-    val results = names.map(n => n -> median(samples(n)))
+    def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    val results = names.map(n => n -> r3(median(samples(n))))
+    val roundsRun = samples.values.map(_.size).max
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // one parse-friendly JSON line, flushed straight to stdout (the
-    // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt).
+    // Headline fields (total, rounds actually run) come FIRST so a
+    // tail-truncated capture still carries the number that matters.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsRun,"sf":"$sfDir","queries":$qs}""")
     Console.flush()
     spark.stop()
   }

@@ -85,9 +85,12 @@ object Clusters {
     *    itself) to its minimum neighbor — stars flatten.
     * At fixpoint the edges are exactly {(v, component_min)}.
     *
-    * The per-round equality check is one anti-join count — at cluster
-    * scale swap for an edge-count + checksum comparison and reliable
-    * checkpointing.
+    * The per-round fixpoint check is ONE 1-row aggregate: edge count +
+    * an order-free bit_xor of xxhash64(u, v). Canonical edge sets are
+    * distinct, so set equality reduces to (count, xor-checksum) equality
+    * (collision odds ~2⁻⁶⁴); xor never overflows, so it is ANSI-safe at
+    * any edge count — unlike a sum of hashes. At cluster scale also swap
+    * localCheckpoint for reliable checkpointing.
     *
     * @return (id, label) with label = component minimum, identical to
     *         [[connectedComponents]] output on any graph.
@@ -98,7 +101,16 @@ object Clusters {
       df.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct()
+    // (count, order-free checksum) signature of a canonical edge set —
+    // one 1-row aggregate, the whole per-round convergence cost
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
     var e = canon(edges.select(col("src").as("u"), col("dst").as("v"))).localCheckpoint()
+    var eSig = sig(e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -114,8 +126,10 @@ object Clusters {
       val small = e1.join(minsS, "u").select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
       val e2 = canon(small).localCheckpoint()
-      converged = e2.count() == e.count() && e2.exceptAll(e).isEmpty
+      val e2Sig = sig(e2)
+      converged = e2Sig == eSig
       e = e2
+      eSig = e2Sig
       round += 1
     }
     if (!converged) {

@@ -52,19 +52,72 @@ object Similarity {
   /** Process-wide materialization of the candidate-pair stage: the dedup
     * pipeline consumes the SAME pairs twice (d02 emits them, d07 closes
     * them into clusters), so the stage is computed once per (session,
-    * corpus, params) and persisted instead of re-running the shingle
-    * self-join per consumer — the `rdd.cache()`-before-branching pattern
-    * for shared pipeline stages. The pair set is tiny (near-dup pairs,
-    * not the corpus), so MEMORY_AND_DISK costs nothing at any scale. */
+    * corpus-version, params) and persisted instead of re-running the
+    * shingle self-join per consumer — the `rdd.cache()`-before-branching
+    * pattern for shared pipeline stages. The pair set is tiny (near-dup
+    * pairs, not the corpus), so MEMORY_AND_DISK costs nothing at any
+    * scale.
+    *
+    * Lifecycle: the key carries a corpus SNAPSHOT VERSION (a hash of the
+    * file listing under `corpusKey` — names, sizes, mtimes), so
+    * re-reading a corpus that changed at the same path recomputes instead
+    * of returning stale pairs; the superseded version's storage is
+    * unpersisted on the spot. A long-lived service can also drop
+    * everything for a session explicitly via [[evictPairsCache]]. */
+  private final case class PairsKey(
+      session: Int, corpus: String, dfCap: Int, minJaccard: Double, version: Long)
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Double), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[PairsKey, DataFrame]()
+
+  /** Snapshot version of the files under `dir`: one cheap driver-side
+    * recursive listing (no Spark job). 0 for a non-filesystem key. */
+  private def corpusVersion(spark: SparkSession, dir: String): Long = {
+    try {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) 0L
+      else {
+        var h = 1125899906842597L
+        val it = fs.listFiles(path, true)
+        while (it.hasNext) {
+          val f = it.next()
+          h = h * 31 + f.getPath.getName.hashCode
+          h = h * 31 + f.getLen
+          h = h * 31 + f.getModificationTime
+        }
+        h
+      }
+    } catch { case _: Exception => 0L }
+  }
+
+  /** Unpersist and drop every cached pair stage owned by `spark`. */
+  def evictPairsCache(spark: SparkSession): Unit = {
+    val sid = System.identityHashCode(spark)
+    val it = pairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.session == sid) { e.getValue.unpersist(blocking = true); it.remove() }
+    }
+  }
 
   def jaccardPairsShared(
-      docs: DataFrame, corpusKey: String, dfCap: Int, minJaccard: Double): DataFrame =
-    pairsCache.computeIfAbsent(
-      (System.identityHashCode(docs.sparkSession), corpusKey, dfCap, minJaccard),
+      docs: DataFrame, corpusKey: String, dfCap: Int, minJaccard: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val key = PairsKey(System.identityHashCode(spark), corpusKey, dfCap, minJaccard,
+      corpusVersion(spark, corpusKey))
+    // evict superseded snapshots of the same corpus before (re)computing,
+    // so a changed corpus never leaks the old version's storage
+    val it = pairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.copy(version = key.version) == key && e.getKey.version != key.version) {
+        e.getValue.unpersist(blocking = true); it.remove()
+      }
+    }
+    pairsCache.computeIfAbsent(key,
       _ => jaccardPairs(docs, dfCap, minJaccard)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Exact n-gram Jaccard pairs over the df-capped shingle space: grams
     * with document frequency > dfCap are removed (from sizes AND the
@@ -228,23 +281,30 @@ object Similarity {
     * planes without growing the candidate side. The candidate set is
     * deduped narrow (qid,cid) before scoring, and the wide embedding
     * columns are re-joined from the base projection. */
-  def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int, nTables: Int = 2): DataFrame = {
+  /** (vec_id, tbl, bucket) hyperplane-LSH bucketing shared by the ANN
+    * top-k and the cluster-scoped semantic dedup: `nTables` independently
+    * seeded gaussian plane sets, each hashed by the native codegen
+    * [[graft.plans.HyperplaneSign]]. Planes are literal-encoded so
+    * executors get them via the plan (no closure serialization). */
+  def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val dim = 64
-    // fixed gaussian hyperplanes per table, literal-encoded so executors
-    // get them via the plan (no closure serialization of state)
     def planesFor(table: Int): Seq[Double] = {
       val rnd = new scala.util.Random(20240812L + table * 7919L)
       Seq.fill(nPlanes * dim)(rnd.nextGaussian())
     }
     def bucketOf(v: org.apache.spark.sql.Column, table: Int) =
       call_function("hyperplane_sign", v, typedlit(planesFor(table)), lit(nPlanes))
-
-    val base = emb.select(col("vec_id"), col("embedding"))
-    val bucketed = base.select(
+    emb.select(
       col("vec_id"),
       posexplode(array((0 until nTables).map(t => bucketOf(col("embedding"), t)): _*))
         .as(Seq("tbl", "bucket")))
+  }
+
+  def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int, nTables: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val bucketed = hyperplaneBuckets(base, nPlanes, nTables)
     // query side fans out to the home bucket plus each 1-bit probe
     val probeArr = array((col("bucket") +:
       (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)

@@ -72,10 +72,53 @@ object Capacity {
       out.view.mapValues(_.toSeq).toMap
     }
 
-    /** twoChoiceStrategy (JobMonitor.scala:471): each item probes a pair
-      * of nodes (deterministic rotation) and picks the less loaded,
-      * capacity-normalized. powerOfTwoChoiceStrategy (:524) is the same
-      * policy with randomized probes; a seeded RNG keeps runs repeatable. */
+    /** twoChoiceStrategy (JobMonitor.scala:471): DETERMINISTIC shedding —
+      * each helpee `a` reallocates its load across itself and the two
+      * helpers with the highest load/capability ratio, proportionally to
+      * the three ratios: with ρ(k) = load(k)/capability(k) and h1, h2 the
+      * top-2 helpers by ρ, the split is ρ(k)/(ρ(a)+ρ(h1)+ρ(h2)) for
+      * k ∈ {a, h1, h2}. Loads are updated after each helpee (helpee keeps
+      * load·share(a); each helper gains load·share(h)), so later helpees
+      * see the shifted load — exactly the reference's sequential
+      * bytesInputRate update. (The reference recomputes the ratio map
+      * with capability/load after each helpee — inconsistent with its own
+      * initial load/capability definition; this implementation keeps
+      * load/capability throughout, matching the strategy's documented
+      * intent and the per-helpee split arithmetic.)
+      *
+      * @return (plan, finalLoads): plan(a) maps each of {a, h1, h2} to its
+      *         share of a's original load; finalLoads is the load map
+      *         after all helpees shed. */
+    def twoChoice(
+        caps: Map[String, Double],
+        loads: Map[String, Double],
+        helpees: Seq[String],
+        helpers: Set[String]): (Map[String, Map[String, Double]], Map[String, Double]) = {
+      val load = mutable.Map(loads.toSeq: _*)
+      def ratio(k: String): Double = load.getOrElse(k, 0.0) / math.max(caps.getOrElse(k, 0.0), 1e-9)
+      val plan = mutable.Map.empty[String, Map[String, Double]]
+      for (a <- helpees) {
+        val cands = (helpers - a).toSeq.sortBy(k => (-ratio(k), k))
+        if (cands.size >= 2) {
+          val (h1, h2) = (cands(0), cands(1))
+          val denom = ratio(a) + ratio(h1) + ratio(h2)
+          if (denom > 0) {
+            val shares = Map(a -> ratio(a) / denom, h1 -> ratio(h1) / denom, h2 -> ratio(h2) / denom)
+            val orig = load.getOrElse(a, 0.0)
+            load(h1) = load.getOrElse(h1, 0.0) + orig * shares(h1)
+            load(h2) = load.getOrElse(h2, 0.0) + orig * shares(h2)
+            load(a) = orig * shares(a)
+            plan(a) = shares
+          }
+        }
+      }
+      (plan.toMap, load.toMap)
+    }
+
+    /** powerOfTwoChoiceStrategy (JobMonitor.scala:524): each item probes a
+      * RANDOM pair of nodes and picks the one with the lower projected
+      * capacity-normalized load; a seeded RNG keeps runs repeatable. The
+      * randomized counterpart of [[twoChoice]]. */
     def powerOfTwoChoice(
         caps: Map[String, Double], itemSizes: Seq[Long], seed: Long = 42L): Map[String, Seq[Int]] = {
       val nodes = caps.keys.toIndexedSeq.sorted

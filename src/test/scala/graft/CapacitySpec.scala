@@ -35,6 +35,47 @@ class CapacitySpec extends SparkTestBase {
     assert(makespan < uniformMakespan / 2)
   }
 
+  test("twoChoice mirrors the reference's three-way proportional shed on a worked example") {
+    // nodeCapability / bytesInputRate as in JobMonitor.twoChoiceStrategy:
+    // helpee a: cap 1, load 8  -> ratio 8
+    // helpers: h1 cap 4 load 8 -> ratio 2 ; h2 cap 8 load 8 -> ratio 1 ;
+    //          h3 cap 10 load 1 -> ratio 0.1 (NOT picked: two-choice takes
+    //          the two HIGHEST load/capability helpers)
+    val caps = Map("a" -> 1.0, "h1" -> 4.0, "h2" -> 8.0, "h3" -> 10.0)
+    val loads = Map("a" -> 8.0, "h1" -> 8.0, "h2" -> 8.0, "h3" -> 1.0)
+    val (plan, after) = Assignment.twoChoice(caps, loads, Seq("a"), Set("h1", "h2", "h3"))
+    // denominator = 8 + 2 + 1 = 11; shares proportional to the ratios
+    val shares = plan("a")
+    assert(math.abs(shares("a") - 8.0 / 11) < 1e-12)
+    assert(math.abs(shares("h1") - 2.0 / 11) < 1e-12)
+    assert(math.abs(shares("h2") - 1.0 / 11) < 1e-12)
+    assert(!shares.contains("h3"))
+    // loads updated exactly as the reference: helpee keeps load*share(a),
+    // each chosen helper gains load*share(h)
+    assert(math.abs(after("a") - 8.0 * 8 / 11) < 1e-12)
+    assert(math.abs(after("h1") - (8.0 + 8.0 * 2 / 11)) < 1e-12)
+    assert(math.abs(after("h2") - (8.0 + 8.0 * 1 / 11)) < 1e-12)
+    assert(after("h3") == 1.0)
+    // no load created or destroyed
+    assert(math.abs(after.values.sum - loads.values.sum) < 1e-9)
+  }
+
+  test("twoChoice is sequential: a later helpee sees loads shifted by an earlier one") {
+    val caps = Map("a" -> 1.0, "b" -> 1.0, "h1" -> 10.0, "h2" -> 10.0)
+    val loads = Map("a" -> 10.0, "b" -> 10.0, "h1" -> 1.0, "h2" -> 0.5)
+    val (plan, after) = Assignment.twoChoice(caps, loads, Seq("a", "b"), Set("h1", "h2"))
+    // helpee a sheds first, raising h1/h2 ratios; b's denominator and
+    // shares must reflect the POST-a loads, not the originals
+    assert(plan.contains("a") && plan.contains("b"))
+    val bShares = plan("b")
+    val r1AfterA = (loads("h1") + 10.0 * plan("a")("h1")) / 10.0
+    val r2AfterA = (loads("h2") + 10.0 * plan("a")("h2")) / 10.0
+    val denomB = 10.0 / 1.0 + r1AfterA + r2AfterA
+    assert(math.abs(bShares("b") - 10.0 / denomB) < 1e-12)
+    assert(math.abs(bShares("h1") - r1AfterA / denomB) < 1e-12)
+    assert(math.abs(after.values.sum - loads.values.sum) < 1e-9)
+  }
+
   test("power-of-two-choice is deterministic under a seed and covers all items") {
     val caps = Map("a" -> 5.0, "b" -> 5.0, "c" -> 1.0)
     val items = Seq.tabulate(500)(i => (i % 7 + 1) * 10L)

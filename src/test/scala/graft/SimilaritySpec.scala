@@ -61,6 +61,34 @@ class SimilaritySpec extends SparkTestBase {
       s"planted duplicate must be rank-1 (sim=1), got ${top.head}")
   }
 
+  test("pair cache recomputes when the corpus changes at the same path; evict drops storage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pairs-cache").toString
+    val docs = Tables.documents(spark, sfDir)
+    // corpus v1: two identical docs -> exactly one jaccard-1.0 pair
+    docs.filter(col("doc_id") === 0)
+      .unionByName(docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(999L)))
+      .write.mode("overwrite").parquet(dir)
+    def pairsNow() = Similarity.jaccardPairsShared(
+      spark.read.parquet(dir), dir, dfCap = Similarity.d02DfCap, minJaccard = 0.5)
+    val v1 = pairsNow()
+    assert(v1.count() == 1)
+    // same snapshot -> the SAME persisted DataFrame instance comes back
+    assert(pairsNow() eq v1)
+    // corpus v2 at the same path: three copies -> three pairs; a stale
+    // cache would still say 1
+    Thread.sleep(1100) // ensure mtime moves even on coarse filesystems
+    docs.filter(col("doc_id") === 0)
+      .unionByName(docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(998L)))
+      .unionByName(docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(999L)))
+      .write.mode("overwrite").parquet(dir)
+    val v2 = pairsNow()
+    assert(v2.count() == 3, "changed corpus at the same path must recompute")
+    assert(v2.storageLevel.useMemory || v2.storageLevel.useDisk)
+    Similarity.evictPairsCache(spark)
+    assert(v2.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evictPairsCache must unpersist the cached stage")
+  }
+
   test("d02 df-cap drops an ultra-common shingle and bounds its candidates") {
     import TestSpark.spark.implicits._
     // 200 docs sharing ONE hot phrase (df=200 ≫ cap) but otherwise unique,
