@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TextOps.all ++ operators.Similarity.all ++
       operators.Clusters.all ++ operators.Bucketed.all ++
       operators.Embeddings.all ++ operators.SemanticDedup.all ++
+      operators.Graphs.all ++
       operators.Multimodal.all ++ operators.Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -143,4 +143,54 @@ object Sources {
     import org.apache.spark.sql.functions._
     kv.select(from_json(col("value").cast("string"), schema).as("r")).select("r.*")
   }
+
+  // ---- Kafka parity (reference: external/kafka/src/main/scala/org/
+  // apache/spark/streaming/kafka/KafkaUtils.scala:1) ----
+  //
+  // The connector is resolved by format-string at RUNTIME, so this
+  // surface compiles with no kafka artifact on the build classpath; a
+  // user points it at a real broker by shipping the standard
+  // spark-sql-kafka connector jar with their job (--packages / --jars),
+  // exactly how every Spark deployment wires Kafka. Without the jar the
+  // calls fail fast at source resolution with DATA_SOURCE_NOT_FOUND.
+  // SourcesSpec's round-trip test is gated on SPARK_GRAFT_KAFKA (broker
+  // address) and skips otherwise.
+
+  /** Streaming Kafka source: KafkaUtils.createStream's modern form.
+    * Returns the connector's (key binary, value binary, topic, partition,
+    * offset, timestamp, ...) frame — [[fromKeyValue]] decodes rows
+    * written by [[writeKafka]]. */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Bounded whole-topic Kafka read (the batch face of the same source). */
+  def kafkaBatch(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load()
+
+  /** Batch Kafka sink: applies the [[toKeyValue]] wire contract and
+    * publishes to `topic`. */
+  def writeKafka(df: DataFrame, bootstrap: String, topic: String, keyCol: String): Unit =
+    toKeyValue(df, keyCol).write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .save()
+
+  /** Streaming Kafka sink: same wire contract, checkpointed. */
+  def writeKafkaStream(df: DataFrame, bootstrap: String, topic: String, keyCol: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    toKeyValue(df, keyCol).writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

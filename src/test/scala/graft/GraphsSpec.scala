@@ -28,4 +28,36 @@ class GraphsSpec extends SparkTestBase {
     val leafRanks = (1L to 4L).map(ranks)
     assert(leafRanks.forall(v => math.abs(v - leafRanks.head) < 1e-12), "leaves are symmetric")
   }
+
+  test("label propagation recovers both communities of a barbell graph within the iteration cap") {
+    import TestSpark.spark.implicits._
+    // two K5 cliques {0..4} and {10..14} joined by the single bridge
+    // 4-14 (K5, not K4: with only 3 in-clique neighbors, synchronous LPA's
+    // all-distinct first-round ties keep re-importing the bridge label and
+    // oscillate — the same hazard GraphX documents; 4 neighbors form a
+    // majority by round 2 and the cap converges)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(0L to 4L) ++ clique(10L to 14L) :+ (4L, 14L)).toDF("src", "dst")
+    val vertices = ((0L to 4L) ++ (10L to 14L)).toDF("id")
+    val labels = Graphs.labelPropagation(vertices, edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = (0L to 4L).map(labels).toSet
+    val right = (10L to 14L).map(labels).toSet
+    assert(left.size == 1, s"left clique must agree on one label, got $left")
+    assert(right.size == 1, s"right clique must agree on one label, got $right")
+    assert(left != right, "the bridge must not merge the two communities")
+  }
+
+  test("label propagation: isolated vertices keep their own label; deterministic across runs") {
+    import TestSpark.spark.implicits._
+    val vertices = (0L to 5L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val run1 = Graphs.labelPropagation(vertices, edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = Graphs.labelPropagation(vertices, edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1 == run2, "tie-breaks must be deterministic")
+    Seq(3L, 4L, 5L).foreach(i => assert(run1(i) == i, s"isolated $i must keep its own label"))
+  }
 }

@@ -120,6 +120,31 @@ class SourcesSpec extends SparkTestBase {
     assert(back.except(orders).count() == 0 && orders.except(back).count() == 0)
   }
 
+  test("kafka surface fails fast at source resolution when the connector jar is absent") {
+    // the parity surface is format-string resolved: no kafka artifact on
+    // this classpath, so lookup itself must fail with a clear error (a
+    // user ships spark-sql-kafka with the job to turn it on)
+    val e = intercept[Exception] {
+      Sources.kafkaBatch(spark, "localhost:9092", "t").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"),
+      s"source-resolution error should name the missing source: ${e.getMessage}")
+  }
+
+  test("kafka round-trip against a live broker (set SPARK_GRAFT_KAFKA=host:port to enable)") {
+    val broker = sys.env.get("SPARK_GRAFT_KAFKA")
+    assume(broker.isDefined, "no broker configured; skipping")
+    val bootstrap = broker.get
+    val topic = s"graft_rt_${System.currentTimeMillis()}"
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Sources.writeKafka(orders, bootstrap, topic, "o_orderkey")
+    val back = Sources.fromKeyValue(
+      Sources.kafkaBatch(spark, bootstrap, topic), orders.schema)
+    assert(back.count() == orders.count())
+    assert(back.except(orders).count() == 0 && orders.except(back).count() == 0)
+  }
+
   test("q40 bucketed orders⋈lineitem: zero exchange on the join key, equal to unbucketed") {
     import graft.operators.Bucketed
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
