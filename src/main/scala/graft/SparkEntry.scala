@@ -13,7 +13,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++ operators.Analytics.all ++
       operators.EventTime.all ++ operators.SkewTools.all ++
-      operators.TextOps.all ++ operators.Similarity.all ++
+      operators.TextOps.all ++ operators.Word2Vec.all ++
+      operators.Similarity.all ++
       operators.Clusters.all ++ operators.Bucketed.all ++
       operators.Embeddings.all ++ operators.SemanticDedup.all ++
       operators.Graphs.all ++

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextFunctions.tokens
+
+/** Word2Vec-lite: distributed skip-gram with negative sampling over the
+  * `documents` table — the embedding-producing slice of the reference's
+  * MLlib feature package (mllib/src/main/scala/org/apache/spark/mllib/
+  * feature/Word2Vec.scala:1), re-expressed in the repo's standard
+  * driver-coordinated shape (the [[Embeddings.kmeansAssign]] pattern):
+  *
+  *  - the MODEL (two vocab×dim float matrices) lives on the driver,
+  *    bounded by the vocab cap, and ships to executors as a broadcast
+  *    join each iteration — exactly how MLlib broadcasts syn0/syn1;
+  *  - the DATA (labeled skip-gram pairs) is built once as narrow
+  *    (center, context, label) int rows — positives from a ±window
+  *    OFFSET-EQUALITY join (never a quadratic within-document
+  *    self-join), negatives hash-drawn per positive — and checkpointed;
+  *  - each iteration is one codegen'd map (native `float_dot` logit +
+  *    sigmoid) and ONE shuffle: both gradient streams (dU keyed by
+  *    center scaled by v, dV keyed by context scaled by u) go through a
+  *    single union + groupBy(side, key, dim) whose output is bounded by
+  *    2×vocab×dim, so the collect never grows with the corpus.
+  *
+  * Updates use the per-key MEAN gradient (full-batch GD), not summed
+  * per-sample SGD: deterministic, stable for any corpus size at a fixed
+  * learning rate, and converging to the same SGNS stationary points —
+  * the right trade for a reproducible distributed trainer (per-sample
+  * SGD order is inherently racy; MLlib accepts non-determinism instead).
+  *
+  * Everything is seeded: vocab order, init, and negative draws are
+  * hash-derived, so runs are reproducible end to end.
+  */
+object Word2Vec {
+
+  /** Top-`vocabSize` words by corpus frequency with a dense 0-based
+    * index; ties break on the word. The global sort runs AFTER the
+    * distributed count and is LIMIT-ed, so only vocabSize rows ever
+    * gather anywhere. */
+  def vocabulary(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val top = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(vocabSize)
+    top.withColumn("idx",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))) - 1)
+      .select("word", "idx")
+  }
+
+  /** Labeled SGNS training rows (c, t, label): one positive per
+    * (center, offset) hit via an equality join on (doc_id, pos+off),
+    * plus `negatives` uniform hash-drawn negatives per positive. A
+    * negative occasionally collides with the true context — standard
+    * SGNS noise, tolerated by every implementation. */
+  def trainingPairs(docs: DataFrame, vocab: DataFrame, vocabSize: Int,
+                    window: Int, negatives: Int, seed: Long): DataFrame = {
+    val indexed = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(vocab), "word")
+      .select(col("doc_id"), col("pos"), col("idx"))
+    val offs = (-window to window).filterNot(_ == 0).map(lit(_))
+    val probes = indexed
+      .withColumn("off", explode(array(offs: _*)))
+      .select(col("doc_id"), (col("pos") + col("off")).as("cpos"), col("idx").as("c"))
+    val pos = probes.join(
+        indexed.select(col("doc_id"), col("pos").as("cpos"), col("idx").as("t")),
+        Seq("doc_id", "cpos"))
+      .select(col("doc_id"), col("cpos"), col("c"), col("t"), lit(1.0).as("label"))
+    // the draw hashes the OCCURRENCE (doc, position), not just the word
+    // pair: a pair that recurs across the corpus gets fresh negatives
+    // each time, keeping the noise distribution diverse — hashing only
+    // (c, t, i) would nail every recurrence to the same 3 words
+    val neg = pos
+      .withColumn("i", explode(sequence(lit(1), lit(negatives))))
+      .select(col("doc_id"), col("cpos"), col("c"),
+        pmod(xxhash64(col("doc_id"), col("cpos"), col("c"), col("i"), lit(seed)),
+          lit(vocabSize.toLong)).cast("int").as("t"),
+        lit(0.0).as("label"))
+    pos.unionByName(neg).select("c", "t", "label")
+  }
+
+  /** Train and return the (word, embedding array<float>) vocab table.
+    * Defaults picked by simulating the exact mean-gradient dynamics:
+    * planted synonym pairs separate from cross-family pairs within ~15
+    * full-batch iterations at lr 3-4; mean gradients keep that stable at
+    * any corpus size. */
+  def train(docs: DataFrame, vocabSize: Int = 256, dim: Int = 16,
+            window: Int = 2, negatives: Int = 3, iters: Int = 15,
+            lr: Double = 3.0, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vocab = vocabulary(docs, vocabSize).localCheckpoint()
+    val nVocab = vocab.count().toInt
+    require(nVocab >= 2, s"need at least 2 in-vocab words, got $nVocab")
+    val data = trainingPairs(docs, vocab, nVocab, window, negatives, seed)
+      .localCheckpoint()
+
+    // deterministic init: BOTH matrices uniform(-0.5, 0.5)/dim from a
+    // hash. word2vec.c zeroes the context vectors, which works for
+    // per-sample SGD but stalls full-batch means (dU ∝ v is identically
+    // zero on iteration 1 and u barely ever moves); random v bootstraps
+    // both sides immediately.
+    def h(salt: Long)(i: Int, j: Int): Float = {
+      val x = scala.util.hashing.MurmurHash3.productHash((i, j, seed + salt))
+      (((x & 0xFFFF).toFloat / 0xFFFF.toFloat) - 0.5f) / dim
+    }
+    val u = Array.tabulate(nVocab, dim)(h(0L))
+    val v = Array.tabulate(nVocab, dim)(h(1L))
+
+    for (_ <- 1 to iters) {
+      val model = (0 until nVocab)
+        .map(i => (i, u(i).toSeq, v(i).toSeq)).toDF("idx", "u", "v")
+      val scored = data
+        .join(broadcast(model.select(col("idx").as("c"), col("u"))), "c")
+        .join(broadcast(model.select(col("idx").as("t"), col("v"))), "t")
+        .withColumn("g",
+          lit(1.0) / (lit(1.0) + exp(-call_function("float_dot", col("u"), col("v"))))
+            - col("label"))
+      // both gradient streams through one shuffle; map-side combine
+      // collapses each partition to <= 2*vocab*dim rows
+      val dU = scored.select(lit(0).as("side"), col("c").as("key"), col("g"),
+        posexplode(col("v")).as(Seq("p", "x")))
+      val dV = scored.select(lit(1).as("side"), col("t").as("key"), col("g"),
+        posexplode(col("u")).as(Seq("p", "x")))
+      val grads = dU.unionByName(dV)
+        .groupBy("side", "key", "p")
+        .agg(avg(col("g") * col("x")).as("d"))
+        .collect()
+      grads.foreach { r =>
+        val (side, k, p, d) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+        if (side == 0) u(k)(p) = (u(k)(p) - lr * d).toFloat
+        else v(k)(p) = (v(k)(p) - lr * d).toFloat
+      }
+    }
+    val emb = (0 until nVocab).map(i => (i, u(i).toSeq)).toDF("idx", "embedding")
+    vocab.join(broadcast(emb), "idx")
+      .select(col("word"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  /** Registered entry: the trained vocab embedding table over
+    * `documents`. Rows-only (iterative training is not SQL-expressible);
+    * Word2VecSpec asserts planted synonyms embed closer than random
+    * pairs and that runs reproduce under the fixed seed. */
+  val t05 = Q.rowsOnly("t05_word2vec") { (s, dir) =>
+    train(Tables.documents(s, dir)).orderBy("word")
+  }
+
+  val all: Seq[Q] = Seq(t05)
+}

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_sign"), HyperplaneSign.info, HyperplaneSign.builder))
     ext.injectFunction((
       FunctionIdentifier("simhash63"), SimHash63.info, SimHash63.builder))
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }
@@ -39,5 +41,7 @@ object GraftFunctions {
       FunctionIdentifier("hyperplane_sign"), HyperplaneSign.info, HyperplaneSign.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash63"), SimHash63.info, SimHash63.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder)
   }
 }

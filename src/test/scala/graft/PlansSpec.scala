@@ -29,6 +29,22 @@ class PlansSpec extends SparkTestBase {
       "self-cosine must be 1")
   }
 
+  test("native float_dot matches the HOF dot product and stays in codegen") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).limit(100)
+    val both = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        call_function("float_dot", col("a.embedding"), col("b.embedding")).as("native"),
+        aggregate(zip_with(col("a.embedding"), col("b.embedding"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0,
+      "native float_dot must reproduce the HOF arithmetic exactly")
+    val df = emb.select(call_function("float_dot", col("embedding"), col("embedding")).as("d"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "float_dot fell out of codegen")
+  }
+
   test("optimizer rule rewrites the HOF cosine into the native expression") {
     graft.plans.GraftRewrites.enable(spark)
     try {

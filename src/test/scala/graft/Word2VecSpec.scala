@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Word2Vec
+
+class Word2VecSpec extends SparkTestBase {
+  import TestSpark.spark.implicits._
+
+  /** Tiny corpus with two planted synonym pairs: (alpha, beta) always
+    * appear inside identical contexts, (dog, cat) likewise in a
+    * different context family; filler sentences decorrelate the rest. */
+  private def corpus(): DataFrame = {
+    val sents =
+      (0 until 30).flatMap(i => Seq(
+        s"red alpha blue shift$i",
+        s"red beta blue shift$i")) ++
+      (0 until 30).flatMap(i => Seq(
+        s"tree dog stone leaf$i",
+        s"tree cat stone leaf$i")) ++
+      (0 until 30).map(i => s"river cloud mountain wind$i sun moon")
+    sents.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def vectors(emb: DataFrame, words: String*): Map[String, Array[Float]] =
+    emb.filter(col("word").isin(words: _*))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+    d / math.sqrt(na * nb)
+  }
+
+  test("planted synonyms embed closer than cross-family and unrelated pairs") {
+    val emb = Word2Vec.train(corpus(), vocabSize = 64, dim = 16,
+      window = 2, negatives = 3, iters = 15, lr = 4.0, seed = 42L)
+    val vs = vectors(emb, "alpha", "beta", "dog", "cat", "cloud")
+    val syn1 = cos(vs("alpha"), vs("beta"))
+    val syn2 = cos(vs("dog"), vs("cat"))
+    val cross = cos(vs("alpha"), vs("dog"))
+    val unrel = cos(vs("alpha"), vs("cloud"))
+    assert(syn1 > cross + 0.2, s"alpha~beta ($syn1) must beat alpha~dog ($cross)")
+    assert(syn2 > cross + 0.2, s"dog~cat ($syn2) must beat alpha~dog ($cross)")
+    assert(syn1 > unrel + 0.2, s"alpha~beta ($syn1) must beat alpha~cloud ($unrel)")
+  }
+
+  test("training is reproducible under a fixed seed") {
+    val e1 = Word2Vec.train(corpus(), vocabSize = 32, dim = 8, iters = 3, seed = 7L)
+    val e2 = Word2Vec.train(corpus(), vocabSize = 32, dim = 8, iters = 3, seed = 7L)
+    val m1 = e1.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    val m2 = e2.collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(m1.keySet == m2.keySet)
+    // mean gradients are tiny double aggregates; allow float-level slack
+    // for partition-order-dependent summation
+    m1.foreach { case (w, a) =>
+      val b = m2(w)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-5f, s"$w diverged between identical runs")
+      }
+    }
+  }
+
+  test("vocabulary caps, ranks by frequency, and indexes densely") {
+    val v = Word2Vec.vocabulary(corpus(), 10).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(v.size == 10)
+    assert(v.values.toSeq.sorted == (0 until 10))
+    // red/blue/tree/stone appear 60x each, beating every shiftN/leafN
+    assert(Seq("red", "blue", "tree", "stone").forall(v.contains))
+  }
+
+  test("t05 emits one embedding row per vocab word on the documents table") {
+    val out = Word2Vec.t05.run(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.select("word").distinct().count() == out.count())
+    val dims = out.select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(16), s"all embeddings must be dim 16, got ${dims.mkString(",")}")
+  }
+}
