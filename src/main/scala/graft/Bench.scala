@@ -16,6 +16,14 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN. Interleaving (round-robin, not back-to-back repeats) means a
   * transient contention spike on a shared machine hits at most one of a
   * query's samples, so the median survives a contended sandbox.
+  *
+  * Kill-safety: the harness may SIGTERM this process before it finishes
+  * (an external wall-clock smaller than one contended pass). Samples
+  * accumulate in a concurrent map and a JVM shutdown hook prints the
+  * JSON line from whatever has been gathered, so a truncated run still
+  * reports every query measured so far (un-measured queries read -1 and
+  * the line carries "partial":true). Exactly ONE line ever reaches
+  * stdout — the hook and the normal path race through an AtomicBoolean.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,49 +38,74 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    // local-iteration filter (comma-separated names); the driver never
+    // sets it, so official runs always cover the full registry
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(allNames)(keep => allNames.filter(keep))
 
-    // warmup: one scan-agg absorbs session/codegen/scan setup cost
-    exec("q01_agg")
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+    @volatile var roundsDone = 0
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    // time budget: always complete round 1 (full coverage); later rounds
-    // only start while under budget, so a heavily contended machine gets
-    // a complete single-pass result instead of a timeout. The default must
-    // comfortably exceed one CONTENDED full pass (~900-950 s observed), or
-    // rounds 2-3 never start and the "median" degenerates to a single
-    // contended sample — hence 3600, not 900.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3600").toDouble
-    val start = System.nanoTime()
-    def elapsed: Double = (System.nanoTime() - start) / 1e9
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val samples = (1 to rounds).flatMap { r =>
-      if (r == 1 || elapsed < budgetSec) names.map(n => n -> exec(n)) else Nil
-    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
-    val results = names.map(n => n -> r3(median(samples(n))))
-    val roundsRun = samples.values.map(_.size).max
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).filter(_ >= 0).sum)
-    // one parse-friendly JSON line, flushed straight to stdout (the
-    // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt).
-    // Headline fields (total, rounds actually run) come FIRST so a
+    // Headline fields (total, rounds actually completed) come FIRST so a
     // tail-truncated capture still carries the number that matters.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsRun,"sf":"$sfDir","queries":$qs}""")
-    Console.flush()
+    def render(): String = {
+      val results = names.map { n =>
+        n -> r3(median(Option(samples.get(n)).getOrElse(Nil)))
+      }
+      val total = r3(results.map(_._2).filter(_ >= 0).sum)
+      val partial = results.exists(_._2 < 0) || roundsDone == 0
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"sf":"$sfDir","queries":$qs}"""
+    }
+    def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      // one parse-friendly JSON line, flushed straight to stdout (the
+      // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt)
+      println(render())
+      Console.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
+
+    def exec(r: Int, name: String): Unit = {
+      val t0 = System.nanoTime()
+      val sec =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      samples.merge(name, List(sec), (a, b) => a ++ b)
+      System.err.println(f"[bench] round $r $name%-28s ${sec}%.3f s")
+    }
+
+    // warmup: one scan-agg absorbs session/codegen/scan setup cost
+    try SparkEntry.queries("q01_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    // time budget: always complete round 1 (full coverage); later rounds
+    // only start while under budget, so a heavily contended machine gets
+    // a complete single-pass result instead of a timeout. The shutdown
+    // hook covers the harder failure mode (external kill mid-round).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3600").toDouble
+    val start = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - start) / 1e9
+    for (r <- 1 to rounds if r == 1 || elapsed < budgetSec) {
+      names.foreach(n => exec(r, n))
+      roundsDone = r
+    }
+    emit()
     spark.stop()
   }
 }

@@ -70,12 +70,15 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[PairsKey, DataFrame]()
 
   /** Snapshot version of the files under `dir`: one cheap driver-side
-    * recursive listing (no Spark job). 0 for a non-filesystem key. */
-  private def corpusVersion(spark: SparkSession, dir: String): Long = {
+    * recursive listing (no Spark job). None when the listing fails or the
+    * path doesn't resolve — callers must then BYPASS the cache (compute
+    * unpersisted) rather than alias distinct corpora onto a shared
+    * sentinel slot, where one could evict or poison the other. */
+  private def corpusVersion(spark: SparkSession, dir: String): Option[Long] = {
     try {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(path)) 0L
+      if (!fs.exists(path)) None
       else {
         var h = 1125899906842597L
         val it = fs.listFiles(path, true)
@@ -85,13 +88,13 @@ object Similarity {
           h = h * 31 + f.getLen
           h = h * 31 + f.getModificationTime
         }
-        h
+        Some(h)
       }
-    } catch { case _: Exception => 0L }
+    } catch { case _: Exception => None }
   }
 
   /** Unpersist and drop every cached pair stage owned by `spark`. */
-  def evictPairsCache(spark: SparkSession): Unit = {
+  def evictPairsCache(spark: SparkSession): Unit = pairsCache.synchronized {
     val sid = System.identityHashCode(spark)
     val it = pairsCache.entrySet().iterator()
     while (it.hasNext) {
@@ -103,20 +106,32 @@ object Similarity {
   def jaccardPairsShared(
       docs: DataFrame, corpusKey: String, dfCap: Int, minJaccard: Double): DataFrame = {
     val spark = docs.sparkSession
-    val key = PairsKey(System.identityHashCode(spark), corpusKey, dfCap, minJaccard,
-      corpusVersion(spark, corpusKey))
-    // evict superseded snapshots of the same corpus before (re)computing,
-    // so a changed corpus never leaks the old version's storage
-    val it = pairsCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey.copy(version = key.version) == key && e.getKey.version != key.version) {
-        e.getValue.unpersist(blocking = true); it.remove()
-      }
+    corpusVersion(spark, corpusKey) match {
+      case None =>
+        // unversionable corpus: no caching — a stale or cross-corpus hit
+        // is worse than recomputing the (tiny) pair stage per consumer
+        jaccardPairs(docs, dfCap, minJaccard)
+      case Some(version) =>
+        val key = PairsKey(
+          System.identityHashCode(spark), corpusKey, dfCap, minJaccard, version)
+        // evict-superseded + insert must be one atomic sequence: without
+        // the lock, a concurrent caller could unpersist a DataFrame this
+        // thread just received, or two versions could race to insert.
+        // The lock only guards plan construction (lazy — no Spark job),
+        // so holding it is cheap.
+        pairsCache.synchronized {
+          val it = pairsCache.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getKey.copy(version = version) == key && e.getKey.version != version) {
+              e.getValue.unpersist(blocking = true); it.remove()
+            }
+          }
+          pairsCache.computeIfAbsent(key,
+            _ => jaccardPairs(docs, dfCap, minJaccard)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }
     }
-    pairsCache.computeIfAbsent(key,
-      _ => jaccardPairs(docs, dfCap, minJaccard)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Exact n-gram Jaccard pairs over the df-capped shingle space: grams

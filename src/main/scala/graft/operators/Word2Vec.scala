@@ -57,6 +57,7 @@ object Word2Vec {
     * SGNS noise, tolerated by every implementation. */
   def trainingPairs(docs: DataFrame, vocab: DataFrame, vocabSize: Int,
                     window: Int, negatives: Int, seed: Long): DataFrame = {
+    require(negatives >= 0, s"negatives must be >= 0, got $negatives")
     val indexed = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
       .join(broadcast(vocab), "word")
@@ -72,14 +73,19 @@ object Word2Vec {
     // the draw hashes the OCCURRENCE (doc, position), not just the word
     // pair: a pair that recurs across the corpus gets fresh negatives
     // each time, keeping the noise distribution diverse — hashing only
-    // (c, t, i) would nail every recurrence to the same 3 words
-    val neg = pos
-      .withColumn("i", explode(sequence(lit(1), lit(negatives))))
-      .select(col("doc_id"), col("cpos"), col("c"),
-        pmod(xxhash64(col("doc_id"), col("cpos"), col("c"), col("i"), lit(seed)),
-          lit(vocabSize.toLong)).cast("int").as("t"),
-        lit(0.0).as("label"))
-    pos.unionByName(neg).select("c", "t", "label")
+    // (c, t, i) would nail every recurrence to the same 3 words.
+    // negatives=0 must skip the explode entirely: sequence(1, 0) defaults
+    // to step -1 and would silently emit TWO draws per positive
+    if (negatives == 0) pos.select("c", "t", "label")
+    else {
+      val neg = pos
+        .withColumn("i", explode(sequence(lit(1), lit(negatives))))
+        .select(col("doc_id"), col("cpos"), col("c"),
+          pmod(xxhash64(col("doc_id"), col("cpos"), col("c"), col("i"), lit(seed)),
+            lit(vocabSize.toLong)).cast("int").as("t"),
+          lit(0.0).as("label"))
+      pos.unionByName(neg).select("c", "t", "label")
+    }
   }
 
   /** Train and return the (word, embedding array<float>) vocab table.
@@ -96,7 +102,13 @@ object Word2Vec {
     val vocab = vocabulary(docs, vocabSize).localCheckpoint()
     val nVocab = vocab.count().toInt
     require(nVocab >= 2, s"need at least 2 in-vocab words, got $nVocab")
+    // checkpoint the pair set COMPACTED: the per-iteration job reruns 15
+    // times over this exact data, so paying one coalesce now buys 15×
+    // fewer near-empty tasks later. ~4M pairs/partition keeps partitions
+    // well under executor memory even after the ×2×dim posexplode.
+    val nPart = math.max(1, (docs.sparkSession.sparkContext.defaultParallelism / 4))
     val data = trainingPairs(docs, vocab, nVocab, window, negatives, seed)
+      .repartition(nPart)
       .localCheckpoint()
 
     // deterministic init: BOTH matrices uniform(-0.5, 0.5)/dim from a
@@ -144,9 +156,21 @@ object Word2Vec {
   /** Registered entry: the trained vocab embedding table over
     * `documents`. Rows-only (iterative training is not SQL-expressible);
     * Word2VecSpec asserts planted synonyms embed closer than random
-    * pairs and that runs reproduce under the fixed seed. */
+    * pairs and that runs reproduce under the fixed seed.
+    *
+    * Two registered-entry-specific choices (the trainer itself takes any
+    * corpus): the training slice is a DETERMINISTIC doc_id bound — like
+    * d05's fixed query set — so the entry's cost is constant across
+    * scale factors instead of 15 full-corpus iterations at bench scale;
+    * and the output vector is serialized to a rounded CSV string because
+    * the driver's pandas-side compare sorts column values and cannot
+    * hash a raw array column. */
   val t05 = Q.rowsOnly("t05_word2vec") { (s, dir) =>
-    train(Tables.documents(s, dir)).orderBy("word")
+    train(Tables.documents(s, dir).filter(col("doc_id") < 500))
+      .select(col("word"),
+        concat_ws(",", transform(col("embedding"),
+          x => format_string("%.5f", x))).as("embedding_csv"))
+      .orderBy("word")
   }
 
   val all: Seq[Q] = Seq(t05)

@@ -10,6 +10,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * without the normalization, for kernels where the raw inner product IS
   * the quantity (skip-gram logits, pre-normalized embeddings). Same
   * arithmetic contract: float multiplies, double left-fold accumulation.
+  *
+  * Length contract (same as FloatCosine): mismatched vectors fold over
+  * the SHORTER length rather than raising — SQL-surface-safe for ragged
+  * data, but it means a dimension mismatch yields a plausible partial
+  * product, not an error. Callers that control both sides (the word2vec
+  * trainer builds both matrices at a fixed dim) must enforce equal
+  * lengths upstream; a mismatch there is always a caller bug.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {

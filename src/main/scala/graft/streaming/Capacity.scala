@@ -74,17 +74,20 @@ object Capacity {
 
     /** twoChoiceStrategy (JobMonitor.scala:471): DETERMINISTIC shedding —
       * each helpee `a` reallocates its load across itself and the two
-      * helpers with the highest load/capability ratio, proportionally to
-      * the three ratios: with ρ(k) = load(k)/capability(k) and h1, h2 the
-      * top-2 helpers by ρ, the split is ρ(k)/(ρ(a)+ρ(h1)+ρ(h2)) for
-      * k ∈ {a, h1, h2}. Loads are updated after each helpee (helpee keeps
+      * MOST-IDLE helpers, proportionally to idleness: with
+      * σ(k) = capability(k)/load(k) and h1, h2 the top-2 helpers by σ,
+      * the split is σ(k)/(σ(a)+σ(h1)+σ(h2)) for k ∈ {a, h1, h2} — the
+      * overloaded helpee (low σ) keeps little, spare capacity (high σ)
+      * absorbs most. Loads are updated after each helpee (helpee keeps
       * load·share(a); each helper gains load·share(h)), so later helpees
-      * see the shifted load — exactly the reference's sequential
-      * bytesInputRate update. (The reference recomputes the ratio map
-      * with capability/load after each helpee — inconsistent with its own
-      * initial load/capability definition; this implementation keeps
-      * load/capability throughout, matching the strategy's documented
-      * intent and the per-helpee split arithmetic.)
+      * see the shifted load and pick the CURRENTLY least-loaded helpers —
+      * the reference's sequential bytesInputRate update. (The reference's
+      * two ratio definitions disagree — load/capability on the first
+      * helpee, capability/load after it; the first would shed toward the
+      * BUSIEST helpers. This implementation keeps the capability/load
+      * direction throughout: it is the one the strategy's sequential
+      * recomputation actually uses, and the only one that moves load
+      * toward idle capacity.)
       *
       * @return (plan, finalLoads): plan(a) maps each of {a, h1, h2} to its
       *         share of a's original load; finalLoads is the load map
@@ -95,15 +98,19 @@ object Capacity {
         helpees: Seq[String],
         helpers: Set[String]): (Map[String, Map[String, Double]], Map[String, Double]) = {
       val load = mutable.Map(loads.toSeq: _*)
-      def ratio(k: String): Double = load.getOrElse(k, 0.0) / math.max(caps.getOrElse(k, 0.0), 1e-9)
+      def idleness(k: String): Double =
+        caps.getOrElse(k, 0.0) / math.max(load.getOrElse(k, 0.0), 1e-9)
       val plan = mutable.Map.empty[String, Map[String, Double]]
       for (a <- helpees) {
-        val cands = (helpers - a).toSeq.sortBy(k => (-ratio(k), k))
+        val cands = (helpers - a).toSeq.sortBy(k => (-idleness(k), k))
         if (cands.size >= 2) {
           val (h1, h2) = (cands(0), cands(1))
-          val denom = ratio(a) + ratio(h1) + ratio(h2)
+          val denom = idleness(a) + idleness(h1) + idleness(h2)
           if (denom > 0) {
-            val shares = Map(a -> ratio(a) / denom, h1 -> ratio(h1) / denom, h2 -> ratio(h2) / denom)
+            val shares = Map(
+              a -> idleness(a) / denom,
+              h1 -> idleness(h1) / denom,
+              h2 -> idleness(h2) / denom)
             val orig = load.getOrElse(a, 0.0)
             load(h1) = load.getOrElse(h1, 0.0) + orig * shares(h1)
             load(h2) = load.getOrElse(h2, 0.0) + orig * shares(h2)

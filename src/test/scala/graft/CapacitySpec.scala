@@ -35,27 +35,30 @@ class CapacitySpec extends SparkTestBase {
     assert(makespan < uniformMakespan / 2)
   }
 
-  test("twoChoice mirrors the reference's three-way proportional shed on a worked example") {
-    // nodeCapability / bytesInputRate as in JobMonitor.twoChoiceStrategy:
-    // helpee a: cap 1, load 8  -> ratio 8
-    // helpers: h1 cap 4 load 8 -> ratio 2 ; h2 cap 8 load 8 -> ratio 1 ;
-    //          h3 cap 10 load 1 -> ratio 0.1 (NOT picked: two-choice takes
-    //          the two HIGHEST load/capability helpers)
+  test("twoChoice sheds to the two most-idle helpers, shares proportional to idleness") {
+    // idleness = capability/load (the direction JobMonitor.twoChoiceStrategy's
+    // sequential recomputation uses):
+    // helpee a: cap 1, load 8  -> σ 0.125
+    // helpers: h3 cap 10 load 1 -> σ 10 ; h2 cap 8 load 8 -> σ 1 ;
+    //          h1 cap 4 load 8 -> σ 0.5 (NOT picked: two-choice takes the
+    //          two MOST-IDLE helpers, and h1 is the busiest)
     val caps = Map("a" -> 1.0, "h1" -> 4.0, "h2" -> 8.0, "h3" -> 10.0)
     val loads = Map("a" -> 8.0, "h1" -> 8.0, "h2" -> 8.0, "h3" -> 1.0)
     val (plan, after) = Assignment.twoChoice(caps, loads, Seq("a"), Set("h1", "h2", "h3"))
-    // denominator = 8 + 2 + 1 = 11; shares proportional to the ratios
+    // denominator = 0.125 + 10 + 1; shares proportional to idleness, so
+    // the overloaded helpee keeps almost nothing and idle h3 takes most
+    val d = 0.125 + 10.0 + 1.0
     val shares = plan("a")
-    assert(math.abs(shares("a") - 8.0 / 11) < 1e-12)
-    assert(math.abs(shares("h1") - 2.0 / 11) < 1e-12)
-    assert(math.abs(shares("h2") - 1.0 / 11) < 1e-12)
-    assert(!shares.contains("h3"))
-    // loads updated exactly as the reference: helpee keeps load*share(a),
-    // each chosen helper gains load*share(h)
-    assert(math.abs(after("a") - 8.0 * 8 / 11) < 1e-12)
-    assert(math.abs(after("h1") - (8.0 + 8.0 * 2 / 11)) < 1e-12)
-    assert(math.abs(after("h2") - (8.0 + 8.0 * 1 / 11)) < 1e-12)
-    assert(after("h3") == 1.0)
+    assert(math.abs(shares("a") - 0.125 / d) < 1e-12)
+    assert(math.abs(shares("h3") - 10.0 / d) < 1e-12)
+    assert(math.abs(shares("h2") - 1.0 / d) < 1e-12)
+    assert(!shares.contains("h1"))
+    // loads updated sequentially: helpee keeps load*share(a), each chosen
+    // helper gains load*share(h)
+    assert(math.abs(after("a") - 8.0 * 0.125 / d) < 1e-12)
+    assert(math.abs(after("h3") - (1.0 + 8.0 * 10.0 / d)) < 1e-12)
+    assert(math.abs(after("h2") - (8.0 + 8.0 * 1.0 / d)) < 1e-12)
+    assert(after("h1") == 8.0)
     // no load created or destroyed
     assert(math.abs(after.values.sum - loads.values.sum) < 1e-9)
   }
@@ -64,15 +67,20 @@ class CapacitySpec extends SparkTestBase {
     val caps = Map("a" -> 1.0, "b" -> 1.0, "h1" -> 10.0, "h2" -> 10.0)
     val loads = Map("a" -> 10.0, "b" -> 10.0, "h1" -> 1.0, "h2" -> 0.5)
     val (plan, after) = Assignment.twoChoice(caps, loads, Seq("a", "b"), Set("h1", "h2"))
-    // helpee a sheds first, raising h1/h2 ratios; b's denominator and
-    // shares must reflect the POST-a loads, not the originals
+    // helpee a sheds first (mostly to h2, the idler helper), lowering
+    // h1/h2 idleness; b's denominator and shares must reflect the POST-a
+    // loads, not the originals
     assert(plan.contains("a") && plan.contains("b"))
+    assert(plan("a")("h2") > plan("a")("h1"), "a must favor the idler helper h2")
     val bShares = plan("b")
-    val r1AfterA = (loads("h1") + 10.0 * plan("a")("h1")) / 10.0
-    val r2AfterA = (loads("h2") + 10.0 * plan("a")("h2")) / 10.0
-    val denomB = 10.0 / 1.0 + r1AfterA + r2AfterA
-    assert(math.abs(bShares("b") - 10.0 / denomB) < 1e-12)
-    assert(math.abs(bShares("h1") - r1AfterA / denomB) < 1e-12)
+    val s1AfterA = caps("h1") / (loads("h1") + 10.0 * plan("a")("h1"))
+    val s2AfterA = caps("h2") / (loads("h2") + 10.0 * plan("a")("h2"))
+    val denomB = caps("b") / loads("b") + s1AfterA + s2AfterA
+    assert(math.abs(bShares("b") - (caps("b") / loads("b")) / denomB) < 1e-12)
+    assert(math.abs(bShares("h1") - s1AfterA / denomB) < 1e-12)
+    assert(math.abs(bShares("h2") - s2AfterA / denomB) < 1e-12)
+    // after a's shed h1 is now the idler of the two, so b flips preference
+    assert(bShares("h1") > bShares("h2"), "b must track the post-a idleness order")
     assert(math.abs(after.values.sum - loads.values.sum) < 1e-9)
   }
 

@@ -70,11 +70,24 @@ class Word2VecSpec extends SparkTestBase {
     assert(Seq("red", "blue", "tree", "stone").forall(v.contains))
   }
 
-  test("t05 emits one embedding row per vocab word on the documents table") {
+  test("t05 emits one scalar-typed embedding row per vocab word on the documents table") {
     val out = Word2Vec.t05.run(spark, sfDir).cache()
     assert(out.count() > 0)
     assert(out.select("word").distinct().count() == out.count())
-    val dims = out.select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    // the driver's compare can only hash scalar columns — the vector is
+    // serialized, 16 comma-separated rounded floats per row
+    assert(out.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.StringType))
+    val dims = out.select(size(split(col("embedding_csv"), ",")))
+      .distinct().collect().map(_.getInt(0))
     assert(dims.toSeq == Seq(16), s"all embeddings must be dim 16, got ${dims.mkString(",")}")
+  }
+
+  test("negatives=0 yields positives only (no phantom descending-sequence draws)") {
+    val vocab = Word2Vec.vocabulary(corpus(), 32)
+    val pairs = Word2Vec.trainingPairs(corpus(), vocab, 32,
+      window = 2, negatives = 0, seed = 1L)
+    assert(pairs.filter(col("label") === 0.0).count() == 0)
+    assert(pairs.count() > 0)
   }
 }
