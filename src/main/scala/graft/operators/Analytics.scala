@@ -367,6 +367,29 @@ object Analytics {
     approx.join(exact, "l_returnflag").orderBy("l_returnflag")
   }
 
+  /** GROUPING SETS — the explicit-set surface distinct from q15's ROLLUP
+    * and q16's CUBE: an arbitrary set list including the two single-column
+    * sets a rollup would never produce together, with `grouping()` flags
+    * disambiguating aggregate NULLs from (absent here) data NULLs. The
+    * same engine-portable text runs on both engines; Spark plans it as
+    * one Expand (4 replicas) over a single partial+final agg — per-set
+    * re-scans would read the fact table four times. */
+  private val q47Text =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio,
+      |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  val q47 = Q.sql("q47_grouping_sets", q47Text) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q47Text)
+  }
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    q23, q24, q25, q26, q27, q28, q29, q30, q41)
+    q23, q24, q25, q26, q27, q28, q29, q30, q41, q47)
 }

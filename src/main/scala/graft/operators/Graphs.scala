@@ -100,5 +100,88 @@ object Graphs {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(lp01)
+  /** Per-vertex triangle counts (reference graphx/lib/TriangleCount.scala:1)
+    * by DEGREE-ORIENTED wedge enumeration, the shape that survives scale:
+    * every undirected edge is oriented from its (degree, id)-smaller
+    * endpoint toward the larger, wedges are built only between
+    * out-neighbors, and a wedge closes iff the oriented closing edge
+    * exists. Orienting by degree bounds each vertex's out-degree by
+    * O(√|E|) regardless of how skewed the raw degree distribution is —
+    * a celebrity node with 10M followers contributes no wedges from its
+    * own fanout, so the wedge join never explodes on hubs (the naive
+    * id-ordered orientation does). Every step is a key-equality join or
+    * aggregate; nothing is driver-side.
+    *
+    * Orientation changes only the enumeration order, never the triangle
+    * set, so an id-oriented SQL oracle counts the same triangles.
+    *
+    * @param edges undirected `src`,`dst` (either orientation, duplicates
+    *              and self-loops tolerated)
+    * @return (id, triangles) for vertices in at least one triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val keyed = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    // total order on vertices: (degree, id) — packed as a comparable
+    // struct so ties between equal-degree vertices stay deterministic
+    val ku = struct(col("du").as("d"), col("u").as("i"))
+    val kv = struct(col("dv").as("d"), col("v").as("i"))
+    val oriented = keyed.select(
+      when(ku < kv, col("u")).otherwise(col("v")).as("src"),
+      when(ku < kv, col("v")).otherwise(col("u")).as("dst"),
+      when(ku < kv, kv).otherwise(ku).as("dk"))
+    // wedges fan out from each oriented source over its (bounded)
+    // out-neighborhood; dk-ordering means the closing edge, if present,
+    // is oriented exactly (b → c)
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src") && col("x.dk") < col("y.dk"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Triangle counts over the co-purchase graph: parts are connected when
+    * they appear in the same order at least twice (the support threshold
+    * keeps the graph at real co-occurrence instead of one dense clique
+    * per order). Pair generation is bounded per order by the order's item
+    * count, so the edge build is a groupBy over a linear-in-lineitem
+    * pair stream — no all-pairs product anywhere. */
+  val tc01 = Q.sql(
+    "tc01_triangle_count",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (SELECT a.p AS u, b.p AS v
+      |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |          GROUP BY u, v HAVING count(*) >= 2),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM pairs e1 JOIN pairs e2 ON e2.u = e1.v
+      |        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |verts AS (SELECT a AS partkey FROM tri
+      |          UNION ALL SELECT b FROM tri
+      |          UNION ALL SELECT c FROM tri)
+      |SELECT partkey, count(*) AS triangles
+      |FROM verts GROUP BY partkey ORDER BY partkey""".stripMargin) { (s, dir) =>
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val copurchase = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("src", "dst")
+    triangleCounts(copurchase)
+      .select(col("id").as("partkey"), col("triangles"))
+      .orderBy("partkey")
+  }
+
+  val all: Seq[Q] = Seq(lp01, tc01)
 }

@@ -387,6 +387,34 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** The catalog cache surface (reference sql/core CacheManager.scala:1,
+    * SQLContext.cacheTable): a named temp view is registered in the
+    * session catalog and cached through `spark.catalog.cacheTable`, so
+    * EVERY query that touches the name — this one, later SQL text, other
+    * sessions' jobs on the same SparkSession — reads the columnar
+    * in-memory copy instead of re-scanning parquet. The cache is lazy
+    * (populated by this query's own first materialization) and columnar
+    * with per-batch min/max stats, so downstream filters still prune.
+    * RelationalSpec plan-locks the InMemoryRelation and the uncache path.
+    * The oracle is the identical aggregation over the raw table — caching
+    * must be semantically invisible. */
+  val q48 = Q.sql(
+    "q48_cached_table",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total, round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_cached")
+    s.catalog.cacheTable("graft_orders_cached")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, round(avg(o_totalprice), 2) AS avg_price
+        |FROM graft_orders_cached
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q42, q43, q44, q45, q46)
+    q42, q43, q44, q45, q46, q48)
 }

@@ -147,5 +147,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04)
+  /** TF-IDF document keywords (reference mllib/feature/HashingTF.scala:1 +
+    * IDF.scala:1 semantics, unhashed): per-(doc, term) raw counts, corpus
+    * document frequency, idf = ln(N/df), top-3 terms per doc by rounded
+    * tfidf with a term-asc tiebreak. Every stage is a partial-aggregating
+    * groupBy or key-equality join; the corpus size N travels as a 1-row
+    * broadcast (no driver action). The df join shuffles on term — the
+    * vocabulary-safe choice (a broadcast model caps vocab like t03; the
+    * shuffle join never needs to). Ranking happens on the ROUNDED score so
+    * a last-ulp ln() difference between engines cannot flip an order. */
+  val t06 = Q.sql(
+    "t06_tfidf",
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |              FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df, round(tf * ln(n * 1.0 / df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+    tfidfTopTerms(Tables.documents(s, dir), k = 3).orderBy("doc_id", "rk")
+  }
+
+  /** Top-k TF-IDF terms per document — see [[t06]] for the scale notes. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col("doc_id")).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n") * lit(1.0) / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+  }
+
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06)
 }

@@ -49,6 +49,32 @@ class GraphsSpec extends SparkTestBase {
     assert(left != right, "the bridge must not merge the two communities")
   }
 
+  test("triangle counts: K4 plus a pendant edge") {
+    import TestSpark.spark.implicits._
+    // K4 on {0..3} has 4 triangles, each vertex in exactly 3; the pendant
+    // 3-4 closes nothing and 4 must not appear
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(0L to 3L) :+ (3L, 4L)).toDF("src", "dst")
+    val counts = Graphs.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == (0L to 3L).map(_ -> 3L).toMap,
+      s"each K4 vertex sits in 3 triangles, pendant in none; got $counts")
+  }
+
+  test("triangle counts are invariant to edge orientation, duplicates and self-loops") {
+    import TestSpark.spark.implicits._
+    // same K4, but every edge reversed, duplicated, and a self-loop added
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val noisy = (clique(0L to 3L).map { case (a, b) => (b, a) } ++
+      clique(0L to 3L) :+ (2L, 2L)).toDF("src", "dst")
+    val counts = Graphs.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == (0L to 3L).map(_ -> 3L).toMap,
+      s"canonicalization must absorb orientation/dup/self-loop noise; got $counts")
+  }
+
   test("label propagation: isolated vertices keep their own label; deterministic across runs") {
     import TestSpark.spark.implicits._
     val vertices = (0L to 5L).toDF("id")

@@ -49,6 +49,28 @@ class PlanSpec extends SparkTestBase {
       s"scalar compare not broadcast:\n$p")
   }
 
+  test("q47 grouping sets plan one Expand over a single partial+final agg") {
+    val p = plan(Analytics.q47.run(spark, sfDir))
+    assert(p.contains("Expand"), s"grouping sets must Expand, not re-scan per set:\n$p")
+    assert(p.contains("partial_"), s"expanded agg lost map-side combine:\n$p")
+  }
+
+  test("q48 reads the cached in-memory copy; uncache restores the scan") {
+    val p = plan(Relational.q48.run(spark, sfDir))
+    assert(p.contains("In-memory table") || p.contains("InMemoryTableScan"),
+      s"q48 did not hit the columnar cache:\n$p")
+    // column pruning must reach THROUGH the cache: the scan reads the two
+    // needed columns, not the full cached relation
+    assert(p.contains("Scan In-memory table graft_orders_cached [o_totalprice"),
+      s"cache scan is unpruned:\n$p")
+    assert(spark.catalog.isCached("graft_orders_cached"))
+    spark.catalog.uncacheTable("graft_orders_cached")
+    assert(!spark.catalog.isCached("graft_orders_cached"))
+    val p2 = plan(spark.sql("SELECT count(*) AS n FROM graft_orders_cached"))
+    assert(!p2.contains("In-memory table") && !p2.contains("InMemoryTableScan"),
+      s"uncacheTable must drop the in-memory copy:\n$p2")
+  }
+
   test("whole-stage codegen is active on the scan-agg path") {
     // AQE finalizes the physical plan only on execution; run the query
     // first, then the adaptive plan shows its codegen stages as "*(n)"

@@ -100,4 +100,23 @@ class TextSpec extends SparkTestBase {
     assert(t1.filter(col("n_ws_tokens") <= 0 || col("n_subwords") < col("n_ws_tokens")).count() == 0)
     assert(t2.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
   }
+
+  test("t06 tfidf ranks the rare term above the ubiquitous one") {
+    import TestSpark.spark.implicits._
+    // "banana" appears in every doc (idf = ln 1 = 0); each doc's rare term
+    // must outrank it no matter how often banana repeats
+    val docs = Seq(
+      (1L, "apple apple banana banana banana"),
+      (2L, "cherry banana banana"),
+      (3L, "durian banana")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(docs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top == Map(1L -> "apple", 2L -> "cherry", 3L -> "durian"),
+      s"rare terms must win on idf, got $top")
+    // exact scores: tf * ln(3/1) for the winners
+    val scores = TextOps.tfidfTopTerms(docs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(math.abs(scores(1L) - math.round(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(scores(3L) - math.round(math.log(3.0) * 1e6) / 1e6) < 1e-9)
+  }
 }
