@@ -17,6 +17,12 @@ object Graphs {
 
   /** Standard damped PageRank with uniform dangling-mass redistribution.
     *
+    * The dangling mass (rank parked on sink nodes) rides INSIDE the
+    * round's plan as a broadcast 1-row aggregate instead of a separate
+    * driver-side action, so each iteration costs exactly one job (the
+    * localCheckpoint) — half the per-round job count of collecting the
+    * scalar first.
+    *
     * @param vertices single column `id`
     * @param edges    directed edges `src`,`dst`
     * @return (id, rank); ranks sum to 1 over the vertex set
@@ -31,14 +37,15 @@ object Graphs {
       val contribs = e.join(ranks, e("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("c"))
-      // rank mass parked on sink nodes (no out-edges) is spread uniformly
-      val danglingMass = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      // rank mass parked on sink nodes (no out-edges), spread uniformly
+      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
       ranks = vertices.select(col("id"))
         .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n)))
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / n))
             .as("rank"))
         .localCheckpoint()
     }

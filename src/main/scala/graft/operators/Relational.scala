@@ -387,6 +387,66 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q18 shape (large-volume orders): the IN-subquery carries its
+    * own GROUP BY + HAVING, so Catalyst must plan agg → semi join → agg.
+    * l_quantity is summed twice (once to qualify, once to report) — the
+    * engine, not the author, decides whether to reuse the aggregate. */
+  private val q49Text =
+    """SELECT c_name, c_custkey, o_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |GROUP BY c_name, c_custkey, o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  val q49 = Q.sql("q49_sql_big_orders", q49Text) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(q49Text)
+  }
+
+  /** TPC-H Q22 shape (rich-but-idle customers): a scalar AVG subquery in
+    * the predicate AND a correlated NOT EXISTS (anti join) in the same
+    * WHERE, grouped output. The reference's market segments stand in for
+    * Q22's country codes; "idle" = no order above the high-value bar
+    * (every synthetic customer has SOME order, so the classic
+    * no-orders-at-all predicate would be vacuously empty). */
+  private val q50Text =
+    """SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  val q50 = Q.sql("q50_sql_rich_idle", q50Text) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q50Text)
+  }
+
+  /** TPC-H Q11 shape (revenue concentration): a CTE aggregated once,
+    * filtered against a scalar fraction of ITS OWN total — the
+    * agg-vs-scalar-of-same-agg pattern. Threshold compares each engine's
+    * own unrounded sums; rounding only in the projection (q45's rule). */
+  private val q51Text =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT l_suppkey, round(r, 2) AS revenue
+      |FROM rev
+      |WHERE r > (SELECT sum(r) * 0.0102 FROM rev)
+      |ORDER BY l_suppkey""".stripMargin
+
+  val q51 = Q.sql("q51_sql_revenue_share", q51Text) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(q51Text)
+  }
+
   /** The catalog cache surface (reference sql/core CacheManager.scala:1,
     * SQLContext.cacheTable): a named temp view is registered in the
     * session catalog and cached through `spark.catalog.cacheTable`, so
@@ -416,5 +476,5 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q42, q43, q44, q45, q46, q48)
+    q42, q43, q44, q45, q46, q48, q49, q50, q51)
 }

@@ -199,5 +199,20 @@ object Stats {
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39)
+  /** Stratified sampling (DataFrameStatFunctions.sampleBy, the
+    * PairRDDFunctions.sampleByKey surface): per-stratum Bernoulli
+    * fractions in one distributed pass — the training-data move for
+    * rebalancing a language/domain mix without a shuffle (sampling is a
+    * map-side filter; no groupBy anywhere). Engine-specific RNG, so
+    * rows-only; StatsSpec asserts determinism, per-stratum rates and
+    * that unlisted strata drop out. */
+  val q52 = Q.rowsOnly("q52_sample_by") { (s, dir) =>
+    graft.Tables.documents(s, dir)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1), seed = 42L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52)
 }

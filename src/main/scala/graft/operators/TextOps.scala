@@ -191,5 +191,62 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "tfidf", "rk")
   }
 
-  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06)
+  /** Greedy sequence packing for training-context assembly: documents are
+    * deterministically sliced by `doc_id % nParts` (NOT repartitionByRange,
+    * whose sampled boundaries change run-to-run), sorted within each
+    * slice, and filled first-fit into bins of `capacity` tokens. Bin ids
+    * are namespaced by the SLICE KEY (`slice << 32 | local`), a pure
+    * function of the data — never by TaskContext partition id, which is
+    * not stable under plan composition (inside a union — e.g. the one
+    * `exceptAll` builds — a branch's partitions get union-wide indexes).
+    * Packing is SLICE-LOCAL — zero cross-slice coordination, which is the
+    * whole 100 TB design: the only shuffle is the slice assignment, then
+    * every executor packs its slices independently; the result is
+    * byte-identical under ANY physical placement, coalescing included.
+    * The per-slice imperative fill is the rare genuinely-sequential
+    * kernel mapPartitions exists for (a bin's remaining space depends on
+    * every prior doc in the slice).
+    *
+    * A doc longer than `capacity` gets a bin of its own (chunking it is
+    * the tokenizer/trainer's call, not the packer's). Sequential
+    * first-fit guarantees any two consecutive bins in a slice overflow
+    * `capacity` together, so bin count < 2·total/capacity + P.
+    */
+  def packSequences(docs: DataFrame, capacity: Int, nParts: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      pmod(col("doc_id"), lit(nParts.toLong)).as("slice"))
+    sized.repartition(nParts, col("slice"))
+      .sortWithinPartitions("slice", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // a physical partition may hold several slices (hash collisions);
+        // the sort groups them contiguously, so one pass with a reset on
+        // slice change packs each slice independently
+        var cur = -1L
+        var bin = 0L
+        var used = 0L
+        it.map { case (docId, n, slice) =>
+          if (slice != cur) { cur = slice; bin = 0L; used = 0L }
+          else if (used > 0 && used + n > capacity) { bin += 1; used = 0 }
+          used += n
+          (docId, n, (slice << 32) | bin)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bin_id")
+  }
+
+  /** Registered packing pass: 256-token bins over 8 range partitions.
+    * Rows-only (bin ids are engine-local); TextSpec asserts the packing
+    * invariants — capacity respected, every doc exactly once, bin count
+    * near the lower bound, deterministic. */
+  val t07 = Q.rowsOnly("t07_pack_sequences") { (s, dir) =>
+    packSequences(Tables.documents(s, dir), capacity = 256, nParts = 8)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07)
 }

@@ -36,4 +36,27 @@ class StatsSpec extends SparkTestBase {
       assert(math.abs(hit.getAs[Double]("o_totalprice") - maxPrice) < 1e-6)
     }
   }
+
+  test("q52 sampleBy hits each stratum's rate, drops unlisted strata, repeats per seed") {
+    val fractions = Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1)
+    val docs = Tables.documents(spark, sfDir)
+    val got = Stats.q52.run(spark, sfDir).cache()
+    assert(got.filter(!col("lang").isInCollection(fractions.keys.toSeq)).count() == 0,
+      "strata without a fraction must not appear")
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (lang, f) =>
+      val n = base(lang).toDouble
+      val rate = sampled.getOrElse(lang, 0L) / n
+      // 4-sigma binomial tolerance around the requested fraction
+      val tol = 4 * math.sqrt(f * (1 - f) / n)
+      assert(math.abs(rate - f) <= tol, s"$lang rate $rate vs $f (n=$n, tol=$tol)")
+    }
+    val again = Stats.q52.run(spark, sfDir)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty,
+      "same seed must reproduce the same sample")
+    got.unpersist()
+  }
 }

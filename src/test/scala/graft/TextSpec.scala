@@ -119,4 +119,26 @@ class TextSpec extends SparkTestBase {
     assert(math.abs(scores(1L) - math.round(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
     assert(math.abs(scores(3L) - math.round(math.log(3.0) * 1e6) / 1e6) < 1e-9)
   }
+
+  test("t07 packing respects capacity, covers every doc, stays near the bin lower bound") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = TextOps.packSequences(docs, capacity = 256, nParts = 8).cache()
+    val nDocs = docs.count()
+    assert(packed.count() == nDocs, "every doc packed exactly once")
+    assert(packed.select("doc_id").distinct().count() == nDocs)
+    // a bin may exceed capacity ONLY as a single oversized doc
+    val overfull = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .filter(col("fill") > 256 && col("n") > 1)
+    assert(overfull.count() == 0, "multi-doc bins must fit the capacity")
+    // sequential first-fit: consecutive bins overflow together, so
+    // binCount < 2*total/capacity + nParts
+    val total = packed.agg(sum("n_tokens")).head.getLong(0)
+    val bins = packed.select("bin_id").distinct().count()
+    assert(bins < 2 * total / 256 + 8 + 1, s"$bins bins for $total tokens is too loose")
+    val again = TextOps.packSequences(docs, capacity = 256, nParts = 8)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty,
+      "packing must be deterministic")
+    packed.unpersist()
+  }
 }
