@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.streaming.EventTimeOps
@@ -169,5 +170,85 @@ object EventTime {
       .orderBy("ws", "event_type")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** Scalable AS-OF join: for each left row, the single right row with
+    * the same `key` and the greatest `ts` not after the left row's —
+    * point-in-time attribution/enrichment (the operator this Spark
+    * lineage lacks natively; DuckDB/kdb ship it built in).
+    *
+    * NOT implemented as a range join: `l.key = r.key AND r.ts <= l.ts`
+    * explodes into every-prior-row pairs before a per-row argmax prunes
+    * them — quadratic in events-per-key, dead at 100 TB. Instead both
+    * sides union into ONE keyed stream, sorted per key by (ts, side,
+    * payload), and a running `last(right_payload, ignoreNulls)` window
+    * carries the newest right row forward into each left row: one
+    * shuffle on the key, one in-partition sort, zero join operators in
+    * the plan (AsOfSpec locks that), each row touched once.
+    *
+    * Determinism: right rows sort before left rows at equal ts (<=
+    * semantics), and equal-(key, ts) right rows tie-break by the full
+    * payload struct — the lexicographically greatest payload wins.
+    *
+    * @param left  must contain `key` and `ts`
+    * @param right must contain `key` and `ts`; all its other columns
+    *              (plus `ts` itself) come back as `r_`-prefixed match
+    *              columns, null where no right row is at or before
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayload = right.columns.toSeq.filterNot(_ == key)
+    val lp = struct(lCols.map(col): _*)
+    val rp = struct(rPayload.map(col): _*)
+    val lpType = left.select(lp).schema.head.dataType
+    val rpType = right.select(rp).schema.head.dataType
+    val l = left.select(col(key).as("_k"), col(ts).as("_t"), lit(0).as("_side"),
+      lp.as("_lp"), lit(null).cast(rpType).as("_rp"))
+    val r = right.select(col(key).as("_k"), col(ts).as("_t"), lit(1).as("_side"),
+      lit(null).cast(lpType).as("_lp"), rp.as("_rp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k")
+      .orderBy(col("_t").asc, col("_side").desc, col("_rp").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_match", last("_rp", ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(lCols.map(c => col(s"_lp.$c").as(c)) ++
+        rPayload.map(c => col(s"_match.$c").as(s"r_$c")): _*)
+  }
+
+  /** Click-to-purchase attribution via [[asofJoin]]: each click event is
+    * annotated with the same user's most recent purchase at or before
+    * it. The oracle is the naive range join + per-click argmax — the
+    * semantics the one-pass implementation must reproduce exactly. */
+  val s10 = Q.sql(
+    "s10_asof_join",
+    """WITH clicks AS (SELECT DISTINCT event_id, user_id, ts FROM events
+      |                WHERE event_type = 'click'),
+      |purchases AS (SELECT DISTINCT user_id, ts, event_id AS p_event_id, value AS p_value
+      |              FROM events WHERE event_type = 'purchase'),
+      |ranked AS (
+      |  SELECT c.event_id, c.user_id, CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+      |    p.p_event_id AS purchase_id, p.p_value AS purchase_value,
+      |    CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+      |    row_number() OVER (PARTITION BY c.event_id, c.user_id, c.ts
+      |                       ORDER BY p.ts DESC NULLS LAST, p.p_event_id DESC NULLS LAST) AS rk
+      |  FROM clicks c LEFT JOIN purchases p ON p.user_id = c.user_id AND p.ts <= c.ts)
+      |SELECT event_id, user_id, ts_us, purchase_id, purchase_value, purchase_ts_us
+      |FROM ranked WHERE rk = 1
+      |ORDER BY event_id, user_id, ts_us""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+      .distinct()
+    asofJoin(clicks, purchases, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("r_p_event_id").as("purchase_id"), col("r_p_value").as("purchase_value"),
+        unix_micros(col("r_ts")).as("purchase_ts_us"))
+      .orderBy("event_id", "user_id", "ts_us")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

@@ -159,9 +159,11 @@ object Graphs {
   /** Triangle counts over the co-purchase graph: parts are connected when
     * they appear in the same order at least twice (the support threshold
     * keeps the graph at real co-occurrence instead of one dense clique
-    * per order). Pair generation is bounded per order by the order's item
-    * count, so the edge build is a groupBy over a linear-in-lineitem
-    * pair stream — no all-pairs product anywhere. */
+    * per order). Pair generation happens IN-ROW: items collect per order
+    * (bounded by order size) and the ordered pairs are expanded with
+    * array HOFs before one support aggregate — one shuffle on orderkey,
+    * one on the pair, no self-join of the item stream (which would
+    * shuffle lineitem twice and join it against itself). */
   val tc01 = Q.sql(
     "tc01_triangle_count",
     """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -176,12 +178,16 @@ object Graphs {
       |          UNION ALL SELECT c FROM tri)
       |SELECT partkey, count(*) AS triangles
       |FROM verts GROUP BY partkey ORDER BY partkey""".stripMargin) { (s, dir) =>
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val copurchase = items.as("a")
-      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+    val itemsByOrder = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set("l_partkey")).as("ps"))
+    // ordered pairs (ps[i], ps[j]) for i < j, expanded in-row
+    val pairsPerOrder = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("src"), y.as("dst")))))
+    val copurchase = itemsByOrder
+      .select(explode(pairsPerOrder).as("pr"))
+      .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
       .select("src", "dst")
