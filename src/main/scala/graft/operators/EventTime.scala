@@ -250,5 +250,59 @@ object EventTime {
       .orderBy("event_id", "user_id", "ts_us")
   }
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** Scalable RANGE (interval) join: all (left, right) pairs sharing
+    * `key` with `right.rts ∈ [left.lts, left.lts + windowMicros]`.
+    *
+    * Spark plans a raw inequality join as BroadcastNestedLoop — an
+    * all-pairs scan per key that dies at scale. Binning turns it into an
+    * EQUALITY join: right rows land in bin `rts div W`, each left row's
+    * window spans exactly bins `lts div W` and `+1` (bin width == window
+    * width), so the left side fans out ×2, the join runs hash-partitioned
+    * on (key, bin), and the exact range predicate filters inside the
+    * join. A right row lives in ONE bin, so no pair can match twice — no
+    * dedup pass. `div` (exact integer division) computes bins: a double
+    * `/`+floor could flip a boundary bin at large epochs.
+    *
+    * @param lts,rts epoch-microsecond long columns; all other column
+    *                names must be disjoint between the two sides
+    */
+  def intervalJoinBinned(left: DataFrame, lts: String, right: DataFrame, rts: String,
+      key: String, windowMicros: Long): DataFrame = {
+    val l = left.withColumn("_bin",
+      explode(array(expr(s"$lts div ${windowMicros}L"), expr(s"$lts div ${windowMicros}L") + 1L)))
+    val r = right.withColumn("_bin", expr(s"$rts div ${windowMicros}L"))
+    l.join(r, Seq(key, "_bin"))
+      .filter(col(rts) >= col(lts) && col(rts) <= col(lts) + windowMicros)
+      .drop("_bin")
+  }
+
+  /** View-to-purchase window attribution via [[intervalJoinBinned]]:
+    * every (view, purchase) pair per user where the purchase follows the
+    * view within 24 hours. The oracle is the naive inequality join. */
+  val s11 = Q.sql(
+    "s11_interval_join",
+    """WITH v AS (SELECT DISTINCT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT DISTINCT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT v.event_id AS view_id, v.user_id,
+      |  CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+      |  p.event_id AS purchase_id, CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+      |FROM v JOIN p ON p.user_id = v.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+      |ORDER BY view_id, v.user_id, view_ts_us, purchase_id, purchase_ts_us""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val dayUs = 24L * 3600L * 1000000L
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("view_ts_us")).distinct()
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us")).distinct()
+    intervalJoinBinned(v, "view_ts_us", p, "purchase_ts_us", "user_id", dayUs)
+      .select("view_id", "user_id", "view_ts_us", "purchase_id", "purchase_ts_us")
+      .orderBy("view_id", "user_id", "view_ts_us", "purchase_id", "purchase_ts_us")
+  }
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

@@ -44,4 +44,32 @@ class AsOfSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
     assert(p.contains("Window"), s"expected the running-last window:\n$p")
   }
+
+  test("interval join matches boundaries inclusively, across bins, never across keys") {
+    import TestSpark.spark.implicits._
+    val left = Seq((1L, 10L, 0L), (2L, 10L, 90L), (3L, 99L, 0L))
+      .toDF("view_id", "user_id", "lt")
+    val right = Seq(
+      (10L, 10L, 0L),    // == left 1 start (inclusive)
+      (11L, 10L, 100L),  // == left 1 end (inclusive); in left 2's window
+      (12L, 10L, 101L),  // past left 1's end; in left 2's window (bin 1)
+      (13L, 10L, 191L),  // past left 2's end
+      (14L, 99L, 50L))   // other key: only left 3 may match
+      .toDF("purchase_id", "user_id", "rt")
+    val got = EventTime.intervalJoinBinned(left, "lt", right, "rt", "user_id", 100L)
+      .select("view_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 14L)),
+      s"wrong pair set: $got")
+  }
+
+  test("interval join plans as an equality join, not a nested-loop scan") {
+    val df = EventTime.s11.run(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed equality join:\n$p")
+  }
 }
