@@ -447,6 +447,57 @@ object Relational {
     s.sql(q51Text)
   }
 
+  /** NOT IN — the NULL-AWARE anti join, a genuinely different operator
+    * from q11's NOT EXISTS: one NULL in the subquery list legally empties
+    * the whole result, so Catalyst cannot plan a plain anti join unless
+    * it proves the list non-null; it plans the specialized
+    * null-aware broadcast anti join instead (plan-locked in PlanSpec).
+    * o_totalprice is emitted RAW — per-row rounding is the known
+    * engine-mismatch trap; IEEE doubles are bit-identical already. */
+  private val q53Text =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                        WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin
+
+  val q53 = Q.sql("q53_null_aware_anti", q53Text) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(q53Text)
+  }
+
+  /** Global row numbering WITHOUT a one-reducer sort — the RDD
+    * `zipWithIndex` surface (reference core rdd/ZippedWithIndexRDD.scala:1)
+    * re-expressed over a Dataset. `row_number() OVER (ORDER BY ...)`
+    * funnels every row through a single partition; this instead
+    * range-partitions + locally sorts, then zipWithIndex runs ONE small
+    * count job for per-partition offsets and tags rows in place — the
+    * only way to number 100 TB. Index = global rank in `sortCol` order,
+    * independent of partition boundaries, so the (sampled,
+    * run-varying) range split never changes the result; `sortCol` must
+    * be unique or ties make the rank ill-defined. The deliberate `.rdd`
+    * drop-down: zipWithIndex's offset pass has no Dataset equivalent. */
+  def withGlobalIndex(df: DataFrame, sortCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(n, col(sortCol)).sortWithinPartitions(sortCol)
+    val rdd = parted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd,
+      parted.schema.add("idx", org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  val q54 = Q.sql(
+    "q54_zip_index",
+    """SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    withGlobalIndex(Tables.orders(s, dir).select("o_orderkey"), "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
   /** The catalog cache surface (reference sql/core CacheManager.scala:1,
     * SQLContext.cacheTable): a named temp view is registered in the
     * session catalog and cached through `spark.catalog.cacheTable`, so
@@ -476,5 +527,5 @@ object Relational {
   }
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
-    q42, q43, q44, q45, q46, q48, q49, q50, q51)
+    q42, q43, q44, q45, q46, q48, q49, q50, q51, q53, q54)
 }

@@ -71,6 +71,15 @@ class PlanSpec extends SparkTestBase {
       s"uncacheTable must drop the in-memory copy:\n$p2")
   }
 
+  test("q53 NOT IN plans the null-aware anti join, not a nested loop") {
+    val p = plan(Relational.q53.run(spark, sfDir))
+    assert(p.contains("NullAwareAntiJoin") ||
+      (p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      s"NOT IN lost its specialized anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN fell back to the nested-loop plan:\n$p")
+  }
+
   test("whole-stage codegen is active on the scan-agg path") {
     // AQE finalizes the physical plan only on execution; run the query
     // first, then the adaptive plan shows its codegen stages as "*(n)"
