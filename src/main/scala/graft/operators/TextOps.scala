@@ -248,5 +248,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07)
+  /** Approximate heavy hitters over the term stream
+    * (DataFrameStatFunctions.freqItems — the Karp/Misra-Gries
+    * one-pass sketch): the boilerplate/stopword-discovery primitive for
+    * corpus cleaning. The sketch guarantees a SUPERSET of every term
+    * with frequency > support using O(1/support) memory in one
+    * distributed pass — no exact groupBy over an unbounded vocabulary.
+    * The driver holds ≤ 1/support candidate terms (bounded by
+    * construction, like k-means' centroid set). Rows-only (sketch
+    * contents are engine-specific beyond the guarantee); TextSpec
+    * asserts the superset property against exact counts. */
+  def freqTerms(docs: DataFrame, support: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    toks.stat.freqItems(Seq("term"), support)
+      .head.getSeq[String](0)
+      .sorted.toDF("term")
+  }
+
+  val t08 = Q.rowsOnly("t08_freq_terms") { (s, dir) =>
+    freqTerms(Tables.documents(s, dir), support = 0.01).orderBy("term")
+  }
+
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08)
 }

@@ -130,6 +130,10 @@ object Word2Vec {
         .join(broadcast(model.select(col("idx").as("c"), col("u"))), "c")
         .join(broadcast(model.select(col("idx").as("t"), col("v"))), "t")
         .withColumn("g",
+          // float_dot truncates to min(length) on mismatch (FloatCosine's
+          // documented contract); here both sides come from the same
+          // `model` literal, so lengths are equal by construction — a
+          // mismatch can't silently corrupt gradients
           lit(1.0) / (lit(1.0) + exp(-call_function("float_dot", col("u"), col("v"))))
             - col("label"))
       // both gradient streams through one shuffle; map-side combine

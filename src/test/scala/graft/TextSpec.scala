@@ -120,6 +120,20 @@ class TextSpec extends SparkTestBase {
     assert(math.abs(scores(3L) - math.round(math.log(3.0) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("t08 freqItems returns a superset of every truly-frequent term") {
+    val docs = Tables.documents(spark, sfDir)
+    val sketch = TextOps.freqTerms(docs, support = 0.01)
+      .collect().map(_.getString(0)).toSet
+    val toks = docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val total = toks.count()
+    val exactHot = toks.groupBy("term").count()
+      .filter(col("count") > total * 0.01)
+      .collect().map(_.getString(0)).toSet
+    assert(exactHot.nonEmpty, "corpus must have at least one frequent term")
+    assert(exactHot.subsetOf(sketch),
+      s"sketch missed frequent terms: ${exactHot -- sketch}")
+  }
+
   test("t07 packing respects capacity, covers every doc, stays near the bin lower bound") {
     val docs = Tables.documents(spark, sfDir)
     val packed = TextOps.packSequences(docs, capacity = 256, nParts = 8).cache()
