@@ -127,5 +127,69 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(mm01, mm02)
+  final case class AudioWindow(doc_id: Long, win_idx: Int, offset: Long,
+                               energy: Double, peak: Int)
+
+  /** Audio-path plumbing (the third modality beside mm01's image-style
+    * decode and mm02's video frames): OVERLAPPING windows on a hop grid
+    * — window w covers bytes [w·hop, w·hop + windowBytes), hop <
+    * windowBytes, the STFT-style layout every audio featurizer consumes.
+    * The hop grid and the window slices are column expressions
+    * (posexplode over a sequence + codegen'd binary substring); only the
+    * per-window sample math (RMS energy + peak over centered bytes — the
+    * stand-in for a real DSP kernel) runs batched in mapPartitions.
+    * Windows quieter than `minEnergy` are dropped AFTER feature
+    * extraction with a declarative filter — voice-activity-style
+    * trimming the optimizer can see. Partial tail windows are dropped,
+    * as a fixed-window featurizer would. */
+  def windowAudio(media: Dataset[MediaRecord], windowBytes: Int, hopBytes: Int,
+                  minEnergy: Double): Dataset[AudioWindow] = {
+    implicit val enc = Encoders.product[AudioWindow]
+    val nWins = ((col("n_bytes") - windowBytes) / hopBytes).cast("int") + 1
+    val grid = media.toDF()
+      .filter(col("n_bytes") >= windowBytes)
+      .select(col("doc_id"), posexplode(sequence(lit(0), nWins - 1)).as(Seq("_p", "win_idx")))
+      .select(col("doc_id"), col("win_idx"))
+    val windows = media.toDF().select(col("doc_id"), col("payload"))
+      .join(grid, "doc_id")
+      .select(col("doc_id"), col("win_idx"),
+        (col("win_idx").cast("long") * hopBytes).as("offset"),
+        expr(s"substring(payload, win_idx * $hopBytes + 1, $windowBytes)").as("win"))
+    windows.as[(Long, Int, Long, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, idx, off, win) =>
+          var sumSq = 0.0
+          var peak = 0
+          var i = 0
+          while (i < win.length) {
+            val centered = (win(i) & 0xFF) - 128
+            sumSq += centered.toDouble * centered
+            if (math.abs(centered) > peak) peak = math.abs(centered)
+            i += 1
+          }
+          AudioWindow(id, idx, off, math.sqrt(sumSq / win.length), peak)
+        }
+      }
+      .filter(col("energy") >= minEnergy)
+  }
+
+  /** Overlapping 256-byte windows, 128-byte hop, energy-trimmed. Rows
+    * only; MultimodalSpec pins the hop-grid arithmetic, overlap, trim
+    * behavior and determinism on planted payloads. */
+  val mm03 = Q.rowsOnly("mm03_audio_windows") { (s, dir) =>
+    implicit val enc = Encoders.product[MediaRecord]
+    val media = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("audio/fake").as("mime"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+    windowAudio(media, windowBytes = 256, hopBytes = 128, minEnergy = 1.0).toDF()
+      .withColumn("energy", round(col("energy"), 6))
+      .orderBy("doc_id", "win_idx")
+  }
+
+  val all: Seq[Q] = Seq(mm01, mm02, mm03)
 }

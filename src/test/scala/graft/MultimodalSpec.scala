@@ -66,4 +66,46 @@ class MultimodalSpec extends SparkTestBase {
       .collect().sortBy(_.frame_idx)
     assert(other.map(_.checksum).toSeq != frames.map(_.checksum).toSeq)
   }
+
+  test("mm03 hop grid overlaps correctly and trims silent windows") {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    implicit val enc = Encoders.product[Multimodal.MediaRecord]
+    // 1000 loud bytes: windows at hop 128 with width 256 -> floor((1000-256)/128)+1 = 6
+    val loud = Array.tabulate(1000)(i => ((i * 37) % 256).toByte)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType),
+      StructField("mime", StringType), StructField("n_bytes", LongType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, loud, "audio/fake", 1000L)), schema)
+    val wins = Multimodal.windowAudio(df.as[Multimodal.MediaRecord],
+        windowBytes = 256, hopBytes = 128, minEnergy = 0.0)
+      .collect().sortBy(_.win_idx)
+    assert(wins.map(_.win_idx).toSeq == (0 until 6), s"hop grid wrong: ${wins.map(_.win_idx).toSeq}")
+    assert(wins.map(_.offset).toSeq == (0 until 6).map(_ * 128L), "offsets must step by hop")
+    assert(wins.forall(w => w.energy > 0 && w.peak > 0))
+
+    // an all-128 payload is digital silence (centered samples all zero):
+    // every window must be trimmed at any positive threshold
+    val silent = Array.fill(1000)(128.toByte)
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, silent, "audio/fake", 1000L)), schema)
+    val trimmed = Multimodal.windowAudio(df2.as[Multimodal.MediaRecord],
+        windowBytes = 256, hopBytes = 128, minEnergy = 1.0)
+      .collect()
+    assert(trimmed.isEmpty, s"silent windows must be trimmed, got ${trimmed.length}")
+
+    // payload shorter than one window yields nothing (no partial windows)
+    val short = Array.tabulate(100)(_.toByte)
+    val df3 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(3L, short, "audio/fake", 100L)), schema)
+    assert(Multimodal.windowAudio(df3.as[Multimodal.MediaRecord],
+      windowBytes = 256, hopBytes = 128, minEnergy = 0.0).collect().isEmpty)
+
+    // determinism
+    val again = Multimodal.windowAudio(df.as[Multimodal.MediaRecord],
+        windowBytes = 256, hopBytes = 128, minEnergy = 0.0)
+      .collect().sortBy(_.win_idx)
+    assert(wins.map(w => (w.energy, w.peak)).toSeq == again.map(w => (w.energy, w.peak)).toSeq)
+  }
 }
