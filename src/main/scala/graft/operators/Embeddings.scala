@@ -151,5 +151,34 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(d08)
+  /** L2 normalization of the embedding table (MLlib feature/Normalizer
+    * parity) — the standard prep before cosine ANN / spherical k-means
+    * (on unit vectors, cosine == dot). Pure map-side column math, no
+    * shuffle; emitted EXPLODED to scalar (vec_id, dim_idx, v) rows so
+    * the oracle compares plainly (array columns don't hash driver-side).
+    * Precision discipline is d05's: float elements, double
+    * accumulation — identical in both engines, so round(6) is safe. */
+  val d10 = Q.sql(
+    "d10_normalize",
+    """WITH stats AS (
+      |  SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+      |  FROM embeddings)
+      |SELECT e.vec_id, i AS dim_idx, round(e.embedding[i] / s.nrm, 6) AS v
+      |FROM embeddings e JOIN stats s ON e.vec_id = s.vec_id,
+      |  unnest(range(1, 65)) t(i)
+      |ORDER BY e.vec_id, dim_idx""".stripMargin) { (s, dir) =>
+    // float×float product, double accumulation — exactly what DuckDB's
+    // list_sum(list_transform(x -> x*x)) computes (d05's discipline)
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + (x * x).cast("double")))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), nrm.as("nrm"))
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("_p", "x")), col("nrm"))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("dim_idx"),
+        round(col("x").cast("double") / col("nrm"), 6).as("v"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
+  val all: Seq[Q] = Seq(d08, d10)
 }
