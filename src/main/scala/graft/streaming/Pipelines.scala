@@ -119,6 +119,49 @@ object Pipelines {
         |p_ts <= c_ts + interval 10 minutes""".stripMargin))
   }
 
+  final case class TaggedEvent(user_id: Long, ts: java.sql.Timestamp,
+                               is_purchase: Boolean, event_id: Long, value: Double)
+  final case class LatestPurchase(tsMs: Long, id: Long, value: Double)
+  final case class ClickEnriched(user_id: Long, click_id: Long, click_ts_ms: Long,
+                                 purchase_id: Option[Long], purchase_value: Option[Double])
+
+  /** LIVE as-of enrichment — the streaming counterpart of the batch
+    * [[graft.operators.EventTime.asofJoin]]: each click is annotated with
+    * the same user's most recent purchase at or before it, from O(1)
+    * per-key state (just the newest purchase), not a buffered window.
+    * Within a micro-batch, events process in event-time order (purchases
+    * first at equal ts — `<=` semantics; equal-ts purchases resolve to
+    * the max event id, the batch operator's exact tie contract), so
+    * results match the batch as-of whenever cross-batch arrival respects
+    * event-time order; a late purchase (older than one already applied)
+    * is ignored rather than rewriting emitted history — the standard
+    * streaming-enrichment contract. */
+  def streamingAsOf(tagged: Dataset[TaggedEvent]): Dataset[ClickEnriched] = {
+    implicit val stateEnc = Encoders.product[LatestPurchase]
+    implicit val outEnc = Encoders.product[ClickEnriched]
+    implicit val keyEnc = Encoders.scalaLong
+    tagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[TaggedEvent], state: GroupState[LatestPurchase]) =>
+          val evs = batch.toArray.sortBy(e => (e.ts.getTime, !e.is_purchase, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClickEnriched]
+          var cur = state.getOption
+          evs.foreach { e =>
+            if (e.is_purchase) {
+              if (cur.forall(c => e.ts.getTime > c.tsMs ||
+                  (e.ts.getTime == c.tsMs && e.event_id > c.id)))
+                cur = Some(LatestPurchase(e.ts.getTime, e.event_id, e.value))
+            } else {
+              out += ClickEnriched(uid, e.event_id, e.ts.getTime,
+                cur.map(_.id), cur.map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class TypedEvent(event_type: String, ts: java.sql.Timestamp, value: Double)
   final case class SliceWindowState(slices: Map[Long, (Long, Double)])
   final case class WindowEmit(event_type: String, ws: Long, n: Long, total_value: Double)

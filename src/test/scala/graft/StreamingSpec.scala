@@ -273,6 +273,48 @@ class StreamingSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("live as-of enrichment matches the batch contract across micro-batches") {
+    import TestSpark.spark.implicits._
+    import graft.streaming.Pipelines.TaggedEvent
+    val src = Files.createTempDirectory("graft-asof-src").toString
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val stream = Pipelines.streamingAsOf(
+      TestSpark.spark.readStream
+        .schema(Seq.empty[TaggedEvent].toDS().schema)
+        .parquet(src).as[TaggedEvent])
+    val q = Pipelines.startToMemory(stream.toDF(), "asof_test", "append")
+
+    // batch 1: user 1 clicks before/after their purchase; user 2 never buys
+    Seq(
+      TaggedEvent(1L, t(10), is_purchase = true, 1L, 5.0),
+      TaggedEvent(1L, t(5), is_purchase = false, 100L, 0.0),
+      TaggedEvent(1L, t(15), is_purchase = false, 101L, 0.0),
+      TaggedEvent(2L, t(10), is_purchase = false, 200L, 0.0))
+      .toDS().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    // batch 2: state from batch 1 serves the early click; an equal-ts
+    // purchase wins over the click at the same instant (<= semantics)
+    Seq(
+      TaggedEvent(1L, t(18), is_purchase = false, 103L, 0.0),
+      TaggedEvent(1L, t(20), is_purchase = true, 2L, 7.0),
+      TaggedEvent(1L, t(20), is_purchase = false, 102L, 0.0))
+      .toDS().write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = TestSpark.spark.table("asof_test")
+      .collect()
+      .map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+         Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got(100L) == (None, None), "click before any purchase")
+    assert(got(101L) == (Some(1L), Some(5.0)), "same-batch purchase applies")
+    assert(got(200L) == (None, None), "user with no purchases")
+    assert(got(103L) == (Some(1L), Some(5.0)), "state must carry across micro-batches")
+    assert(got(102L) == (Some(2L), Some(7.0)), "equal-ts purchase wins (<= semantics)")
+  }
+
   test("session windows via shared EventTimeOps match gaps-and-islands ground truth") {
     val ev = Tables.events(spark, sfDir)
     val sessions = EventTimeOps.sessionAgg(ev, "ts", "1 hour", "user_id")
