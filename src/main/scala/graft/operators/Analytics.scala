@@ -390,6 +390,56 @@ object Analytics {
     s.sql(q47Text)
   }
 
+  /** collect_set / collect_list — the groupByKey-materializing surface
+    * (PairRDD groupByKey parity). The set is sorted then serialized to
+    * one string so the comparison is scalar (and because emitting
+    * unordered arrays is exactly how collect_list results become
+    * nondeterministic downstream — ordering before use is the
+    * contract). Distinct-per-group state is bounded by the priority
+    * domain here; an unbounded-cardinality collect_list is the
+    * anti-pattern this query deliberately avoids. */
+  val q55 = Q.sql(
+    "q55_collect_agg",
+    """SELECT o_custkey,
+      |  count(*) AS n_orders,
+      |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(sort_array(collect_set("o_orderpriority")), ",").as("priorities"))
+      .orderBy("o_custkey")
+  }
+
+  /** The remaining window-function surface in one query: lead / lag,
+    * ntile, percent_rank, cume_dist — each partitioned per customer with
+    * a unique (ts-equivalent) tiebreak. percent_rank/cume_dist are exact
+    * small-integer ratios, bit-identical across engines, so no
+    * rounding. */
+  val q56 = Q.sql(
+    "q56_window_suite",
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey) OVER w AS prev_order,
+      |  lead(o_orderkey) OVER w AS next_order,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    q23, q24, q25, q26, q27, q28, q29, q30, q41, q47)
+    q23, q24, q25, q26, q27, q28, q29, q30, q41, q47, q55, q56)
 }
