@@ -440,6 +440,55 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** EXCEPT ALL / INTERSECT ALL — the MULTISET set ops (q28 covers the
+    * distinct-set forms): a customer with 3 open and 1 filled order
+    * appears twice in the except branch, once per surplus copy. Planned
+    * as a replicate-by-count aggregate, not a distinct + join. */
+  val q57 = Q.sql(
+    "q57_set_all",
+    """SELECT o_custkey, 'except_all' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_custkey, 'intersect_all' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |ORDER BY op, o_custkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val filled = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    open.exceptAll(filled).withColumn("op", lit("except_all"))
+      .unionByName(open.intersectAll(filled).withColumn("op", lit("intersect_all")))
+      .orderBy("op", "o_custkey")
+  }
+
+  /** unpivot/melt — pivot's inverse (q29 covers the forward direction):
+    * the wide per-status counts fold back to (priority, status, n) rows.
+    * The oracle builds the same long shape from the domain cross product
+    * left-joined to the counts (zero-filled), which is what unpivot of a
+    * zero-filled pivot must equal. */
+  val q58 = Q.sql(
+    "q58_unpivot",
+    """WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |s AS (SELECT unnest(['F', 'O', 'P']) AS status),
+      |c AS (SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n
+      |      FROM orders GROUP BY 1, 2)
+      |SELECT p.o_orderpriority, s.status, coalesce(c.n, 0) AS n
+      |FROM p CROSS JOIN s
+      |LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority AND c.status = s.status
+      |ORDER BY p.o_orderpriority, s.status""".stripMargin) { (s, dir) =>
+    val wide = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
   val all: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q20, q21, q22,
-    q23, q24, q25, q26, q27, q28, q29, q30, q41, q47, q55, q56)
+    q23, q24, q25, q26, q27, q28, q29, q30, q41, q47, q55, q56, q57, q58)
 }
