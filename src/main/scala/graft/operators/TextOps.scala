@@ -271,5 +271,43 @@ object TextOps {
     freqTerms(Tables.documents(s, dir), support = 0.01).orderBy("term")
   }
 
-  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08)
+  /** Overlapping document chunking — the context-window prep that feeds
+    * [[t07]]'s packer: token windows of 64 with stride 48 (16-token
+    * overlap so no boundary context is lost), the partial tail kept
+    * (unlike mm02's fixed frames — a trainer wants the text's end). All
+    * column expressions: the token array is built once per row, the
+    * chunk grid explodes from a closed-form count, slices are engine
+    * `slice`/list ops — map-only until the final sort, fully
+    * SQL-expressible, hence a full value oracle rather than a spec. */
+  val t09 = Q.sql(
+    "t09_chunk_overlap",
+    """WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+      |  FROM documents),
+      |grid AS (
+      |  SELECT doc_id, w, n,
+      |    CASE WHEN n <= 64 THEN 1 ELSE (n - 17) // 48 + 1 END AS n_chunks
+      |  FROM words)
+      |SELECT doc_id, i AS chunk_idx,
+      |  CAST(len(w[i * 48 + 1 : i * 48 + 64]) AS BIGINT) AS n_tokens,
+      |  array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+      |FROM grid, unnest(range(0, n_chunks)) t(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nChunks = when(n <= 64, lit(1L))
+      .otherwise(((n - 17).cast("long") / 48).cast("long") + 1L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("w", slice(col("w"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("w")).cast("long").as("n_tokens"),
+        array_join(col("w"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09)
 }
