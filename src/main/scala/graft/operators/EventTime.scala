@@ -263,8 +263,11 @@ object EventTime {
     * dedup pass. `div` (exact integer division) computes bins: a double
     * `/`+floor could flip a boundary bin at large epochs.
     *
-    * @param lts,rts epoch-microsecond long columns; all other column
-    *                names must be disjoint between the two sides
+    * @param lts,rts epoch-microsecond long columns, assumed non-negative
+    *                (`div` truncates toward zero, so pre-1970 stamps
+    *                would misalign one bin — floor-divide if you need
+    *                them); all other column names must be disjoint
+    *                between the two sides
     */
   def intervalJoinBinned(left: DataFrame, lts: String, right: DataFrame, rts: String,
       key: String, windowMicros: Long): DataFrame = {
