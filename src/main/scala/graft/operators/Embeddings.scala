@@ -180,5 +180,33 @@ object Embeddings {
       .orderBy("vec_id", "dim_idx")
   }
 
-  val all: Seq[Q] = Seq(d08, d10)
+  /** Symmetric int8 scalar quantization per vector (the ANN memory
+    * lever: 4× smaller vectors, SIMD int dot products — what a
+    * 100 TB-scale index stores instead of float32): per-vector scale
+    * max|x|/127, code floor(x/scale + 0.5) ∈ [-127, 127]. floor(+0.5),
+    * NOT round(): per-row round() is the known engine-mismatch trap,
+    * while this floor runs the same IEEE double ops in both engines.
+    * nullif guards the all-zero vector (NULL codes, not ±inf). Map-only;
+    * exploded to scalar rows for the driver compare. */
+  val d11 = Q.sql(
+    "d11_quantize_int8",
+    """WITH scales AS (
+      |  SELECT vec_id, list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT e.vec_id, i AS dim_idx,
+      |  CAST(floor(e.embedding[i] / nullif(s.scale, 0.0) + 0.5) AS BIGINT) AS q
+      |FROM embeddings e JOIN scales s ON e.vec_id = s.vec_id,
+      |  unnest(range(1, 65)) t(i)
+      |ORDER BY e.vec_id, dim_idx""".stripMargin) { (s, dir) =>
+    val scale = array_max(transform(col("embedding"), x => abs(x))) / lit(127.0)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("_p", "x")), col("scale"))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("dim_idx"),
+        floor(col("x") / nullif(col("scale"), lit(0.0)) + 0.5).cast("long").as("q"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
+  val all: Seq[Q] = Seq(d08, d10, d11)
 }
