@@ -55,4 +55,44 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(run1.size == Tables.embeddings(spark, sfDir).count())
     assert(run1.map(_.getInt(1)).distinct.size >= 2, "clustering must not collapse to one cluster")
   }
+
+  test("d11 int8 codes reconstruct within scale/2 and preserve nearest neighbors") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val codes = Embeddings.d11.run(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toInt)
+      }
+    assert(codes.size == emb.size)
+    // symmetric quantization bound: |x - q*scale| <= scale/2, codes in [-127,127]
+    emb.foreach { case (id, v) =>
+      val scale = v.map(math.abs).max / 127.0
+      val q = codes(id)
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+      v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-9,
+          s"vec $id reconstruction error beyond scale/2")
+      }
+    }
+    // the index built from int8 codes must find (almost) the same top-5
+    // cosine neighbors as float32 for the d05 query set
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = emb.keys.toSeq.sorted
+    var hits = 0
+    for (qid <- ids.take(10)) {
+      def top5(vecs: Map[Long, Array[Double]]) =
+        ids.filter(_ != qid)
+          .map(c => (cos(vecs(qid), vecs(c)), c)).sortBy(t => (-t._1, t._2))
+          .take(5).map(_._2).toSet
+      val exact = top5(emb.map { case (k, v) => k -> v.map(_.toDouble) })
+      val quant = top5(codes.map { case (k, q) => k -> q.map(_.toDouble) })
+      hits += exact.intersect(quant).size
+    }
+    assert(hits >= 40, s"int8 recall@5 too low: $hits/50")
+  }
 }
