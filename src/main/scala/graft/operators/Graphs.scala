@@ -164,6 +164,25 @@ object Graphs {
     * array HOFs before one support aggregate — one shuffle on orderkey,
     * one on the pair, no self-join of the item stream (which would
     * shuffle lineitem twice and join it against itself). */
+  /** Co-purchase edges shared by tc01/gp01: parts sharing >= 2 orders,
+    * ordered pairs (ps[i], ps[j]) for i < j expanded IN-ROW with array
+    * HOFs — one shuffle on orderkey + one on the pair, no self-join of
+    * the item stream. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val itemsByOrder = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set("l_partkey")).as("ps"))
+    val pairsPerOrder = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("src"), y.as("dst")))))
+    itemsByOrder
+      .select(explode(pairsPerOrder).as("pr"))
+      .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select("src", "dst")
+  }
+
   val tc01 = Q.sql(
     "tc01_triangle_count",
     """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -178,23 +197,68 @@ object Graphs {
       |          UNION ALL SELECT c FROM tri)
       |SELECT partkey, count(*) AS triangles
       |FROM verts GROUP BY partkey ORDER BY partkey""".stripMargin) { (s, dir) =>
-    val itemsByOrder = Tables.lineitem(s, dir)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set("l_partkey")).as("ps"))
-    // ordered pairs (ps[i], ps[j]) for i < j, expanded in-row
-    val pairsPerOrder = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("src"), y.as("dst")))))
-    val copurchase = itemsByOrder
-      .select(explode(pairsPerOrder).as("pr"))
-      .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select("src", "dst")
-    triangleCounts(copurchase)
+    triangleCounts(copurchaseEdges(s, dir))
       .select(col("id").as("partkey"), col("triangles"))
       .orderBy("partkey")
   }
 
-  val all: Seq[Q] = Seq(lp01, tc01)
+  /** Landmark shortest paths (reference graphx/lib/ShortestPaths.scala:1):
+    * unweighted min-hop distance from every vertex to each landmark by
+    * parallel Bellman-Ford relaxation — per round, one join on the edge
+    * key + one (id, landmark) min-aggregate, lineage cut per round.
+    * Relaxing only the current minima is sufficient (a shortest ≤ h+1-hop
+    * path extends a shortest ≤ h-hop prefix), so state stays at one row
+    * per reached (vertex, landmark) — never a path enumeration. `maxHops`
+    * bounds the rounds the way GraphX's Pregel iterations do; vertices
+    * farther than that (or disconnected) simply don't appear.
+    *
+    * @param edges     undirected `src`,`dst` (both orientations generated)
+    * @param landmarks single column `lm`
+    * @return (id, lm, d) — min hops from id to lm, d <= maxHops
+    */
+  def shortestPaths(edges: DataFrame, landmarks: DataFrame, maxHops: Int): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var dist = landmarks.select(col("lm").as("id"), col("lm"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = bidir.join(dist, bidir("src") === dist("id"))
+        .select(col("dst").as("id"), col("lm"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id", "lm").agg(min("d").as("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Hop distances from the three smallest co-purchase vertices — the
+    * landmark-distance features a graph-aware ranker consumes. The
+    * oracle is DuckDB's capped recursive CTE over the same edge set:
+    * min over all ≤8-hop paths must equal what relaxation computes. */
+  val gp01 = Q.sql(
+    "gp01_shortest_paths",
+    """WITH RECURSIVE
+      |items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (SELECT a.p AS u, b.p AS v
+      |          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |          GROUP BY u, v HAVING count(*) >= 2),
+      |bidir AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |landmarks AS (SELECT DISTINCT u AS lm FROM bidir ORDER BY lm LIMIT 3),
+      |r(id, lm, d) AS (
+      |  SELECT lm, lm, 0 FROM landmarks
+      |  UNION
+      |  SELECT e.v, r.lm, r.d + 1 FROM r JOIN bidir e ON e.u = r.id WHERE r.d < 8)
+      |SELECT id AS partkey, lm AS landmark, CAST(min(d) AS BIGINT) AS dist
+      |FROM r GROUP BY id, lm ORDER BY partkey, landmark""".stripMargin) { (s, dir) =>
+    val copurchase = copurchaseEdges(s, dir).localCheckpoint()
+    val landmarks = copurchase
+      .select(col("src").as("lm")).union(copurchase.select(col("dst").as("lm")))
+      .distinct().orderBy("lm").limit(3)
+    shortestPaths(copurchase, landmarks, maxHops = 8)
+      .select(col("id").as("partkey"), col("lm").as("landmark"), col("d").as("dist"))
+      .orderBy("partkey", "landmark")
+  }
+
+  val all: Seq[Q] = Seq(lp01, tc01, gp01)
 }

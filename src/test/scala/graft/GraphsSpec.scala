@@ -75,6 +75,24 @@ class GraphsSpec extends SparkTestBase {
       s"canonicalization must absorb orientation/dup/self-loop noise; got $counts")
   }
 
+  test("shortest paths relax to exact hop counts and respect the hop cap") {
+    import TestSpark.spark.implicits._
+    // path 0-1-2-3-4 plus shortcut 0-3: dist(0->3)=1, dist(0->4)=2;
+    // vertex 9 is disconnected and must not appear
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (8L, 9L))
+      .toDF("src", "dst")
+    val lm = Seq(0L).toDF("lm")
+    val d = Graphs.shortestPaths(edges, lm, maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L),
+      s"wrong distances: $d")
+    // a cap below the true distance hides the far vertex, never miscounts
+    val capped = Graphs.shortestPaths(
+        Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"), lm, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"cap leaked: $capped")
+  }
+
   test("label propagation: isolated vertices keep their own label; deterministic across runs") {
     import TestSpark.spark.implicits._
     val vertices = (0L to 5L).toDF("id")
