@@ -222,12 +222,23 @@ object Graphs {
       .localCheckpoint()
     var dist = landmarks.select(col("lm").as("id"), col("lm"), lit(0L).as("d"))
       .localCheckpoint()
-    for (_ <- 1 to maxHops) {
+    // early exit on the (row count, Σd) fingerprint: relaxation only ever
+    // ADDS pairs or DECREASES a d, so an unchanged pair is a sound
+    // fixpoint — most graphs converge well before the hop cap, and each
+    // skipped round saves a join+aggregate+checkpoint job (one 1-row agg
+    // per round buys it)
+    var last = (-1L, -1L)
+    var converged = false
+    for (_ <- 1 to maxHops if !converged) {
       val relaxed = bidir.join(dist, bidir("src") === dist("id"))
         .select(col("dst").as("id"), col("lm"), (col("d") + 1L).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("id", "lm").agg(min("d").as("d"))
         .localCheckpoint()
+      val row = dist.agg(count(lit(1)), coalesce(sum("d"), lit(0L))).head
+      val sig = (row.getLong(0), row.getLong(1))
+      converged = sig == last
+      last = sig
     }
     dist
   }
