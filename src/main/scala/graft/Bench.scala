@@ -54,22 +54,45 @@ object Bench {
       if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
+    def results(): Seq[(String, Double)] = names.map { n =>
+      n -> r3(median(Option(samples.get(n)).getOrElse(Nil)))
+    }
     // Headline fields (total, rounds actually completed) come FIRST so a
     // tail-truncated capture still carries the number that matters.
-    def render(): String = {
-      val results = names.map { n =>
-        n -> r3(median(Option(samples.get(n)).getOrElse(Nil)))
-      }
-      val total = r3(results.map(_._2).filter(_ >= 0).sum)
-      val partial = results.exists(_._2 < 0) || roundsDone == 0
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def render(rs: Seq[(String, Double)]): String = {
+      val total = r3(rs.map(_._2).filter(_ >= 0).sum)
+      val partial = rs.exists(_._2 < 0) || roundsDone == 0
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"sf":"$sfDir","queries":$qs}"""
     }
+    // The harness keeps only the LAST ~2 KB of stdout, and the named
+    // per-query line above is ~2.4 KB at 99 queries — so whichever end is
+    // cut, one line alone can't carry everything. A second, compact line
+    // is printed LAST: total plus every per-query median as a plain JSON
+    // array in sorted-query-name order ("order":"name-asc" — the same
+    // order as the named line's keys). ~0.7 KB, so the captured tail
+    // always contains this line whole; the named line before it remains
+    // the human-readable record when nothing is truncated.
+    def renderCompact(rs: Seq[(String, Double)]): String = {
+      val total = r3(rs.map(_._2).filter(_ >= 0).sum)
+      val partial = rs.exists(_._2 < 0) || roundsDone == 0
+      def short(v: Double): String = {
+        val s2 = math.round(v * 100.0) / 100.0
+        if (s2 == s2.toLong) s2.toLong.toString else s2.toString
+      }
+      val ts = rs.map(r => short(r._2)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"n":${rs.size},"order":"name-asc","t":$ts}"""
+    }
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
-      // one parse-friendly JSON line, flushed straight to stdout (the
-      // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt)
-      println(render())
+      // two parse-friendly JSON lines, flushed straight to stdout (the
+      // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt):
+      // full named line first, compact total+array line LAST so a
+      // tail-kept capture window always parses to the headline total and
+      // all per-query medians.
+      val rs = results()
+      println(render(rs))
+      println(renderCompact(rs))
       Console.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
@@ -103,14 +126,22 @@ object Bench {
     // than budget − one round. The shutdown hook remains the backstop
     // for a kill that arrives anyway.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "700").toDouble
+    System.err.println(
+      s"[bench] budget=${budgetSec}s rounds=$rounds queries=${names.size} " +
+        "(a later round starts only if predicted to fit: elapsed + slowest round <= budget)")
     val start = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - start) / 1e9
     var maxRoundSec = 0.0
-    for (r <- 1 to rounds if r == 1 || elapsed + maxRoundSec <= budgetSec) {
-      val r0 = elapsed
-      names.foreach(n => exec(r, n))
-      maxRoundSec = math.max(maxRoundSec, elapsed - r0)
-      roundsDone = r
+    for (r <- 1 to rounds) {
+      if (r == 1 || elapsed + maxRoundSec <= budgetSec) {
+        val r0 = elapsed
+        names.foreach(n => exec(r, n))
+        maxRoundSec = math.max(maxRoundSec, elapsed - r0)
+        roundsDone = r
+      } else {
+        System.err.println(
+          f"[bench] skipping round $r: elapsed ${elapsed}%.1f s + slowest round ${maxRoundSec}%.1f s exceeds budget ${budgetSec}%.1f s")
+      }
     }
     emit()
     spark.stop()

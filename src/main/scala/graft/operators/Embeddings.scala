@@ -157,13 +157,17 @@ object Embeddings {
     * shuffle; emitted EXPLODED to scalar (vec_id, dim_idx, v) rows so
     * the oracle compares plainly (array columns don't hash driver-side).
     * Precision discipline is d05's: float elements, double
-    * accumulation — identical in both engines, so round(6) is safe. */
+    * accumulation — identical in both engines, so round(6) is safe.
+    * An all-zero vector divides by nullif(nrm, 0) → NULL rows in BOTH
+    * engines (d11's guard), never 0/0 NaN whose handling is
+    * engine-setting-dependent. */
   val d10 = Q.sql(
     "d10_normalize",
     """WITH stats AS (
       |  SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
       |  FROM embeddings)
-      |SELECT e.vec_id, i AS dim_idx, round(e.embedding[i] / s.nrm, 6) AS v
+      |SELECT e.vec_id, i AS dim_idx,
+      |  round(e.embedding[i] / nullif(s.nrm, 0.0), 6) AS v
       |FROM embeddings e JOIN stats s ON e.vec_id = s.vec_id,
       |  unnest(range(1, 65)) t(i)
       |ORDER BY e.vec_id, dim_idx""".stripMargin) { (s, dir) =>
@@ -176,7 +180,7 @@ object Embeddings {
       .select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("_p", "x")), col("nrm"))
       .select(col("vec_id"), (col("_p") + 1).cast("long").as("dim_idx"),
-        round(col("x").cast("double") / col("nrm"), 6).as("v"))
+        round(col("x").cast("double") / nullif(col("nrm"), lit(0.0)), 6).as("v"))
       .orderBy("vec_id", "dim_idx")
   }
 

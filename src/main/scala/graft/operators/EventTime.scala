@@ -271,9 +271,12 @@ object EventTime {
     */
   def intervalJoinBinned(left: DataFrame, lts: String, right: DataFrame, rts: String,
       key: String, windowMicros: Long): DataFrame = {
-    val l = left.withColumn("_bin",
-      explode(array(expr(s"$lts div ${windowMicros}L"), expr(s"$lts div ${windowMicros}L") + 1L)))
-    val r = right.withColumn("_bin", expr(s"$rts div ${windowMicros}L"))
+    // exact integer division via the registered `div` (IntegralDivide)
+    // function — pure Column construction, so odd column names that
+    // would need backtick-quoting in SQL text still resolve
+    def bin(c: String) = call_function("div", col(c), lit(windowMicros))
+    val l = left.withColumn("_bin", explode(array(bin(lts), bin(lts) + 1L)))
+    val r = right.withColumn("_bin", bin(rts))
     l.join(r, Seq(key, "_bin"))
       .filter(col(rts) >= col(lts) && col(rts) <= col(lts) + windowMicros)
       .drop("_bin")

@@ -109,8 +109,11 @@ object Similarity {
     corpusVersion(spark, corpusKey) match {
       case None =>
         // unversionable corpus: no caching — a stale or cross-corpus hit
-        // is worse than recomputing the (tiny) pair stage per consumer
-        jaccardPairs(docs, dfCap, minJaccard)
+        // is worse than recomputing the (tiny) pair stage per consumer.
+        // The shingle stage IS materialized within the query (see
+        // shareShingleStage): without it each consumer of `grams`
+        // (sizes + both self-join sides) re-runs the explode.
+        jaccardPairs(docs, dfCap, minJaccard, shareShingleStage = true)
       case Some(version) =>
         val key = PairsKey(
           System.identityHashCode(spark), corpusKey, dfCap, minJaccard, version)
@@ -137,8 +140,17 @@ object Similarity {
   /** Exact n-gram Jaccard pairs over the df-capped shingle space: grams
     * with document frequency > dfCap are removed (from sizes AND the
     * join, so the Jaccard stays self-consistent) before the candidate
-    * self-join. */
-  def jaccardPairs(docs: DataFrame, dfCap: Int, minJaccard: Double): DataFrame = {
+    * self-join.
+    *
+    * @param shareShingleStage eagerly `localCheckpoint` the df-capped
+    *        gram stage so its three consumers (sizes + both self-join
+    *        sides) read one materialization instead of re-running the
+    *        explode each. Default false: [[jaccardPairsShared]]'s
+    *        versioned-cache path persists the final pairs lazily under a
+    *        lock that must not run Spark jobs, and an eager checkpoint
+    *        there would. The cache-BYPASS path sets it true. */
+  def jaccardPairs(docs: DataFrame, dfCap: Int, minJaccard: Double,
+      shareShingleStage: Boolean = false): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     // native shingle hashing: the candidate join shuffles longs, not
     // gram strings (oracle still joins strings — equal modulo 64-bit
@@ -154,7 +166,8 @@ object Similarity {
     val hot = grams0.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select("g")
-    val grams = grams0.join(hot, Seq("g"), "left_anti")
+    val grams1 = grams0.join(hot, Seq("g"), "left_anti")
+    val grams = if (shareShingleStage) grams1.localCheckpoint() else grams1
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = grams.as("a")
     val b = grams.as("b")

@@ -56,7 +56,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q48 reads the cached in-memory copy; uncache restores the scan") {
-    val p = plan(Relational.q48.run(spark, sfDir))
+    val p = plan(Relational.cachedOrdersAgg(spark, sfDir))
     assert(p.contains("In-memory table") || p.contains("InMemoryTableScan"),
       s"q48 did not hit the columnar cache:\n$p")
     // column pruning must reach THROUGH the cache: the scan reads the two
@@ -69,6 +69,12 @@ class PlanSpec extends SparkTestBase {
     val p2 = plan(spark.sql("SELECT count(*) AS n FROM graft_orders_cached"))
     assert(!p2.contains("In-memory table") && !p2.contains("InMemoryTableScan"),
       s"uncacheTable must drop the in-memory copy:\n$p2")
+  }
+
+  test("q48's registered entry leaves nothing cached behind") {
+    Relational.q48.run(spark, sfDir).count()
+    assert(!spark.catalog.isCached("graft_orders_cached"),
+      "registered q48 must uncache before returning")
   }
 
   test("q53 NOT IN plans the null-aware anti join, not a nested loop") {

@@ -108,6 +108,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(uncapped.count() >= pairs.length)
   }
 
+  test("cache-bypass path materializes the shingle stage once for all three consumers") {
+    import TestSpark.spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val base = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+      (i.toLong, if (i % 2 == 1) s"alpha${i - 1} beta${i - 1} gamma${i - 1} delta${i - 1} epsilon${i - 1} eta$i" else base)
+    }.toDF("doc_id", "text")
+    val shared = Similarity.jaccardPairs(docs, dfCap = 100, minJaccard = 0.3,
+      shareShingleStage = true)
+    // the checkpoint cut the lineage: the consumer plan holds NO trace of
+    // the explode — sizes and both self-join sides read the one
+    // materialized gram stage instead of re-running it
+    val p = shared.queryExecution.executedPlan.toString
+    assert(!p.contains("hashed_word_grams"),
+      s"shared plan still recomputes the shingle stage:\n$p")
+    // and it changes nothing semantically vs the unshared plan
+    val plain = Similarity.jaccardPairs(docs, dfCap = 100, minJaccard = 0.3)
+    assert(shared.select("d1", "d2").except(plain.select("d1", "d2")).count() == 0)
+    assert(plain.select("d1", "d2").except(shared.select("d1", "d2")).count() == 0)
+    assert(plain.queryExecution.executedPlan.toString.contains("hashed_word_grams"))
+  }
+
   test("ANN multi-probe recall@5 vs brute force >= 0.6") {
     val brute = Similarity.d05.run(spark, sfDir).select("qid", "cid")
     val ann = Similarity.d06.run(spark, sfDir).select("qid", "cid")
