@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the in-sandbox scaling experiment (SCALING.md):
+  * replicates an sf directory `factor`× with remapped keys so the heavy
+  * queries can be timed at 10× the data WITHOUT changing the data's
+  * CHARACTER — the point is to measure the ENGINE's scaling, not to
+  * manufacture denser duplicate families or heavier co-purchase support:
+  *
+  *  - documents: per-replica token suffix ("the_3 quick_3 ...") keeps
+  *    every intra-replica near-dup pair exactly as in the source but
+  *    drives cross-replica Jaccard to 0 — pair volume scales ×factor
+  *    (linear), never ×factor² (which identical copies would produce).
+  *  - embeddings: vec_ids offset per replica; elements get a small
+  *    deterministic per-replica jitter so replicas are near but not
+  *    identical (ANN buckets keep realistic density).
+  *  - lineitem: order AND part keys offset per replica (the part offset
+  *    a multiple of 8, preserving scc01's class sharding), so the
+  *    co-purchase/succession graphs become `factor` disjoint copies —
+  *    triangle, SCC and shortest-path work scales linearly by
+  *    construction and any super-linear runtime is the ENGINE's fault.
+  *
+  * Usage: ScaleGen <srcSfDir> <dstDir> <factor>
+  * Only the three tables the heavy queries read are generated.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val docsUp = (0 until factor).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(transform(split(trim(col("text")), "\\s+"),
+          t => concat(t, lit(s"_$k"))), " ")
+      val rest = docs.columns.filter(c => c != "doc_id" && c != "text").map(col)
+      docs.select(
+        (Seq((col("doc_id") + k * maxDoc).as("doc_id"), text.as("text")) ++ rest): _*)
+    }.reduce(_ unionByName _)
+    docsUp.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val embUp = (0 until factor).map { k =>
+      val jittered = transform(col("embedding"), (x, i) =>
+        (x + lit(0.003f) * ((pmod(col("vec_id") * 7 + i * 13 + k * 31, lit(7)) - 3)
+          .cast("float"))).cast("float"))
+      emb.select((col("vec_id") + k * maxVec).as("vec_id"), jittered.as("embedding"))
+    }.reduce(_ unionByName _)
+    embUp.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxOrd = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxPart = {
+      val m = li.agg(max("l_partkey")).head.getLong(0) + 1
+      (m + 7) / 8 * 8 // multiple of 8: replicas keep their %8 classes
+    }
+    val liUp = (0 until factor).map { k =>
+      val rest = li.columns.filter(c => c != "l_orderkey" && c != "l_partkey").map(col)
+      li.select(
+        (Seq((col("l_orderkey") + k * maxOrd).as("l_orderkey"),
+          (col("l_partkey") + k * maxPart).as("l_partkey")) ++ rest): _*)
+    }.reduce(_ unionByName _)
+    liUp.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
+    spark.stop()
+  }
+}

@@ -116,6 +116,20 @@ object TextFunctions {
   def rollingFingerprint(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, w) => pmod(acc * 1000003L + baseHash(w), lit(P)))
 
+  /** [[rollingFingerprint]] variant whose word hash is itself a character
+    * fold ((h·33 + codepoint) mod P — djb2 shape) instead of xxhash64, so
+    * the WHOLE fingerprint is plain modular integer arithmetic any ANSI
+    * engine reproduces bit-for-bit: this is what lets t04 carry a full
+    * value oracle. Every product stays < 2^52 (ANSI-safe). Codepoint
+    * caveat: `ascii` folds UTF-16 units, so fingerprints agree across
+    * engines for BMP text (all of the corpus); astral-plane codepoints
+    * would fold as surrogate halves here but whole codepoints elsewhere. */
+  def crossEngineFingerprint(toks: Column): Column = {
+    def wordHash(w: Column): Column =
+      aggregate(split(w, ""), lit(0L), (a, c) => pmod(a * 33 + ascii(c), lit(P)))
+    aggregate(toks, lit(0L), (acc, w) => pmod(acc * 1000003L + wordHash(w), lit(P)))
+  }
+
   /** Exact cosine similarity: float multiplies (parquet element type),
     * double left-fold accumulation — bit-identical to the DuckDB oracle's
     * list_sum(list_transform(...)) form. */

@@ -212,5 +212,48 @@ object Embeddings {
       .orderBy("vec_id", "dim_idx")
   }
 
-  val all: Seq[Q] = Seq(d08, d10, d11)
+  /** Per-dimension mean/variance standardization (x−μ)/σ of the
+    * embedding table — MLlib feature/StandardScaler parity (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/feature/
+    * StandardScaler.scala:1), the most common feature prep besides d10's
+    * L2. Sample stddev (n−1), matching the reference's column-summary
+    * variance.
+    *
+    * Shape at scale: the stats pass reduces the exploded table to ONE
+    * row per dimension (map-side partial agg → 64 rows), which rides
+    * back as a broadcast — the apply stage stays map-only, nothing
+    * driver-side grows with the corpus.
+    *
+    * Oracle discipline: μ and σ are dimension-level AGGREGATES, so both
+    * are rounded (6 dp) on both sides BEFORE the per-row apply — the two
+    * engines then run identical IEEE ops on identical constants, making
+    * the final round(6) safe (d10's rule: per-row arithmetic must be
+    * bit-identical, only aggregates absorb summation-order noise).
+    * σ=0 (a constant dimension) divides via nullif → NULL, d11's guard. */
+  val d12 = Q.sql(
+    "d12_standardize",
+    """WITH x AS (
+      |  SELECT e.vec_id, i AS dim_idx, CAST(e.embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings e, unnest(range(1, 65)) t(i)),
+      |stats AS (
+      |  SELECT dim_idx, round(avg(x), 6) AS mu,
+      |         round(stddev_samp(x), 6) AS sigma
+      |  FROM x GROUP BY dim_idx)
+      |SELECT x.vec_id, x.dim_idx,
+      |  round((x.x - s.mu) / nullif(s.sigma, 0.0), 6) AS v
+      |FROM x JOIN stats s ON x.dim_idx = s.dim_idx
+      |ORDER BY x.vec_id, x.dim_idx""".stripMargin) { (s, dir) =>
+    val x = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_p", "xf")))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("dim_idx"),
+        col("xf").cast("double").as("x"))
+    val stats = x.groupBy("dim_idx")
+      .agg(round(avg("x"), 6).as("mu"), round(stddev_samp("x"), 6).as("sigma"))
+    x.join(broadcast(stats), Seq("dim_idx"))
+      .select(col("vec_id"), col("dim_idx"),
+        round((col("x") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6).as("v"))
+      .orderBy("vec_id", "dim_idx")
+  }
+
+  val all: Seq[Q] = Seq(d08, d10, d11, d12)
 }

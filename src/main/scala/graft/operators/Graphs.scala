@@ -271,5 +271,158 @@ object Graphs {
       .orderBy("partkey", "landmark")
   }
 
-  val all: Seq[Q] = Seq(lp01, tc01, gp01)
+  /** Directed min-label propagation to fixpoint: m(v) = min id with a
+    * directed path to v (along `src`→`dst`), v included. Per round one
+    * join on the edge key + one min-aggregate, lineage cut per round.
+    * Labels only DECREASE, so an unchanged Σm over a fixed vertex set is
+    * a sound fixpoint — the 1-row fingerprint agg buys the early exit.
+    * Rounds needed = longest shortest-path from a minimum, capped like
+    * GraphX's Pregel iterations. */
+  /** Lineage cut for NESTED loop state. A plain localCheckpoint attaches
+    * stats computed from the origin plan; in scc01's loop-inside-a-loop
+    * those stats compound GEOMETRICALLY (each outer round squares the
+    * inner product), until Catalyst hangs multiplying megabit BigInts at
+    * planning time. The shim drops the inherited stats so every round
+    * plans at constant cost. Single loops (pageRank, shortestPaths) only
+    * grow stats bits linearly and keep the plain checkpoint. */
+  private def cut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStats(df)
+
+  private def minPropagate(vertices: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
+    var m = cut(vertices.select(col("id"), col("id").as("m")))
+    var last = -1L
+    var converged = false
+    for (_ <- 1 to maxIter if !converged) {
+      val msgs = edges.join(m, edges("src") === m("id"))
+        .select(col("dst").as("id"), col("m"))
+      m = cut(m.unionByName(msgs).groupBy("id").agg(min("m").as("m")))
+      val sig = m.agg(coalesce(sum("m"), lit(0L))).head.getLong(0)
+      converged = sig == last
+      last = sig
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minPropagate hit the $maxIter-round cap before its fixpoint")
+    m
+  }
+
+  /** Strongly connected components (reference graphx/lib/
+    * StronglyConnectedComponents.scala:1) over a directed edge set,
+    * re-expressed as driver-iterated double min-propagation:
+    *
+    * per outer round, compute f(v) = min id REACHING v (forward
+    * propagation) and b(v) = min id REACHABLE FROM v (propagation along
+    * reversed edges) over the still-unassigned subgraph. f(v) = b(v) = m
+    * proves mutual reachability with m (m →* v and v →* m), so v joins
+    * SCC(m); in particular the subgraph's minimum id and its whole SCC
+    * finalize every round, as do all locally-minimal SCCs and the
+    * singleton sources/sinks of the condensation DAG, so each round
+    * strips a full layer off the condensation. Assigned vertices leave
+    * the graph and the remainder iterates.
+    *
+    * Like the reference (which runs its forward/backward phases under
+    * `numIter` Pregel caps), rounds are CAPPED, not open-ended — a
+    * pathological n-vertex path condensation needs O(n) outer rounds;
+    * real link/citation graphs have shallow condensations and converge
+    * in a handful. Non-convergence at the caps logs a warning and
+    * returns only the proven assignments (never a guess).
+    *
+    * State per round: one (id, label) row per unassigned vertex — no
+    * reachability sets, no path enumeration; everything is key-equality
+    * joins + bounded aggregates.
+    *
+    * @param vertices single column `id`
+    * @param edges    directed `src`,`dst`
+    * @return (id, scc) — scc = min vertex id of the component
+    */
+  def stronglyConnectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxOuter: Int = 30, maxPropagate: Int = 30): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    var remaining = cut(vertices.select("id"))
+    var assigned = Seq.empty[(Long, Long)].toDF("id", "scc")
+    var outer = 0
+    var exhausted = false
+    while (!exhausted && outer < maxOuter) {
+      outer += 1
+      val e = cut(edges
+        .join(remaining.select(col("id").as("src")), "src")
+        .join(remaining.select(col("id").as("dst")), "dst")
+        .select("src", "dst"))
+      val f = minPropagate(remaining, e, maxPropagate)
+        .select(col("id"), col("m").as("fmin"))
+      val b = minPropagate(remaining,
+          e.select(col("dst").as("src"), col("src").as("dst")), maxPropagate)
+        .select(col("id"), col("m").as("bmin"))
+      val lab = cut(f.join(b, "id"))
+      assigned = cut(assigned.unionByName(
+        lab.filter(col("fmin") === col("bmin"))
+          .select(col("id"), col("fmin").as("scc"))))
+      remaining = cut(lab.filter(col("fmin") =!= col("bmin")).select("id"))
+      exhausted = remaining.isEmpty
+    }
+    if (!exhausted)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"stronglyConnectedComponents hit the $maxOuter-round cap with vertices unassigned")
+    assigned
+  }
+
+  /** The directed part-succession graph scc01 runs on: within each
+    * order, the (previous part → next part) pointer under the
+    * (l_linenumber, l_partkey) sort — the part key breaks linenumber
+    * ties, which the synthetic data DOES contain, identically in both
+    * engines — kept only between parts of the same `% 8` class. Pairs are built
+    * IN-ROW (sort per order, zip with its own tail) — one shuffle on
+    * orderkey, never a lineitem self-join. The class restriction shards
+    * the otherwise near-complete graph into 8 bounded subgraphs, which
+    * keeps the oracle's transitive closure small while leaving eight
+    * genuinely nontrivial SCCs plus hundreds of singleton tails at
+    * sf0.01. */
+  private def successionEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))).as("ls"))
+    val pairs = zip_with(
+      col("ls"), slice(col("ls"), lit(2), greatest(size(col("ls")) - 1, lit(0))),
+      (x, y) => struct(x.getField("l_partkey").as("src"), y.getField("l_partkey").as("dst")))
+    seqs.select(explode(pairs).as("pr"))
+      .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst") &&
+        col("src") % 8 === col("dst") % 8)
+      .distinct()
+  }
+
+  /** SCCs of the part-succession graph. The oracle proves the iterative
+    * assignment equals ground-truth mutual reachability: DuckDB builds
+    * the (bounded, see [[successionEdges]]) transitive closure with a
+    * recursive CTE and labels each vertex with the min id it mutually
+    * reaches. */
+  val scc01 = Q.sql(
+    "scc01_strong_components",
+    """WITH RECURSIVE
+      |seq AS (SELECT l_orderkey, l_partkey AS src,
+      |               lead(l_partkey) OVER (PARTITION BY l_orderkey
+      |                                     ORDER BY l_linenumber, l_partkey) AS dst
+      |        FROM lineitem),
+      |e AS (SELECT DISTINCT src, dst FROM seq
+      |      WHERE dst IS NOT NULL AND src <> dst AND src % 8 = dst % 8),
+      |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |mutual AS (SELECT a.src AS v, a.dst AS u
+      |           FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src),
+      |scc AS (SELECT verts.v, least(verts.v, coalesce(min(m.u), verts.v)) AS scc_id
+      |        FROM verts LEFT JOIN mutual m ON m.v = verts.v
+      |        GROUP BY verts.v)
+      |SELECT v AS partkey, scc_id FROM scc ORDER BY partkey""".stripMargin) { (s, dir) =>
+    val e = successionEdges(s, dir).localCheckpoint()
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    stronglyConnectedComponents(verts, e)
+      .select(col("id").as("partkey"), col("scc").as("scc_id"))
+      .orderBy("partkey")
+  }
+
+  val all: Seq[Q] = Seq(lp01, tc01, gp01, scc01)
 }

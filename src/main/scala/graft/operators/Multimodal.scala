@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Column, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -174,19 +174,58 @@ object Multimodal {
       .filter(col("energy") >= minEnergy)
   }
 
-  /** Overlapping 256-byte windows, 128-byte hop, energy-trimmed. Rows
-    * only; MultimodalSpec pins the hop-grid arithmetic, overlap, trim
-    * behavior and determinism on planted payloads. */
-  val mm03 = Q.rowsOnly("mm03_audio_windows") { (s, dir) =>
+  /** Overlapping 256-byte windows, 128-byte hop, energy-trimmed — with a
+    * FULL value oracle over all five columns (doc_id, win_idx, offset,
+    * energy, peak).
+    *
+    * The container has no audio codec, so the payload is the decode
+    * stub's stand-in: a closed-form ASCII byte pattern, byte(i) = 127
+    * for every 7th doc (a "silent" clip) else 96 + (doc_id·7 + i) % 32,
+    * with the clip length taken from the document's UTF-8 byte length so
+    * sizes vary realistically. Because the pattern is closed-form, the
+    * DuckDB oracle recomputes window RMS/peak directly from the formula
+    * over the hop grid — no blob byte access needed — while the Spark
+    * side still exercises the REAL binary path: the payload is an actual
+    * binary column, windows are codegen'd binary substrings over the
+    * posexploded grid, and the DSP kernel runs batched in mapPartitions
+    * ([[windowAudio]], unchanged). Silent clips fall to the energy trim
+    * (RMS 1.0 < 2.0) on both sides, so the declarative VAD filter stays
+    * non-vacuous. MultimodalSpec keeps the hop-grid/overlap/trim/
+    * determinism pins on planted payloads. */
+  val mm03 = Q.sql(
+    "mm03_audio_windows",
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |grid AS (
+      |  SELECT doc_id, n, CAST(i AS INT) AS win_idx, i * 128 AS "offset"
+      |  FROM m, unnest(range(0, CASE WHEN n >= 256 THEN (n - 256) // 128 + 1 ELSE 0 END)) t(i)),
+      |w AS (
+      |  SELECT doc_id, win_idx, "offset",
+      |    sqrt(list_sum(list_transform(range(0, 256), j -> CAST(
+      |        (CASE WHEN doc_id % 7 = 0 THEN 127 ELSE 96 + (doc_id * 7 + "offset" + j) % 32 END - 128)
+      |      * (CASE WHEN doc_id % 7 = 0 THEN 127 ELSE 96 + (doc_id * 7 + "offset" + j) % 32 END - 128)
+      |      AS DOUBLE))) / 256.0) AS energy,
+      |    CAST(list_max(list_transform(range(0, 256), j ->
+      |      abs(CASE WHEN doc_id % 7 = 0 THEN 127 ELSE 96 + (doc_id * 7 + "offset" + j) % 32 END - 128)))
+      |      AS INT) AS peak
+      |  FROM grid)
+      |SELECT doc_id, win_idx, "offset", round(energy, 6) AS energy, peak
+      |FROM w WHERE energy >= 2.0
+      |ORDER BY doc_id, win_idx""".stripMargin) { (s, dir) =>
     implicit val enc = Encoders.product[MediaRecord]
+    val n = length(encode(col("text"), "UTF-8"))
+    val byteChar = (i: Column) =>
+      when(col("doc_id") % 7 === 0, chr(lit(127)))
+        .otherwise(chr(lit(96) + (col("doc_id") * 7 + i) % 32))
     val media = Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
+        encode(array_join(transform(sequence(lit(0L), n.cast("long") - 1, lit(1L)),
+          byteChar), ""), "UTF-8").as("payload"),
         lit("audio/fake").as("mime"),
-        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        n.cast("long").as("n_bytes"))
       .as[MediaRecord]
-    windowAudio(media, windowBytes = 256, hopBytes = 128, minEnergy = 1.0).toDF()
+    windowAudio(media, windowBytes = 256, hopBytes = 128, minEnergy = 2.0).toDF()
       .withColumn("energy", round(col("energy"), 6))
       .orderBy("doc_id", "win_idx")
   }

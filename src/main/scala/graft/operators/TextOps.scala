@@ -132,18 +132,36 @@ object TextOps {
           .otherwise(greatest(best: _*).getField("lang")).as("pred"))
   }
 
-  /** Order-sensitive rolling fingerprint + 63-bit SimHash per document.
-    * Rows-only (the hash family is engine-local); determinism and
-    * sensitivity are asserted in TextSpec. Both fingerprints are scalar
-    * per-row expressions (SimHash via the native graft.plans.SimHash63),
-    * so the whole operator is one map-only projection — no join, no
-    * shuffle. */
-  val t04 = Q.rowsOnly("t04_fingerprint") { (s, dir) =>
-    graft.plans.GraftFunctions.register(s)
+  /** Order-sensitive rolling content fingerprint per document — a scalar
+    * per-row expression, so the whole operator is one map-only
+    * projection: no join, no shuffle. The hash is
+    * [[graft.functions.TextFunctions.crossEngineFingerprint]]: a
+    * character fold per word, a word fold per document, all modular
+    * integer arithmetic — which is what upgrades this entry from a
+    * rows-only check to a FULL value oracle (DuckDB reproduces the fold
+    * bit-for-bit with list_reduce; the empty word is pinned to 0 on both
+    * sides since the engines' char-split of '' disagree). The sibling
+    * 63-bit SimHash fingerprint stays covered by d04 and TextSpec (its
+    * xxhash64 base is engine-local, so it cannot carry a value oracle). */
+  val t04 = Q.sql(
+    "t04_fingerprint",
+    """WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(w, t ->
+      |      CASE WHEN t = '' THEN CAST(0 AS BIGINT) ELSE
+      |        list_reduce(
+      |          list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |          (a, cp) -> (a * 33 + cp) % 2147483647)
+      |      END)),
+      |    (acc, wh) -> (acc * 1000003 + wh) % 2147483647) AS fingerprint
+      |FROM words
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir).select(
         col("doc_id"),
-        rollingFingerprint(tokens(col("text"))).as("fingerprint"),
-        call_function("simhash63", tokens(col("text"))).as("simhash"))
+        crossEngineFingerprint(tokens(col("text"))).as("fingerprint"))
       .orderBy("doc_id")
   }
 
@@ -239,11 +257,31 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "bin_id")
   }
 
-  /** Registered packing pass: 256-token bins over 8 range partitions.
-    * Rows-only (bin ids are engine-local); TextSpec asserts the packing
-    * invariants — capacity respected, every doc exactly once, bin count
-    * near the lower bound, deterministic. */
-  val t07 = Q.rowsOnly("t07_pack_sequences") { (s, dir) =>
+  /** Registered packing pass: 256-token bins over 8 slices. The bin ids
+    * are a pure function of the data (slice-local first-fit over the
+    * doc_id order — see [[packSequences]]), so the whole assignment IS
+    * SQL-expressible: the oracle replays the fold as a recursive CTE
+    * stepping one document per slice per iteration (8 slices advance in
+    * parallel; depth = largest slice, not the corpus). TextSpec keeps the
+    * packing invariants — capacity, coverage, bin bound, determinism. */
+  val t07 = Q.sql(
+    "t07_pack_sequences",
+    """WITH RECURSIVE docs2 AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+      |    doc_id % 8 AS slice,
+      |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack(slice, rn, doc_id, n, bin, used) AS (
+      |  SELECT slice, rn, doc_id, n, CAST(0 AS BIGINT), n FROM docs2 WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.slice, d.rn, d.doc_id, d.n,
+      |    CASE WHEN p.used + d.n > 256 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.used + d.n > 256 THEN d.n ELSE p.used + d.n END
+      |  FROM pack p JOIN docs2 d ON d.slice = p.slice AND d.rn = p.rn + 1)
+      |SELECT doc_id, n AS n_tokens, slice * 4294967296 + bin AS bin_id
+      |FROM pack
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     packSequences(Tables.documents(s, dir), capacity = 256, nParts = 8)
       .orderBy("doc_id")
   }

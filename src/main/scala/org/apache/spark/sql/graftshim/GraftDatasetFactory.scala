@@ -15,4 +15,29 @@ import org.apache.spark.sql.classic
 object GraftDatasetFactory {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `localCheckpoint` that DROPS the origin plan's computed statistics
+    * from the resulting leaf.
+    *
+    * An eager localCheckpoint attaches stats computed from the origin
+    * plan to its LogicalRDD. In a driver-iterated loop those stats
+    * COMPOUND: round r's plan joins round r−1's leaf, the size-only
+    * visitor MULTIPLIES children sizes, and the product is attached to
+    * round r's leaf — so the BigInt's bit-length grows geometrically
+    * with the iteration count (nested loops square it per round), until
+    * Catalyst spends minutes inside BigInteger.multiplyToomCook3 at
+    * PLANNING time (observed hang: the SCC double loop at round ~4).
+    * Dropping originStats resets each round's leaf to the session
+    * default — the conservative "unknown" that is exactly right for
+    * loop state: planning cost stays constant per round, and joins
+    * against the state are never wrongly auto-broadcast. */
+  def localCheckpointFreshStats(df: DataFrame): DataFrame = {
+    val ds = df.localCheckpoint()
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(ds.sparkSession,
+          lr.copy()(ds.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+      case _ => ds
+    }
+  }
 }

@@ -95,4 +95,37 @@ class EmbeddingsSpec extends SparkTestBase {
     }
     assert(hits >= 40, s"int8 recall@5 too low: $hits/50")
   }
+
+  test("d12 standardization: per-dimension mean ~0, stddev ~1, zero-variance dim -> NULL") {
+    import org.apache.spark.sql.functions._
+    val out = Embeddings.d12.run(spark, sfDir).cache()
+    val stats = out.groupBy("dim_idx")
+      .agg(avg("v").as("m"), stddev_samp("v").as("s"))
+      .collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-4, s"dim ${r.getLong(0)} mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3, s"dim ${r.getLong(0)} stddev ${r.getDouble(2)}")
+    }
+    // planted constant dimension: sigma = 0 must yield NULL, never ±inf/NaN
+    val rows: java.util.List[Row] = new java.util.ArrayList()
+    for (i <- 0 until 8) {
+      val v = Array.fill(4)(i.toFloat); v(2) = 7.5f
+      rows.add(Row(i.toLong, v.toSeq))
+    }
+    val docs = spark.createDataFrame(rows, embSchema)
+    docs.createOrReplaceTempView("graft_d12_tmp")
+    val x = docs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("_p", "xf")))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("dim_idx"),
+        col("xf").cast("double").as("x"))
+    val st = x.groupBy("dim_idx")
+      .agg(round(avg("x"), 6).as("mu"), round(stddev_samp("x"), 6).as("sigma"))
+    val z = x.join(broadcast(st), Seq("dim_idx"))
+      .select(col("dim_idx"),
+        round((col("x") - col("mu")) / nullif(col("sigma"), lit(0.0)), 6).as("v"))
+    assert(z.filter(col("dim_idx") === 3 && col("v").isNotNull).count() == 0,
+      "constant dimension must standardize to NULL")
+    assert(z.filter(col("dim_idx") =!= 3 && col("v").isNull).count() == 0)
+  }
 }

@@ -93,6 +93,36 @@ class GraphsSpec extends SparkTestBase {
     assert(capped == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), s"cap leaked: $capped")
   }
 
+  test("SCC recovers two planted cycles joined by a one-way bridge, exactly") {
+    import TestSpark.spark.implicits._
+    // SCC A = {1,2,3} (cycle), SCC B = {10,11} (2-cycle), one-way bridge
+    // 3->10 (must NOT merge them), DAG tail 11->20, and a diamond of
+    // singletons 40->{41,42}->35 whose middle vertices carry IDENTICAL
+    // (f,b) = (40,35) labels: grouping by label equality would merge
+    // 41 and 42 — only the per-vertex f=b mutual-reachability proof
+    // (which also takes three outer rounds here) keeps them apart
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 10L), (3L, 10L), (11L, 20L),
+      (40L, 41L), (40L, 42L), (41L, 35L), (42L, 35L)).toDF("src", "dst")
+    val verts = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 35L, 40L, 41L, 42L)).toDF("id")
+    val got = Graphs.stronglyConnectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 35L -> 35L, 40L -> 40L, 41L -> 41L, 42L -> 42L)
+    assert(got == want, s"wrong SCC assignment: $got")
+  }
+
+  test("SCC on a pure path needs one round per condensation layer and still finishes") {
+    import TestSpark.spark.implicits._
+    // worst-case-shaped chain 0->1->...->5: every vertex its own SCC
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L to 5L).toDF("id")
+    val got = Graphs.stronglyConnectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 5L).map(i => i -> i).toMap, s"chain must be all singletons: $got")
+  }
+
   test("label propagation: isolated vertices keep their own label; deterministic across runs") {
     import TestSpark.spark.implicits._
     val vertices = (0L to 5L).toDF("id")

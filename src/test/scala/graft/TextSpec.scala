@@ -74,6 +74,13 @@ class TextSpec extends SparkTestBase {
     assert(fp(1) == fp(3), "identical text must fingerprint equal")
     assert(fp(1) != fp(2), "permuted text must fingerprint differently")
 
+    // the cross-engine (t04) variant keeps the same contract
+    val xfp = df.select(col("doc_id"),
+        TextFunctions.crossEngineFingerprint(TextFunctions.tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(xfp(1) == xfp(3), "identical text must fingerprint equal (cross-engine)")
+    assert(xfp(1) != xfp(2), "permuted text must fingerprint differently (cross-engine)")
+
     val sh = TextFunctions.simhash63Agg(df, "doc_id", TextFunctions.tokens(col("text")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1) == sh(2), "simhash over the token multiset is permutation-invariant")
