@@ -288,21 +288,44 @@ object Graphs {
   private def cut(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStats(df)
 
-  private def minPropagate(vertices: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
-    var m = cut(vertices.select(col("id"), col("id").as("m")))
+  /** BOTH direction labels advance in one loop state (id, fmin, bmin):
+    * fmin relaxes along the edges, bmin along their reversal, and both
+    * take a pointer-jumping shortcut (label ← min(label, label(label)) —
+    * sound because the composition of two reaching paths is a reaching
+    * path). One checkpoint + one convergence action per round covers
+    * both directions, so the driver pays max(d_f, d_b) round-trips
+    * instead of d_f + d_b — at any scale, half the barriers. */
+  private def minPropagateBoth(vertices: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    var m = cut(vertices.select(col("id"), col("id").as("fmin"), col("id").as("bmin")))
     var last = -1L
     var converged = false
     for (_ <- 1 to maxIter if !converged) {
-      val msgs = edges.join(m, edges("src") === m("id"))
-        .select(col("dst").as("id"), col("m"))
-      m = cut(m.unionByName(msgs).groupBy("id").agg(min("m").as("m")))
-      val sig = m.agg(coalesce(sum("m"), lit(0L))).head.getLong(0)
+      val fMsgs = edges.join(m.select(col("id"), col("fmin")), edges("src") === col("id"))
+        .select(col("dst").as("id"), col("fmin"), lit(Long.MaxValue).as("bmin"))
+      val bMsgs = rev.join(m.select(col("id"), col("bmin")), rev("src") === col("id"))
+        .select(col("dst").as("id"), lit(Long.MaxValue).as("fmin"), col("bmin"))
+      val m1 = m.unionByName(fMsgs).unionByName(bMsgs)
+        .groupBy("id").agg(min("fmin").as("fmin"), min("bmin").as("bmin"))
+      val jump = m1.as("x")
+        .join(m1.select(col("id").as("fid"), col("fmin").as("ff")).as("yf"),
+          col("x.fmin") === col("yf.fid"))
+        .join(m1.select(col("id").as("bid"), col("bmin").as("bb")).as("yb"),
+          col("x.bmin") === col("yb.bid"))
+        .select(col("x.id").as("id"),
+          least(col("x.fmin"), col("yf.ff")).as("fmin"),
+          least(col("x.bmin"), col("yb.bb")).as("bmin"))
+      m = cut(jump)
+      val row = m.agg(coalesce(sum("fmin"), lit(0L)) + coalesce(sum("bmin"), lit(0L))).head
+      val sig = row.getLong(0)
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[scc] prop sig=$sig t=${System.nanoTime() / 1000000}")
       converged = sig == last
       last = sig
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minPropagate hit the $maxIter-round cap before its fixpoint")
+        s"minPropagateBoth hit the $maxIter-round cap before its fixpoint")
     m
   }
 
@@ -340,27 +363,66 @@ object Graphs {
     val spark = vertices.sparkSession
     import spark.implicits._
     var remaining = cut(vertices.select("id"))
+    var nRemaining = remaining.count()
     var assigned = Seq.empty[(Long, Long)].toDF("id", "scc")
     var outer = 0
-    var exhausted = false
-    while (!exhausted && outer < maxOuter) {
+    while (nRemaining > 0 && outer < maxOuter) {
       outer += 1
-      val e = cut(edges
+      var e = cut(edges
         .join(remaining.select(col("id").as("src")), "src")
         .join(remaining.select(col("id").as("dst")), "dst")
         .select("src", "dst"))
-      val f = minPropagate(remaining, e, maxPropagate)
-        .select(col("id"), col("m").as("fmin"))
-      val b = minPropagate(remaining,
-          e.select(col("dst").as("src"), col("src").as("dst")), maxPropagate)
-        .select(col("id"), col("m").as("bmin"))
-      val lab = cut(f.join(b, "id"))
-      assigned = cut(assigned.unionByName(
-        lab.filter(col("fmin") === col("bmin"))
-          .select(col("id"), col("fmin").as("scc"))))
-      remaining = cut(lab.filter(col("fmin") =!= col("bmin")).select("id"))
-      exhausted = remaining.isEmpty
+      // TRIM (the Trim of FW-BW-Trim): a vertex with no in-edge or no
+      // out-edge in the remaining subgraph cannot sit on a cycle — it is
+      // its own SCC. Peeling to fixpoint eats the condensation's DAG
+      // tails at ~4 cheap jobs a layer, leaving the expensive double
+      // propagation to run only on the 2-core where cycles can live —
+      // without it, every DAG layer costs two full propagate fixpoints.
+      // singleton layers peeled this round accumulate as plans over the
+      // checkpointed per-layer leaves and fold into `assigned` in ONE
+      // union+checkpoint after the fixpoint (2 fewer jobs per layer);
+      // `e` likewise narrows as an uncheckpointed plan — ≤ layer-count
+      // deep, cut once before the propagation reads it repeatedly
+      val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var peeled = nRemaining > 0
+      while (peeled) {
+        val srcs = e.select(col("src").as("id")).distinct()
+        val dsts = e.select(col("dst").as("id")).distinct()
+        val core = cut(remaining
+          .join(srcs, Seq("id"), "left_semi")
+          .join(dsts, Seq("id"), "left_semi"))
+        val nCore = core.count()
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] trim $nRemaining->$nCore t=${System.nanoTime() / 1000000}")
+        peeled = nCore < nRemaining
+        if (peeled) {
+          peels += remaining.join(core, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc"))
+          remaining = core
+          nRemaining = nCore
+          // re-checkpoint the narrowed edge set: left as a plan it nests
+          // per layer and each layer's degree pass recomputes the whole
+          // chain (quadratic in layers)
+          e = cut(e
+            .join(core.select(col("id").as("src")), "src")
+            .join(core.select(col("id").as("dst")), "dst")
+            .select("src", "dst"))
+        }
+      }
+      if (peels.nonEmpty)
+        assigned = cut(peels.foldLeft(assigned)(_ unionByName _))
+      if (nRemaining > 0) {
+        val lab = minPropagateBoth(remaining, e, maxPropagate)
+        assigned = cut(assigned.unionByName(
+          lab.filter(col("fmin") === col("bmin"))
+            .select(col("id"), col("fmin").as("scc"))))
+        remaining = cut(lab.filter(col("fmin") =!= col("bmin")).select("id"))
+        nRemaining = remaining.count()
+      }
+      if (sys.env.contains("GRAFT_SCC_DEBUG"))
+        System.err.println(s"[scc] outer $outer remaining=$nRemaining t=${System.nanoTime() / 1000000}")
     }
+    val exhausted = nRemaining == 0
     if (!exhausted)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"stronglyConnectedComponents hit the $maxOuter-round cap with vertices unassigned")
