@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.Analytics.all ++
       operators.EventTime.all ++ operators.SkewTools.all ++
       operators.TextOps.all ++ operators.Word2Vec.all ++
+      operators.Features.all ++ operators.Recommender.all ++
       operators.Similarity.all ++
       operators.Clusters.all ++ operators.Bucketed.all ++
       operators.Embeddings.all ++ operators.SemanticDedup.all ++

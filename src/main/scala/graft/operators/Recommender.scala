@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** SVD++ recommender factorization (reference graphx/src/main/scala/org/
+  * apache/spark/graphx/lib/SVDPlusPlus.scala:1 — Koren's
+  * "Factorization Meets the Neighborhood", KDD'08) re-expressed as
+  * DataFrame iteration:
+  *
+  *   r̂(u,i) = μ + b_u + b_i + q_i · (p_u + |N(u)|^-1/2 Σ_{j∈N(u)} y_j)
+  *
+  * trained by full-batch mean-gradient descent (the [[Word2Vec]]
+  * pattern). Everything stays DISTRIBUTED: user and item factor tables
+  * are DataFrames keyed by id (the reference keeps them in graph
+  * vertex attributes; MLlib's ALS does the same two-table layout), the
+  * global mean rides as a 1-row broadcast, and each iteration is a
+  * fixed set of key-equality joins + bounded aggregates:
+  *
+  *  - the implicit-feedback term Σ y_j is ONE join on item + one
+  *    element-wise aggregate on user — and the y-gradient, which
+  *    naively fans each rating out to ALL of its user's items
+  *    (Σ_u |N(u)|² messages — the reference's Pregel send pattern),
+  *    here folds to a per-user 1-row term g_u joined back along the
+  *    rating edges: strictly LINEAR in |ratings|, the shape that
+  *    survives a skewed power-user at 100 TB.
+  *  - element-wise array math is zip_with/transform (codegen'd);
+  *    arrays explode only inside the gradient aggregates and
+  *    reassemble with sort_array(collect_list(struct(dim, v)))
+  *    (deterministic).
+  *
+  * Init is hash-derived (word2vec's trick) so training is seeded
+  * end-to-end; factors never touch the driver.
+  */
+object Recommender {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Loop-state lineage cut WITHOUT inherited stats — each SVD++
+    * iteration joins the previous round's leaves ~10×, so plain
+    * localCheckpoint stats would compound geometrically (see
+    * GraftDatasetFactory.localCheckpointFreshStats; observed as a
+    * planning-time BigInteger hang by iteration ~7). */
+  private def cut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStats(df)
+
+  /** Deterministic uniform(-0.5, 0.5)/dim init from (id, dim, salt). */
+  private def initArr(id: Column, dim: Int, salt: Long): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      (pmod(xxhash64(id, j, lit(salt)), lit(100000L)).cast("double") / 100000.0 - 0.5)
+        / dim)
+
+  /** Reassemble an exploded (key, dimIdx, v) gradient into an array. */
+  private def asArr(c: String): Column =
+    transform(sort_array(collect_list(struct(col("p"), col(c)))), s => s.getField(c))
+
+  /** Train and return (u, i, r, pred) over the training edges.
+    *
+    * @param ratings (u: long, i: long, r: double), unique per (u, i)
+    */
+  def svdPlusPlus(ratings: DataFrame, dim: Int = 8, iters: Int = 8,
+                  lr: Double = 0.05, reg: Double = 0.05, seed: Long = 42L): DataFrame = {
+    val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
+      .localCheckpoint()
+    val mu = r2.agg(avg("r").as("mu"))
+    val nu = r2.groupBy("u").agg(pow(count(lit(1)).cast("double"), -0.5).as("w"))
+      .localCheckpoint()
+
+    var userF = r2.select("u").distinct()
+      .select(col("u"), initArr(col("u"), dim, seed).as("p"), lit(0.0).as("bu"))
+      .localCheckpoint()
+    var itemF = r2.select("i").distinct()
+      .select(col("i"), initArr(col("i"), dim, seed + 1).as("q"),
+        initArr(col("i"), dim, seed + 2).as("y"), lit(0.0).as("bi"))
+      .localCheckpoint()
+
+    def scored(uF: DataFrame, iF: DataFrame): DataFrame = {
+      // implicit profile per user: w_u * Σ_{j∈N(u)} y_j
+      val imp = r2.join(iF.select(col("i"), col("y")), "i")
+        .select(col("u"), posexplode(col("y")).as(Seq("p", "v")))
+        .groupBy("u", "p").agg(sum("v").as("v"))
+        .groupBy("u").agg(asArr("v").as("imp0"))
+        .join(nu, "u")
+        .select(col("u"), transform(col("imp0"), v => v * col("w")).as("imp"))
+      r2.join(uF, "u").join(iF, "i").join(imp, "u").join(nu, "u")
+        .crossJoin(broadcast(mu))
+        .withColumn("x", zip_with(col("p"), col("imp"), (a, b) => a + b))
+        .withColumn("pred",
+          col("mu") + col("bu") + col("bi") + dot(col("q"), col("x")))
+        .withColumn("err", col("r") - col("pred"))
+    }
+
+    for (_ <- 1 to iters) {
+      val s = cut(scored(userF, itemF))
+      val dBu = s.groupBy("u").agg(avg("err").as("db"))
+      val dP = s.select(col("u"), col("err"), posexplode(col("q")).as(Seq("p", "qv")))
+        .groupBy("u", "p").agg(avg(col("err") * col("qv")).as("g"))
+        .groupBy("u").agg(asArr("g").as("dp"))
+      val dBi = s.groupBy("i").agg(avg("err").as("db"))
+      val dQ = s.select(col("i"), col("err"), posexplode(col("x")).as(Seq("p", "xv")))
+        .groupBy("i", "p").agg(avg(col("err") * col("xv")).as("g"))
+        .groupBy("i").agg(asArr("g").as("dq"))
+      // y-gradient: per-user term g_u = w_u · Σ_i err_ui·q_i, joined back
+      // along the user's rating edges (LINEAR in |ratings|)
+      val gU = s.select(col("u"), col("w"), col("err"), posexplode(col("q")).as(Seq("p", "qv")))
+        .groupBy("u", "p").agg(sum(col("err") * col("qv")).as("g0"))
+        .groupBy("u").agg(asArr("g0").as("g1"))
+        .join(nu, "u")
+        .select(col("u"), transform(col("g1"), v => v * col("w")).as("gy"))
+      val dY = r2.join(gU, "u")
+        .select(col("i"), posexplode(col("gy")).as(Seq("p", "v")))
+        .groupBy("i", "p").agg(avg("v").as("g"))
+        .groupBy("i").agg(asArr("g").as("dy"))
+
+      userF = cut(userF.join(dBu, Seq("u"), "left").join(dP, Seq("u"), "left")
+        .select(col("u"),
+          when(col("dp").isNull, col("p")).otherwise(
+            zip_with(col("p"), col("dp"), (p, g) => p + lit(lr) * (g - lit(reg) * p))).as("p"),
+          (col("bu") + lit(lr) * (coalesce(col("db"), lit(0.0)) - lit(reg) * col("bu"))).as("bu")))
+      itemF = cut(itemF.join(dBi, Seq("i"), "left").join(dQ, Seq("i"), "left")
+        .join(dY, Seq("i"), "left")
+        .select(col("i"),
+          when(col("dq").isNull, col("q")).otherwise(
+            zip_with(col("q"), col("dq"), (q, g) => q + lit(lr) * (g - lit(reg) * q))).as("q"),
+          when(col("dy").isNull, col("y")).otherwise(
+            zip_with(col("y"), col("dy"), (y, g) => y + lit(lr) * (g - lit(reg) * y))).as("y"),
+          (col("bi") + lit(lr) * (coalesce(col("db"), lit(0.0)) - lit(reg) * col("bi"))).as("bi")))
+    }
+    scored(userF, itemF).select(col("u"), col("i"), col("r"), col("pred"))
+  }
+
+  /** Registered pass: co-purchase ratings (customer, part, mean
+    * quantity) from orders⋈lineitem, trained on the deterministic
+    * 200-smallest-customer slice so cost is scale-invariant (t05's
+    * registered-entry rule); emits rounded predictions. Rows-only (the
+    * trainer is iterative and engine-local); RecommenderSpec proves the
+    * planted-structure recovery and seeded determinism. */
+  val r01 = Q.rowsOnly("r01_svdpp") { (s, dir) =>
+    val ratings = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"))
+    svdPlusPlus(ratings, dim = 8, iters = 5)
+      .select(col("u"), col("i"), round(col("r"), 2).as("r"),
+        round(col("pred"), 4).as("pred"))
+      .orderBy("u", "i")
+  }
+
+  val all: Seq[Q] = Seq(r01)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Recommender
+
+class RecommenderSpec extends SparkTestBase {
+
+  private def planted() = {
+    import TestSpark.spark.implicits._
+    // 40 users × 30 items, planted block structure: group-A users (even)
+    // rate items 0-14 high and 15-29 low; group-B users the inverse.
+    // Every user rates 15 items of each half -> strong low-rank signal.
+    val rows = for {
+      u <- 0 until 40
+      i <- 0 until 30
+      if (u + i) % 2 == 0 // thin it out; keeps both blocks covered
+    } yield {
+      val likes = (u % 2 == 0) == (i < 15)
+      (u.toLong, i.toLong, if (likes) 5.0 else 1.0)
+    }
+    rows.toDF("u", "i", "r")
+  }
+
+  private def rmse(df: org.apache.spark.sql.DataFrame, predCol: String): Double =
+    math.sqrt(df.select(avg(pow(col("r") - col(predCol), 2.0))).head.getDouble(0))
+
+  test("SVD++ learns the planted block structure well below the mean-only baseline") {
+    val ratings = planted()
+    val out = Recommender.svdPlusPlus(ratings, dim = 8, iters = 20, lr = 0.1).cache()
+    val mu = ratings.agg(avg("r")).head.getDouble(0)
+    val base = rmse(ratings.withColumn("base", lit(mu)), "base")
+    val trained = rmse(out, "pred")
+    assert(trained < 0.6 * base,
+      s"SVD++ RMSE $trained not clearly below mean-only baseline $base")
+    // block structure recovered: liked items predict higher than disliked
+    // for the same user
+    val perUser = out
+      .withColumn("liked", col("r") === 5.0)
+      .groupBy("u", "liked").agg(avg("pred").as("m"))
+      .groupBy("u").pivot("liked", Seq("true", "false")).agg(first("m"))
+    val bad = perUser.filter(col("true") <= col("false")).count()
+    assert(bad == 0, s"$bad users predict disliked >= liked")
+  }
+
+  test("SVD++ training is seeded-deterministic") {
+    val ratings = planted()
+    def run() = Recommender.svdPlusPlus(ratings, dim = 4, iters = 3)
+      .select(col("u"), col("i"), round(col("pred"), 9).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(run() == run(), "same seed must reproduce identical predictions")
+  }
+
+  test("r01 emits one prediction per training edge with finite values") {
+    val out = Recommender.r01.run(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("pred").isNull || isnan(col("pred"))).count() == 0)
+    val dup = out.groupBy("u", "i").count().filter(col("count") > 1).count()
+    assert(dup == 0, "one row per (user, item)")
+  }
+}

@@ -87,6 +87,28 @@ class TextSpec extends SparkTestBase {
     assert(sh(1) == sh(3))
   }
 
+  test("chi-squared selection ranks a label-tied term first and a label-blind term nowhere") {
+    import TestSpark.spark.implicits._
+    // 200 docs, two labels; "marker" appears iff label == aa (perfectly
+    // discriminative), "common" appears everywhere (χ² = 0), fillers
+    // vary the vocabulary
+    val docs = (0 until 200).map { i =>
+      val label = if (i % 2 == 0) "aa" else "bb"
+      val marker = if (label == "aa") " marker" else ""
+      (i.toLong, s"common filler$i$marker", label)
+    }.toDF("doc_id", "text", "lang")
+    val top = operators.Features.chiSqSelect(docs, "lang", k = 5, minDf = 10L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(top.head._2 == "marker", s"discriminative term must rank 1: ${top.mkString(",")}")
+    assert(top.head._3 > 100.0, "perfect 100/100-vs-0 split must score high")
+    val common = top.find(_._2 == "common")
+    assert(common.forall(_._3 == 0.0), "label-blind term must score 0")
+    // determinism across runs (ranking on rounded χ², term tiebreak)
+    val again = operators.Features.chiSqSelect(docs, "lang", k = 5, minDf = 10L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(top.toSeq == again.toSeq)
+  }
+
   test("d01 exact dedup collapses planted duplicates to the smallest doc_id") {
     val docs = Tables.documents(spark, sfDir)
     val planted = docs.limit(5)
