@@ -61,8 +61,21 @@ object ScaleGen {
     }.reduce(_ unionByName _)
     embUp.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // one shared order-key offset keeps orders⋈lineitem joinable per
+    // replica (orders' key space is the superset)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val maxOrd = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxOrd = math.max(
+      ord.agg(max("o_orderkey")).head.getLong(0),
+      li.agg(max("l_orderkey")).head.getLong(0)) + 1
+    val maxCust = ord.agg(max("o_custkey")).head.getLong(0) + 1
+    val ordUp = (0 until factor).map { k =>
+      val rest = ord.columns.filter(c => c != "o_orderkey" && c != "o_custkey").map(col)
+      ord.select(
+        (Seq((col("o_orderkey") + k * maxOrd).as("o_orderkey"),
+          (col("o_custkey") + k * maxCust).as("o_custkey")) ++ rest): _*)
+    }.reduce(_ unionByName _)
+    ordUp.write.mode("overwrite").parquet(s"$dst/orders.parquet")
     val maxPart = {
       val m = li.agg(max("l_partkey")).head.getLong(0) + 1
       (m + 7) / 8 * 8 // multiple of 8: replicas keep their %8 classes

@@ -77,6 +77,22 @@ class PlanSpec extends SparkTestBase {
       "registered q48 must uncache before returning")
   }
 
+  test("d12 broadcasts the 64-row dimension stats; the apply stage stays map-side") {
+    val p = plan(graft.operators.Embeddings.d12.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dimension stats must join back as a broadcast:\n$p")
+    assert(p.contains("partial_"),
+      s"dimension stats must partial-aggregate before their shuffle:\n$p")
+  }
+
+  test("fs01 broadcasts the label margin and keeps the vocabulary shuffled, never broadcast") {
+    val p = plan(graft.operators.Features.fs01.run(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"L-row label margin must broadcast:\n$p")
+    // the (term, label) presence table must reach its agg partially
+    assert(p.contains("partial_"), s"presence counts lost map-side combine:\n$p")
+  }
+
   test("q53 NOT IN plans the null-aware anti join, not a nested loop") {
     val p = plan(Relational.q53.run(spark, sfDir))
     assert(p.contains("NullAwareAntiJoin") ||
