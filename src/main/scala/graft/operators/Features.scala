@@ -59,16 +59,17 @@ object Features {
       when(e0 > 0, (o0 - e0) * (o0 - e0) / e0).otherwise(0.0)
     val chi2 = cells.groupBy("term")
       .agg(round(sum(cell), 6).as("chi2"))
+    // top-k FIRST (TakeOrderedAndProject — distributed per-partition
+    // heaps, plan-locked in PlanSpec), THEN the rank window over only k
+    // rows: an unpartitioned row_number over the full χ² table would
+    // funnel the whole vocabulary through one reducer
     val w = Window.orderBy(col("chi2").desc, col("term"))
-    chi2.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    chi2.orderBy(col("chi2").desc, col("term")).limit(k)
+      .withColumn("rk", row_number().over(w))
       .select(col("rk"), col("term"), col("chi2"))
   }
 
-  /** Registered pass: top-50 language-discriminative terms, df ≥ 10.
-    * The one-reducer rank window is bounded: it ranks the df-pruned
-    * χ² table (vocabulary-of-frequent-terms-sized, aggregated — never
-    * raw rows), the same bounded-input shape as q07's top-k. */
+  /** Registered pass: top-50 language-discriminative terms, df ≥ 10. */
   val fs01 = Q.sql(
     "fs01_chisq_select",
     """WITH present AS (

@@ -91,6 +91,10 @@ class PlanSpec extends SparkTestBase {
       s"L-row label margin must broadcast:\n$p")
     // the (term, label) presence table must reach its agg partially
     assert(p.contains("partial_"), s"presence counts lost map-side combine:\n$p")
+    // top-k over the χ² table must be distributed heaps, never a
+    // one-reducer global sort of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fs01 top-k lost TakeOrderedAndProject:\n$p")
   }
 
   test("q53 NOT IN plans the null-aware anti join, not a nested loop") {
