@@ -486,5 +486,88 @@ object Graphs {
       .orderBy("partkey")
   }
 
-  val all: Seq[Q] = Seq(lp01, tc01, gp01, scc01)
+  /** Power iteration clustering (reference mllib/src/main/scala/org/
+    * apache/spark/mllib/clustering/PowerIterationClustering.scala:1 —
+    * Lin & Cohen, ICML'10): cluster the vertices of an affinity graph
+    * by power-iterating the row-normalized affinity, v ← D⁻¹W·v (with
+    * L1 re-normalization each round, PageRank's broadcast-1-row
+    * pattern), then segmenting the resulting 1-D embedding into k
+    * groups. Spectral clustering without ever materializing a matrix:
+    * per round one edge join + one vertex aggregate, lineage cut, and
+    * the pseudo-eigenvector converges to a piecewise-constant embedding
+    * whose plateaus ARE the clusters.
+    *
+    * Segmentation: the reference runs k-means on the scalar embedding;
+    * 1-D k-means is exactly "split at the k−1 largest gaps" (a classic
+    * equivalence for well-separated plateaus), which needs only a rank
+    * window over the VERTEX set and a top-(k−1) gap selection — fully
+    * distributed and deterministic, no iterative refinement.
+    *
+    * @param edges undirected weighted `src`,`dst`,`w` (one orientation;
+    *              both are generated internally)
+    * @return (id, cluster) — cluster ids are 0..k−1 in ascending
+    *         embedding order
+    */
+  def powerIterationClustering(edges: DataFrame, k: Int, iters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bidir = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w").cast("double").as("w")))
+      .localCheckpoint()
+    val deg = bidir.groupBy("src").agg(sum("w").as("deg"))
+    val norm = bidir.join(deg, "src")
+      .select(col("src"), col("dst"), (col("w") / col("deg")).as("a"))
+      .localCheckpoint()
+    // reference init: degree / total-degree (already L1-normalized)
+    val totalDeg = deg.agg(sum("deg").as("t"))
+    var v = deg.crossJoin(broadcast(totalDeg))
+      .select(col("src").as("id"), (col("deg") / col("t")).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = norm.join(v, norm("dst") === v("id"))
+        .select(col("src").as("id"), (col("a") * col("v")).as("c"))
+        .groupBy("id").agg(sum("c").as("v0"))
+      val l1 = next.agg(sum(abs(col("v0"))).as("l1"))
+      v = next.crossJoin(broadcast(l1))
+        .select(col("id"), (col("v0") / col("l1")).as("v"))
+        .localCheckpoint()
+    }
+    // split the sorted embedding at the k−1 largest adjacent gaps
+    // (id-asc tiebreaks keep every step deterministic)
+    val byV = Window.orderBy(col("v"), col("id"))
+    val ranked = v.withColumn("rn", row_number().over(byV))
+      .withColumn("gap", col("v") - lag("v", 1).over(byV))
+      .localCheckpoint()
+    val cuts = ranked.filter(col("gap").isNotNull)
+      .orderBy(col("gap").desc, col("rn")).limit(k - 1)
+      .select(col("rn").as("cut"))
+    val cutRanks = cuts.orderBy("cut").collect().map(_.getInt(0)) // k−1 values
+    val clusterExpr = cutRanks.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (cut, i)) => when(col("rn") >= cut, lit(i + 1)).otherwise(acc)
+    }
+    ranked.select(col("id"), clusterExpr.as("cluster"))
+  }
+
+  /** PIC over the weighted co-purchase graph (support as affinity).
+    * Rows-only (the pseudo-eigenvector is engine-local float math);
+    * GraphsSpec proves exact recovery of two planted cliques joined by
+    * one weak edge, plus determinism. The one-reducer rank window runs
+    * over the VERTEX EMBEDDING (one scalar per vertex, after all edge
+    * work) — at larger scale swap in withGlobalIndex (q54's
+    * range-partitioned numbering) unchanged. */
+  val pic01 = Q.rowsOnly("pic01_power_iteration") { (s, dir) =>
+    val weighted = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set("l_partkey")).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("pr"))
+      .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .filter(col("w") >= 2)
+    powerIterationClustering(weighted, k = 8, iters = 12)
+      .select(col("id").as("partkey"), col("cluster"))
+      .orderBy("partkey")
+  }
+
+  val all: Seq[Q] = Seq(lp01, tc01, gp01, scc01, pic01)
 }

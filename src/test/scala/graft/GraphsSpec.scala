@@ -123,6 +123,29 @@ class GraphsSpec extends SparkTestBase {
     assert(got == (0L to 5L).map(i => i -> i).toMap, s"chain must be all singletons: $got")
   }
 
+  test("power iteration clustering separates two cliques joined by one weak edge") {
+    import TestSpark.spark.implicits._
+    def clique(ids: Seq[Long], w: Double) =
+      for (a <- ids; b <- ids if a < b) yield (a, b, w)
+    // ASYMMETRIC cliques (size 6 w=5 vs size 8 w=3): a perfectly
+    // symmetric barbell maps mirror vertices to the SAME embedding
+    // value (the known degenerate case of value-based spectral
+    // clustering), so the planted recovery needs distinct plateaus
+    val edges = (clique(0L to 5L, 5.0) ++ clique(10L to 17L, 3.0) ++ Seq((5L, 10L, 0.1)))
+      .toDF("src", "dst", "w")
+    val got = Graphs.powerIterationClustering(edges, k = 2, iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cA = got(0L)
+    assert((0L to 5L).forall(got(_) == cA), s"clique A split: $got")
+    val cB = got(10L)
+    assert(cB != cA, s"cliques merged: $got")
+    assert((10L to 17L).forall(got(_) == cB), s"clique B split: $got")
+    // deterministic across runs (same plan, same tiebreaks)
+    val again = Graphs.powerIterationClustering(edges, k = 2, iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == again)
+  }
+
   test("label propagation: isolated vertices keep their own label; deterministic across runs") {
     import TestSpark.spark.implicits._
     val vertices = (0L to 5L).toDF("id")
