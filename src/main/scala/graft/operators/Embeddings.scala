@@ -151,6 +151,120 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
+  /** Gaussian mixture EM (reference mllib/src/main/scala/org/apache/
+    * spark/mllib/clustering/GaussianMixture.scala:1) with DIAGONAL
+    * covariance — the high-dimension variant that scales (the
+    * reference's full dim×dim Σ per component is a deliberate
+    * simplification here; at embedding dims a dense Σ is mostly noise
+    * and its driver-side inversion O(k·dim³)).
+    *
+    * Soft k-means shape: the E-step is one codegen'd map computing each
+    * row's responsibilities against k×dim plan LITERALS (log-density +
+    * max-shifted softmax, d08's assignment pattern made soft); the
+    * M-step is one explode + groupBy(dim) whose output is dim rows ×
+    * 3k aggregates — so what returns to the driver is O(k·dim), never
+    * row count. Means seed from [[kmeansParallelSeeds]], variances from
+    * the global per-dimension variance, weights uniform — fully
+    * deterministic.
+    *
+    * @return (vec_id, cluster, resp) — hard argmax assignment plus its
+    *         responsibility (rounded), ties to the smaller component
+    */
+  def gmmAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "GMM needs k >= 2")
+    val base = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    val seeds = kmeansParallelSeeds(base, k)
+    var means: Array[Array[Double]] = seeds.map(_.map(_.toDouble))
+    // per-component variance from the seeds' hard Voronoi cells (one
+    // bounded k×dim agg — MLlib's init-from-cluster-sample shape): a
+    // GLOBAL variance init makes the components' densities nearly
+    // indistinguishable and EM collapses them toward the corpus mean
+    val cellVar = withCluster(base, seeds)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("cluster", "p").agg(var_pop(col("x").cast("double")).as("v"))
+      .collect()
+    var vars: Array[Array[Double]] = Array.fill(k, dim)(1e-2)
+    cellVar.foreach(r =>
+      vars(r.getInt(0))(r.getInt(1)) = math.max(
+        if (r.isNullAt(2)) 1e-2 else r.getDouble(2), 1e-6))
+    var weights: Array[Double] = Array.fill(k)(1.0 / k)
+
+    // E-step responsibilities via the EXPANDED quadratic form:
+    // Σ(x−μ)²/v = Σx²·(1/v) − 2Σx·(μ/v) + Σμ²/v — two NATIVE float_dot
+    // products per component against literal arrays (graft.plans
+    // codegen), instead of nested zip_with/aggregate HOFs which run on
+    // the interpreted path and dominated the first implementation
+    def respCols(): Seq[Column] = {
+      val xx = transform(col("embedding"), x => x * x)
+      val logd: Seq[Column] = (0 until k).map { j =>
+        val a = vars(j).map(v => (1.0 / v).toFloat).toSeq
+        val b = means(j).zip(vars(j)).map { case (m, v) => (m / v).toFloat }.toSeq
+        val cTerm = means(j).zip(vars(j)).map { case (m, v) => m * m / v }.sum
+        val logDet = vars(j).map(math.log).sum
+        lit(math.log(weights(j)) - 0.5 * (logDet + cTerm)) -
+          lit(0.5) * call_function("float_dot", xx, typedlit(a)) +
+          call_function("float_dot", col("embedding"), typedlit(b))
+      }
+      val m = greatest(logd: _*)
+      val exps = logd.map(l => exp(l - m))
+      val z = exps.reduce(_ + _)
+      exps.map(_ / z)
+    }
+
+    val n = base.count().toDouble
+    for (_ <- 1 to iters) {
+      val withR = base.withColumn("rs", array(respCols(): _*))
+      // ONE pass: per-dim rows carry (Σ r·x, Σ r·x²) for every
+      // component, plus Σ r (identical across dims — the component
+      // mass, read from the p=0 row) — dim rows × 3k aggregates total
+      val aggs =
+        (0 until k).map(j => sum(col("rs")(j) * col("x").cast("double")).as(s"sx$j")) ++
+          (0 until k).map(j =>
+            sum(col("rs")(j) * col("x").cast("double") * col("x").cast("double")).as(s"sxx$j")) ++
+          (0 until k).map(j => sum(col("rs")(j)).as(s"m$j"))
+      val stats = withR
+        .select(col("rs"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy("p")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val mass = Array.tabulate(k)(j => stats.head.getDouble(1 + 2 * k + j))
+      val newMeans = Array.tabulate(k, dim)((j, p) => means(j)(p))
+      val newVars = Array.tabulate(k, dim)((j, p) => vars(j)(p))
+      stats.foreach { r =>
+        val p = r.getInt(0)
+        for (j <- 0 until k) {
+          val w = mass(j)
+          if (w > 1e-9) {
+            val mu = r.getDouble(1 + j) / w
+            newMeans(j)(p) = mu
+            newVars(j)(p) =
+              math.max(r.getDouble(1 + k + j) / w - mu * mu, 1e-6)
+          }
+        }
+      }
+      means = newMeans
+      vars = newVars
+      weights = Array.tabulate(k)(j => math.max(mass(j) / n, 1e-12))
+    }
+
+    val withR = base.withColumn("rs", array(respCols(): _*))
+    val best = (0 until k).map(j =>
+      struct(col("rs")(j).as("r"), lit(-j).as("nc")))
+    withR
+      .select(col("vec_id"), greatest(best: _*).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).as("cluster"),
+        round(col("b.r"), 6).as("resp"))
+  }
+
+  /** k=8 diagonal-covariance GMM over the embeddings table. Rows-only
+    * (iterative EM); EmbeddingsSpec asserts planted unequal-spread
+    * blobs are recovered with calibrated weights, deterministically. */
+  val gm01 = Q.rowsOnly("gm01_gaussian_mixture") { (s, dir) =>
+    gmmAssign(Tables.embeddings(s, dir), k = 8, iters = 6)
+      .orderBy("vec_id")
+  }
+
   /** L2 normalization of the embedding table (MLlib feature/Normalizer
     * parity) — the standard prep before cosine ANN / spherical k-means
     * (on unit vectors, cosine == dot). Pure map-side column math, no
@@ -255,5 +369,5 @@ object Embeddings {
       .orderBy("vec_id", "dim_idx")
   }
 
-  val all: Seq[Q] = Seq(d08, d10, d11, d12)
+  val all: Seq[Q] = Seq(d08, gm01, d10, d11, d12)
 }

@@ -96,6 +96,43 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(hits >= 40, s"int8 recall@5 too low: $hits/50")
   }
 
+  test("GMM recovers planted unequal blobs with calibrated weights, deterministically") {
+    val dim = 8
+    // three axis-aligned blobs with different sizes AND spreads:
+    // 100 tight at e0, 60 medium at e1, 40 loose at e2 — deterministic
+    // per-point jitter from (i, p) hashing
+    def jitter(i: Int, p: Int, scale: Float): Float =
+      scale * (((i * 31 + p * 7 + 13) % 11) - 5) / 10.0f
+    val sizes = Seq(100, 60, 40)
+    val spread = Seq(0.02f, 0.05f, 0.1f)
+    val rows: java.util.List[Row] = new java.util.ArrayList()
+    var id = 0L
+    for (g <- 0 until 3; _ <- 0 until sizes(g)) {
+      val v = Array.tabulate(dim)(p => jitter(id.toInt, p, spread(g)))
+      v(g) = 1.0f + v(g)
+      rows.add(Row(id, v.toSeq)); id += 1
+    }
+    val emb = spark.createDataFrame(rows, embSchema)
+    val got = Embeddings.gmmAssign(emb, k = 3, iters = 8).cache()
+    // each planted blob maps to ONE component, components are distinct
+    val byBlob = got.collect().map { r =>
+      val blob = if (r.getLong(0) < 100) 0 else if (r.getLong(0) < 160) 1 else 2
+      (blob, r.getInt(1))
+    }
+    val majority = (0 until 3).map { b =>
+      byBlob.filter(_._1 == b).groupBy(_._2).maxBy(_._2.length)._1
+    }
+    assert(majority.distinct.length == 3, s"blobs merged into components: $majority")
+    val mismatches = byBlob.count { case (b, c) => c != majority(b) }
+    assert(mismatches <= 10, s"$mismatches/200 points misassigned")
+    // responsibilities must be confident for tight clusters
+    assert(got.filter(org.apache.spark.sql.functions.col("resp") < 0.9).count() <= 20)
+    val again = Embeddings.gmmAssign(emb, k = 3, iters = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val first = got.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(first == again, "EM must be deterministic")
+  }
+
   test("d12 standardization: per-dimension mean ~0, stddev ~1, zero-variance dim -> NULL") {
     import org.apache.spark.sql.functions._
     val out = Embeddings.d12.run(spark, sfDir).cache()
