@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** LDA topic modeling (reference mllib/src/main/scala/org/apache/spark/
+  * mllib/clustering/LDA.scala:1 — the 1.3-era EM optimizer over the
+  * doc⇄term graph) re-expressed as DataFrame iteration, the corpus-
+  * exploration move of an LLM-data pipeline (what IS in this crawl?).
+  *
+  * Smoothed EM on word-count edges (d, w, cnt): each round every edge
+  * computes its topic responsibilities
+  *
+  *   γ_k ∝ (n_dk + α)(n_wk + β) / (n_k + V·β)
+  *
+  * and the three count tables re-aggregate: n_dk (doc-topic) shuffles
+  * on doc, n_wk (topic-word) shuffles on TERM — vocabulary-safe, the
+  * same discipline as t06's df join — and n_k is a 1-row aggregate that
+  * rides back as plan literals. Topics are k COLUMNS, not exploded
+  * rows, so a round is two key-equality joins + two partial-agg
+  * groupBys + one bounded agg, all codegen column math; nothing
+  * driver-side scales beyond k.
+  *
+  * Init is hash-derived per (edge, topic) — seeded end-to-end like t05
+  * and r01. Loop state is checkpointed WITHOUT inherited stats: each
+  * round joins BOTH previous leaves, so plain checkpoint stats would
+  * double in bit-length per round (see GraftDatasetFactory.
+  * localCheckpointFreshStats).
+  */
+object Topics {
+
+  private def cut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStats(df)
+
+  /** Train and return the topic-word summary: for every topic, the
+    * `topWords` highest-φ terms, φ_wk = (n_wk + β)/(n_k + V·β).
+    *
+    * @param docs (doc_id, text)
+    * @return (topic, rk, term, phi6) ordered by (topic, rk)
+    */
+  def ldaTopics(docs: DataFrame, k: Int, iters: Int = 10, topWords: Int = 5,
+                alpha: Double = 0.1, beta: Double = 0.1, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = docs
+      .select(col("doc_id").as("d"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("d", "w").agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint()
+    val vocabSize = edges.select("w").distinct().count().toDouble
+
+    def ts(prefix: String): Seq[String] = (0 until k).map(j => s"$prefix$j")
+
+    // seeded init: per-edge hash responsibilities, normalized, weighted
+    // by the edge count — then aggregated into the three count tables
+    val g0: Seq[Column] = (0 until k).map(j =>
+      lit(1.0) + pmod(xxhash64(col("d"), col("w"), lit(seed + j)), lit(1000L))
+        .cast("double") / 1000.0)
+    val z0 = g0.reduce(_ + _)
+    val gInit = edges.select(
+      col("d") +: col("w") +: (0 until k).map(j =>
+        (col("cnt") * g0(j) / z0).as(s"g$j")): _*)
+
+    def aggTo(g: DataFrame, key: String): DataFrame = {
+      val sums = (0 until k).map(j => sum(col(s"g$j")).as(s"t$j"))
+      g.groupBy(key).agg(sums.head, sums.tail: _*)
+    }
+    var nDK = cut(aggTo(gInit, "d"))
+    var nWK = cut(aggTo(gInit, "w"))
+
+    def nK(wk: DataFrame): Array[Double] = {
+      val sums = (0 until k).map(j => sum(col(s"t$j")).as(s"t$j"))
+      val row = wk.agg(sums.head, sums.tail: _*).head
+      Array.tabulate(k)(row.getDouble)
+    }
+
+    for (_ <- 1 to iters) {
+      val topicMass = nK(nWK)
+      val dk = nDK.select(col("d") +: ts("t").zipWithIndex.map {
+        case (c, j) => col(c).as(s"dk$j") }: _*)
+      val wk = nWK.select(col("w") +: ts("t").zipWithIndex.map {
+        case (c, j) => col(c).as(s"wk$j") }: _*)
+      val scored = edges.join(dk, "d").join(wk, "w")
+      val g: Seq[Column] = (0 until k).map(j =>
+        (col(s"dk$j") + alpha) * (col(s"wk$j") + beta) /
+          lit(topicMass(j) + vocabSize * beta))
+      val z = g.reduce(_ + _)
+      val gamma = scored.select(
+        col("d") +: col("w") +: (0 until k).map(j =>
+          (col("cnt") * g(j) / z).as(s"g$j")): _*)
+      // one materialization feeds BOTH re-aggregations
+      val gammaCk = cut(gamma)
+      nDK = cut(aggTo(gammaCk, "d"))
+      nWK = cut(aggTo(gammaCk, "w"))
+    }
+
+    val topicMass = nK(nWK)
+    val perTopic = (0 until k).map { j =>
+      nWK.select(lit(j).as("topic"), col("w").as("term"),
+        round((col(s"t$j") + beta) / lit(topicMass(j) + vocabSize * beta), 6).as("phi6"))
+    }.reduce(_ unionByName _)
+    // native bounded-heap top-k per topic (q39's operator) — the rank
+    // window then runs over ≤ k·topWords rows, never the vocabulary
+    val top = graft.plans.TopK.perKey(perTopic, "topic", "phi6", "term", topWords)
+    val w = Window.partitionBy("topic").orderBy(col("phi6").desc, col("term"))
+    top.withColumn("rk", row_number().over(w))
+      .select(col("topic"), col("rk"), col("term"), col("phi6"))
+      .orderBy("topic", "rk")
+  }
+
+  /** k=4 topics over the documents table, top-5 terms each. Rows-only
+    * (EM is iterative and seeded-engine-local); TopicsSpec proves
+    * planted two-vocabulary recovery and determinism. */
+  val lda01 = Q.rowsOnly("lda01_topics") { (s, dir) =>
+    ldaTopics(Tables.documents(s, dir), k = 4, iters = 10)
+  }
+
+  val all: Seq[Q] = Seq(lda01)
+}
