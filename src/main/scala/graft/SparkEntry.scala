@@ -15,7 +15,7 @@ object SparkEntry {
       operators.EventTime.all ++ operators.SkewTools.all ++
       operators.TextOps.all ++ operators.Word2Vec.all ++
       operators.Features.all ++ operators.Recommender.all ++
-      operators.Topics.all ++
+      operators.Topics.all ++ operators.Patterns.all ++
       operators.Similarity.all ++
       operators.Clusters.all ++ operators.Bucketed.all ++
       operators.Embeddings.all ++ operators.SemanticDedup.all ++

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Frequent-itemset mining (reference mllib/src/main/scala/org/apache/
+  * spark/mllib/fpm/FPGrowth.scala:1 — Parallel FP-Growth, Li et al.
+  * RecSys'08) re-expressed Spark-first. In a data pipeline this is t08's
+  * big sibling: t08 finds frequent single terms, this finds frequent
+  * COMBINATIONS (boilerplate templates, bundled products).
+  *
+  * The PFP decomposition, exactly the reference's:
+  *
+  *  1. one pass counts item frequencies; items under `minSupport` are
+  *     discarded and survivors get a (count desc, item asc) RANK that
+  *     rides as a broadcast map literal (bounded by ≤ totalItems /
+  *     minSupport entries — t03's capped-model discipline);
+  *  2. each transaction keeps its frequent items rank-sorted, and for
+  *     every kept item emits ONE conditional transaction (the rank
+  *     prefix ending at that item), keyed by it. Every itemset is then
+  *     mined in EXACTLY ONE shard — that of its least-frequent item —
+  *     so shards need no cross-talk and the output needs no dedup;
+  *  3. per shard, a local DFS miner (flatMapGroups — the genuinely-
+  *     sequential kernel, like t07's first-fit) counts suffix
+  *     projections recursively, bounded by `maxItems`.
+  *
+  * One explode + one groupBy shuffle; nothing driver-side beyond the
+  * rank map; shard work is bounded by that item's conditional database,
+  * never the corpus.
+  */
+object Patterns {
+
+  /** @param transactions (tid, items: array<long>) — items need not be
+    *                     distinct or sorted; both are normalized here
+    * @param minSupport   absolute transaction count
+    * @param maxItems     DFS depth cap (largest itemset emitted)
+    * @return (items: csv of the itemset sorted ascending, n_items,
+    *         support) for itemsets of size ≥ 2 — size-1 sets are the
+    *         plain frequency table (t08 territory) and omitted
+    */
+  def freqItemsets(transactions: DataFrame, minSupport: Long, maxItems: Int = 4): DataFrame = {
+    val spark = transactions.sparkSession
+    import spark.implicits._
+    val tx = transactions.select(col("tid"), array_distinct(col("items")).as("items"))
+    val freq = tx.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport)
+      .orderBy(col("cnt").desc, col("item"))
+      .collect().map(_.getLong(0))
+    if (freq.isEmpty) return Seq.empty[(String, Int, Long)].toDF("items", "n_items", "support")
+    val itemOf: Map[Int, Long] = freq.zipWithIndex.map { case (it, r) => r -> it }.toMap
+    val bItemOf = spark.sparkContext.broadcast(itemOf)
+
+    // rank items via a BROADCAST join (a rank-map plan LITERAL of
+    // |F| entries bloats analysis+codegen — measured 3× slower), then
+    // re-assemble each transaction's rank-sorted frequent items
+    val rankDF = broadcast(
+      freq.zipWithIndex.toSeq.toDF("item", "rank"))
+    val ranked = tx.select(col("tid"), explode(col("items")).as("item"))
+      .join(rankDF, "item")
+      .groupBy("tid").agg(sort_array(collect_list(col("rank"))).as("rs"))
+    val conditionals = ranked
+      .select(col("rs"), posexplode(col("rs")).as(Seq("p", "key")))
+      .withColumn("cond", expr("slice(rs, 1, p + 1)"))
+
+    val mined = conditionals
+      .select(col("key"), col("cond"))
+      .as[(Int, Seq[Int])]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        // conditional DB: rank prefixes ending at `key` (key dropped)
+        val db = rows.map(_._2.dropRight(1).toArray).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(List[Int], Long)]
+        // DFS: extend the suffix {key} ∪ prefix by ever-SMALLER ranks so
+        // each itemset is enumerated exactly once
+        def mine(cur: Array[Array[Int]], suffix: List[Int]): Unit = {
+          if (suffix.length >= maxItems) return
+          val counts = scala.collection.mutable.LongMap.empty[Long]
+          cur.foreach(_.foreach(r => counts(r) = counts.getOrElse(r.toLong, 0L) + 1))
+          counts.toSeq.sortBy(_._1).foreach { case (rL, c) =>
+            if (c >= minSupport) {
+              val r = rL.toInt
+              out += ((r :: suffix, c))
+              mine(
+                cur.filter(_.contains(r)).map(_.filter(_ < r)),
+                r :: suffix)
+            }
+          }
+        }
+        mine(db, List(key))
+        val io = bItemOf.value
+        out.iterator.map { case (rs, sup) =>
+          val items = rs.map(io).sorted
+          (items.mkString(","), items.length, sup)
+        }
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaInt, Encoders.scalaLong))
+      .toDF("items", "n_items", "support")
+    mined
+  }
+
+  /** Frequent co-purchase part bundles: itemsets of parts bought
+    * together in ≥ 2 orders. Rows-only (the mining recursion is not
+    * SQL-expressible at unbounded size); PatternsSpec checks exact
+    * supports against a brute-force enumeration on planted baskets. */
+  val fp01 = Q.rowsOnly("fp01_freq_itemsets") { (s, dir) =>
+    val tx = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("tid"))
+      .agg(collect_set("l_partkey").as("items"))
+    freqItemsets(tx, minSupport = 2L, maxItems = 4)
+      .orderBy("items")
+  }
+
+  val all: Seq[Q] = Seq(fp01)
+}
