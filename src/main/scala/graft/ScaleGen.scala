@@ -55,7 +55,7 @@ object ScaleGen {
     val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
     val embUp = (0 until factor).map { k =>
       val jittered = transform(col("embedding"), (x, i) =>
-        (x + lit(0.003f) * ((pmod(col("vec_id") * 7 + i * 13 + k * 31, lit(7)) - 3)
+        (x + lit(0.003f) * ((pmod(col("vec_id") * 11 + i * 13 + k * 31, lit(7)) - 3)
           .cast("float"))).cast("float"))
       emb.select((col("vec_id") + k * maxVec).as("vec_id"), jittered.as("embedding"))
     }.reduce(_ unionByName _)

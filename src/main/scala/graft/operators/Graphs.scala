@@ -509,7 +509,6 @@ object Graphs {
     *         embedding order
     */
   def powerIterationClustering(edges: DataFrame, k: Int, iters: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bidir = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w").cast("double").as("w")))
       .localCheckpoint()
@@ -532,10 +531,14 @@ object Graphs {
         .localCheckpoint()
     }
     // split the sorted embedding at the k−1 largest adjacent gaps
-    // (id-asc tiebreaks keep every step deterministic)
-    val byV = Window.orderBy(col("v"), col("id"))
-    val ranked = v.withColumn("rn", row_number().over(byV))
-      .withColumn("gap", col("v") - lag("v", 1).over(byV))
+    // (id-asc tiebreaks keep every step deterministic). Numbering via
+    // q54's range-partitioned zipWithIndex — no single-partition Window
+    // ever sees the vertex set; the lag becomes an equi-join on rank.
+    val idx = Relational.withGlobalIndex(v.select(col("id"), col("v")), "v", "id")
+      .select(col("id"), col("v"), (col("idx") + 1).cast("int").as("rn"))
+    val prev = idx.select((col("rn") + 1).as("rn"), col("v").as("v_prev"))
+    val ranked = idx.join(prev, Seq("rn"), "left")
+      .select(col("id"), col("v"), col("rn"), (col("v") - col("v_prev")).as("gap"))
       .localCheckpoint()
     val cuts = ranked.filter(col("gap").isNotNull)
       .orderBy(col("gap").desc, col("rn")).limit(k - 1)
@@ -550,10 +553,9 @@ object Graphs {
   /** PIC over the weighted co-purchase graph (support as affinity).
     * Rows-only (the pseudo-eigenvector is engine-local float math);
     * GraphsSpec proves exact recovery of two planted cliques joined by
-    * one weak edge, plus determinism. The one-reducer rank window runs
-    * over the VERTEX EMBEDDING (one scalar per vertex, after all edge
-    * work) — at larger scale swap in withGlobalIndex (q54's
-    * range-partitioned numbering) unchanged. */
+    * one weak edge, plus determinism. Embedding ranks come from q54's
+    * range-partitioned numbering (withGlobalIndex) — no stage funnels
+    * the vertex set through one task. */
   val pic01 = Q.rowsOnly("pic01_power_iteration") { (s, dir) =>
     val weighted = Tables.lineitem(s, dir)
       .groupBy("l_orderkey")

@@ -220,8 +220,11 @@ object Multimodal {
     val media = Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        encode(array_join(transform(sequence(lit(0L), n.cast("long") - 1, lit(1L)),
-          byteChar), ""), "UTF-8").as("payload"),
+        // n = 0 would make sequence(0, -1) throw; empty doc → empty payload
+        when(n > 0,
+          encode(array_join(transform(sequence(lit(0L), n.cast("long") - 1, lit(1L)),
+            byteChar), ""), "UTF-8"))
+          .otherwise(encode(lit(""), "UTF-8")).as("payload"),
         lit("audio/fake").as("mime"),
         n.cast("long").as("n_bytes"))
       .as[MediaRecord]

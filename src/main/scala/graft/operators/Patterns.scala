@@ -100,14 +100,22 @@ object Patterns {
   }
 
   /** Frequent co-purchase part bundles: itemsets of parts bought
-    * together in ≥ 2 orders. Rows-only (the mining recursion is not
+    * together in ≥ max(2, 2e-5·|tx|) orders. minSupport is derived as a
+    * FRACTION of the transaction count (MLlib's contract — one 1-row
+    * agg), so the driver-side rank table stays O(avgItemsPerTx /
+    * fraction) — CONSTANT in corpus size — instead of approaching the
+    * whole item domain as an absolute threshold would at 100 TB; the
+    * max(2, ·) floor keeps small-SF results identical to the absolute-2
+    * behavior the spec pins. Rows-only (the mining recursion is not
     * SQL-expressible at unbounded size); PatternsSpec checks exact
     * supports against a brute-force enumeration on planted baskets. */
   val fp01 = Q.rowsOnly("fp01_freq_itemsets") { (s, dir) =>
     val tx = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("tid"))
       .agg(collect_set("l_partkey").as("items"))
-    freqItemsets(tx, minSupport = 2L, maxItems = 4)
+    val nTx = tx.agg(count(lit(1))).head.getLong(0)
+    val minSupport = math.max(2L, math.ceil(nTx * 2e-5).toLong)
+    freqItemsets(tx, minSupport, maxItems = 4)
       .orderBy("items")
   }
 

@@ -477,13 +477,15 @@ object Relational {
     * count job for per-partition offsets and tags rows in place — the
     * only way to number 100 TB. Index = global rank in `sortCol` order,
     * independent of partition boundaries, so the (sampled,
-    * run-varying) range split never changes the result; `sortCol` must
-    * be unique or ties make the rank ill-defined. The deliberate `.rdd`
-    * drop-down: zipWithIndex's offset pass has no Dataset equivalent. */
-  def withGlobalIndex(df: DataFrame, sortCol: String): DataFrame = {
+    * run-varying) range split never changes the result; the combined
+    * `sortCols` must be unique or ties make the rank ill-defined. The
+    * deliberate `.rdd` drop-down: zipWithIndex's offset pass has no
+    * Dataset equivalent. */
+  def withGlobalIndex(df: DataFrame, sortCols: String*): DataFrame = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    val parted = df.repartitionByRange(n, col(sortCol)).sortWithinPartitions(sortCol)
+    val parted = df.repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
     val rdd = parted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
     }

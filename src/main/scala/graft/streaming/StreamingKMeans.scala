@@ -46,6 +46,7 @@ final class StreamingKMeansModel(val k: Int, val dim: Int, halfLifeBatches: Doub
   /** Nearest-centroid id per row (argmin Euclidean, ties to the smaller
     * cluster id via struct ordering). */
   def assignExpr: Column = {
+    require(centroids.nonEmpty, "setInitialCenters must be called before assign/update")
     val scored: Seq[Column] = centroids.toIndexedSeq.zipWithIndex.map { case (c, j) =>
       val d = aggregate(
         zip_with(col("embedding"), typedlit(c.toSeq),
