@@ -110,6 +110,15 @@ object Bench {
         }
       samples.merge(name, List(sec), (a, b) => a ++ b)
       System.err.println(f"[bench] round $r $name%-28s ${sec}%.3f s")
+      // Between-queries GC, OUTSIDE the timed section: the iterative
+      // trainers (r01, scc01, gm01, …) leave localCheckpoint blocks that
+      // the ContextCleaner only reclaims after a driver GC, and a bench
+      // run is far shorter than spark.cleaner.periodicGC.interval
+      // (30 min) — without this, executor storage pressure accumulates
+      // across rounds and inflates whatever queries happen to run after
+      // a trainer (the round-6 s01–s03 regression, measured 1.4→4.3 s
+      // round-over-round when r01 precedes them).
+      System.gc()
     }
 
     // warmup: one scan-agg absorbs session/codegen/scan setup cost
@@ -135,7 +144,13 @@ object Bench {
     for (r <- 1 to rounds) {
       if (r == 1 || elapsed + maxRoundSec <= budgetSec) {
         val r0 = elapsed
-        names.foreach(n => exec(r, n))
+        // Execution order is shuffled per round with a FIXED seed (the
+        // round number), so a heavy trainer precedes DIFFERENT queries
+        // each round and any residual adjacency cost lands on at most
+        // one of a query's samples — the median discards it. Output
+        // stays name-asc (the shuffle only reorders execution).
+        val order = new scala.util.Random(42L + r).shuffle(names)
+        order.foreach(n => exec(r, n))
         maxRoundSec = math.max(maxRoundSec, elapsed - r0)
         roundsDone = r
       } else {
