@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Topics.all ++ operators.Patterns.all ++
       operators.Similarity.all ++
       operators.Clusters.all ++ operators.Bucketed.all ++
-      operators.Embeddings.all ++ operators.SemanticDedup.all ++
+      operators.Embeddings.all ++ operators.PCA.all ++
+      operators.SemanticDedup.all ++
       operators.Graphs.all ++
       operators.Multimodal.all ++ operators.Stats.all
 

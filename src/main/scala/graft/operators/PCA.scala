@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Principal component analysis over the embedding table — the
+  * RowMatrix surface of the reference (mllib/src/main/scala/org/apache/
+  * spark/mllib/linalg/distributed/RowMatrix.scala:111
+  * `computeGramianMatrix`, :321 `computeCovariance`, :374
+  * `computePrincipalComponents`) re-expressed Spark-first. In an LLM
+  * data pipeline this is the dimensionality-reduction lever in front of
+  * ANN: projecting 64-dim embeddings onto the top-m components shrinks
+  * the index and denoises distances.
+  *
+  * Scale shape, exactly the reference's decomposition:
+  *  - the per-dimension MEANS collapse to one bounded 64-value
+  *    aggregate (d12's stats discipline) and ride as plan literals;
+  *  - the centered covariance accumulates as ONE partial-aggregated
+  *    pass: each row expands to its dim·(dim+1)/2 upper-triangle
+  *    products (the in-row equivalent of MLlib's `dspr` into a
+  *    treeAggregate buffer) and hash-aggregates map-side, so the
+  *    shuffle carries 2 080 rows per partition, never row count;
+  *  - the 64×64 eigen-solve runs on the DRIVER (MLlib calls Breeze SVD
+  *    there; here a cyclic Jacobi — no linalg dependency), O(dim³)
+  *    work on an O(dim²) matrix, independent of corpus size;
+  *  - the projection is map-only: m native `float_dot` products
+  *    against component literals minus a precomputed mean offset
+  *    (gm01's E-step pattern).
+  */
+object PCA {
+
+  /** (vec_id-less) centered upper-triangle covariance entries
+    * (i, j, cov), 1-based dims, i ≤ j, sample normalization (n−1).
+    * Means are rounded (6 dp) BEFORE centering on both engines (d12's
+    * aggregate-rounding rule) so the per-row arithmetic is identical
+    * IEEE ops on identical constants. */
+  def covarianceUpper(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    // bounded 64-value collect — the d08/gm01 "stats as plan literals"
+    // class, constant in corpus size
+    val mus: Seq[Double] = base
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("p").agg(round(avg(col("x").cast("double")), 6).as("mu"))
+      .orderBy("p").collect().map(_.getDouble(1)).toSeq
+    val cx = zip_with(col("embedding"), typedlit(mus),
+      (xv, m) => xv.cast("double") - m)
+    base.select(cx.as("cx"))
+      .select(col("cx"), posexplode(col("cx")).as(Seq("pi", "cxi")))
+      .select(col("pi"), col("cxi"),
+        posexplode(slice(col("cx"), col("pi") + 1, lit(dim))).as(Seq("pj", "cxj")))
+      .groupBy(
+        (col("pi") + 1).cast("long").as("i"),
+        (col("pi") + col("pj") + 1).cast("long").as("j"))
+      .agg(round(sum(col("cxi") * col("cxj")) / (count(lit(1)) - 1), 6).as("cov"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvectors-as-rows) sorted by eigenvalue
+    * descending, each vector sign-canonicalized (largest-|component|
+    * entry positive) so the decomposition is unique and deterministic.
+    * Driver-side by design — the reference eigen-solves its covariance
+    * on the driver too (RowMatrix.scala:378, Breeze SVD). */
+  def symmetricEigen(a: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a.length
+    val m = Array.tabulate(n, n)((i, j) => a(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) s += m(p)(q) * m(p)(q)
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && offNorm > 1e-18) {
+      for (p <- 0 until n - 1; q <- p + 1 until n) {
+        val apq = m(p)(q)
+        if (math.abs(apq) > 1e-15) {
+          val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until n) {
+            val mip = m(i)(p); val miq = m(i)(q)
+            m(i)(p) = c * mip - s * miq
+            m(i)(q) = s * mip + c * miq
+          }
+          for (i <- 0 until n) {
+            val mpi = m(p)(i); val mqi = m(q)(i)
+            m(p)(i) = c * mpi - s * mqi
+            m(q)(i) = s * mpi + c * mqi
+          }
+          for (i <- 0 until n) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(j => (-m(j)(j), j))
+    val eig = order.map(j => m(j)(j)).toArray
+    val vecs = order.map { j =>
+      val col = Array.tabulate(n)(i => v(i)(j))
+      val pivot = col.indices.maxBy(i => (math.abs(col(i)), -i))
+      if (col(pivot) < 0) col.map(x => -x) else col
+    }.toArray
+    (eig, vecs)
+  }
+
+  /** Top-m principal components of the embedding table: per-dimension
+    * means, component variances (eigenvalues, descending) and the
+    * components themselves (rows, unit-norm, sign-canonicalized). */
+  def principalComponents(emb: DataFrame, m: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val entries = covarianceUpper(emb).collect() // bounded: dim·(dim+1)/2 rows
+    val dim = entries.iterator.map(_.getLong(1).toInt).max
+    val cov = Array.ofDim[Double](dim, dim)
+    entries.foreach { r =>
+      val i = r.getLong(0).toInt - 1; val j = r.getLong(1).toInt - 1
+      cov(i)(j) = r.getDouble(2); cov(j)(i) = r.getDouble(2)
+    }
+    val mus = emb
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("p").agg(round(avg(col("x").cast("double")), 6).as("mu"))
+      .orderBy("p").collect().map(_.getDouble(1))
+    val (eig, vecs) = symmetricEigen(cov)
+    (mus, eig.take(m), vecs.take(m))
+  }
+
+  /** Project every vector onto the top-m components: map-only, one
+    * native codegen `float_dot` per component against plan literals
+    * minus the (scalar) mean offset. Output (vec_id, pc0..pc{m-1}),
+    * rounded 5 dp for cross-run stability. */
+  def pcaProject(emb: DataFrame, m: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val (mus, _, comps) = principalComponents(emb, m)
+    val projCols = (0 until m).map { k =>
+      val vf: Seq[Float] = comps(k).map(_.toFloat).toSeq
+      val offset = mus.zip(vf).map { case (mu, vkf) => mu * vkf.toDouble }.sum
+      round(call_function("float_dot", col("embedding"), typedlit(vf)) - lit(offset), 5)
+        .as(s"pc$k")
+    }
+    emb.select(col("vec_id") +: projCols: _*)
+  }
+
+  /** Top-8 PCA projection of the embeddings table. Rows-only (the
+    * eigen-solve is not SQL-expressible); PCASpec recovers planted
+    * low-rank structure, checks orthogonality + descending component
+    * variance, and pins determinism. The covariance input to the
+    * eigen-solve is itself fully oracled as d14_covariance. */
+  val d13 = Q.rowsOnly("d13_pca") { (s, dir) =>
+    pcaProject(Tables.embeddings(s, dir), m = 8)
+      .orderBy("vec_id")
+  }
+
+  /** The centered sample covariance matrix (upper triangle) — the
+    * bounded distributed half of PCA, fully SQL-expressible so it
+    * carries a complete DuckDB value oracle. */
+  val d14 = Q.sql(
+    "d14_covariance",
+    """WITH x AS (
+      |  SELECT e.vec_id, i AS dim_idx, CAST(e.embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings e, unnest(range(1, 65)) t(i)),
+      |m AS (SELECT dim_idx, round(avg(x), 6) AS mu FROM x GROUP BY dim_idx),
+      |c AS (SELECT x.vec_id, x.dim_idx, x.x - m.mu AS cx
+      |      FROM x JOIN m ON x.dim_idx = m.dim_idx)
+      |SELECT a.dim_idx AS i, b.dim_idx AS j,
+      |  round(sum(a.cx * b.cx) / (count(*) - 1), 6) AS cov
+      |FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.dim_idx >= a.dim_idx
+      |GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    covarianceUpper(Tables.embeddings(s, dir))
+      .orderBy("i", "j")
+  }
+
+  val all: Seq[Q] = Seq(d13, d14)
+}
