@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.all ++ operators.Analytics.all ++
       operators.EventTime.all ++ operators.SkewTools.all ++
       operators.TextOps.all ++ operators.Word2Vec.all ++
+      operators.Classify.all ++
       operators.Features.all ++ operators.Recommender.all ++
       operators.Topics.all ++ operators.Patterns.all ++
       operators.Similarity.all ++
