@@ -214,5 +214,52 @@ object Stats {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52)
+  /** Per-distinct-value average Spearman ranks of column `c` — the
+    * fractional (average-over-ties) rank table. Numbering comes from
+    * q54's range-partitioned zipWithIndex (never a one-reducer global
+    * window — the reference's SpearmanCorrelation sorts with a range
+    * partitioner for exactly this reason); equal values land in one
+    * range partition, so their index run is contiguous and the per-value
+    * AVG equals the classic firstRank + (ties−1)/2 exactly (the mean of
+    * consecutive integers is a representable half-integer). The table
+    * has one row per DISTINCT value — it joins back by value, small
+    * domains broadcast. */
+  def spearmanRanks(df: org.apache.spark.sql.DataFrame, c: String): org.apache.spark.sql.DataFrame =
+    Relational.withGlobalIndex(df.select(col(c)), c)
+      .groupBy(c).agg(avg(col("idx") + 1).as(s"rk_$c"))
+
+  /** Spearman rank correlation (reference mllib/src/main/scala/org/
+    * apache/spark/mllib/stat/correlation/SpearmanCorrelation.scala:1):
+    * average-rank ties, then Pearson on the ranks — q31's robust
+    * sibling for monotone-but-nonlinear relationships. The oracle
+    * computes the same fractional ranks with window functions; the
+    * Spark side ranks each column distributedly and joins the rank
+    * tables back by value, so no stage funnels the table through one
+    * task. */
+  val q59 = Q.sql(
+    "q59_spearman",
+    """WITH r AS (
+      |  SELECT
+      |    rank() OVER (ORDER BY l_quantity) +
+      |      (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rk_q,
+      |    rank() OVER (ORDER BY l_extendedprice) +
+      |      (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rk_p,
+      |    rank() OVER (ORDER BY l_discount) +
+      |      (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rk_d
+      |  FROM lineitem)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(corr(rk_q, rk_p), 6) AS s_qty_price,
+      |  round(corr(rk_q, rk_d), 6) AS s_qty_disc
+      |FROM r""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select("l_quantity", "l_extendedprice", "l_discount")
+    li.join(spearmanRanks(li, "l_quantity"), "l_quantity")
+      .join(spearmanRanks(li, "l_extendedprice"), "l_extendedprice")
+      .join(spearmanRanks(li, "l_discount"), "l_discount")
+      .agg(count(lit(1)).as("n"),
+        round(corr("rk_l_quantity", "rk_l_extendedprice"), 6).as("s_qty_price"),
+        round(corr("rk_l_quantity", "rk_l_discount"), 6).as("s_qty_disc"))
+  }
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52, q59)
 }

@@ -59,4 +59,49 @@ class StatsSpec extends SparkTestBase {
       "same seed must reproduce the same sample")
     got.unpersist()
   }
+
+  test("spearman fractional ranks average over ties exactly") {
+    import TestSpark.spark.implicits._
+    // values 5,5,7,9,9,9 → avg ranks 1.5, 1.5, 3, 5, 5, 5
+    val df = Seq(5.0, 9.0, 5.0, 7.0, 9.0, 9.0).toDF("x")
+    val rk = Stats.spearmanRanks(df, "x").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(rk(5.0) == 1.5 && rk(7.0) == 3.0 && rk(9.0) == 5.0,
+      s"fractional ranks wrong: $rk")
+  }
+
+  test("spearman is exactly ±1 on monotone (nonlinear) relationships, despite ties") {
+    import TestSpark.spark.implicits._
+    // y = x³ is monotone but nonlinear: Pearson < 1, Spearman = 1;
+    // z reverses order → −1. Duplicated xs exercise the tie path on
+    // both sides of each pair.
+    val rows = (1 to 40).map(i => (i / 2 * 1.0, math.pow(i / 2, 3), -(i / 2) * 1.0))
+    val df = rows.toDF("x", "y", "z")
+    val ranked = df
+      .join(Stats.spearmanRanks(df, "x"), "x")
+      .join(Stats.spearmanRanks(df, "y"), "y")
+      .join(Stats.spearmanRanks(df, "z"), "z")
+    val r = ranked.agg(
+      corr("rk_x", "rk_y").as("up"), corr("rk_x", "rk_z").as("down")).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12, s"monotone-up must give 1, got ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12, s"monotone-down must give -1, got ${r.getDouble(1)}")
+  }
+
+  test("q59 agrees with a single-partition window formulation") {
+    val got = Stats.q59.run(spark, sfDir).head
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_extendedprice", "l_discount")
+    import org.apache.spark.sql.expressions.Window
+    def naiveRank(c: String) =
+      rank().over(Window.orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / 2.0
+    val naive = li
+      .withColumn("rq", naiveRank("l_quantity"))
+      .withColumn("rp", naiveRank("l_extendedprice"))
+      .withColumn("rd", naiveRank("l_discount"))
+      .agg(round(corr("rq", "rp"), 6).as("a"), round(corr("rq", "rd"), 6).as("b")).head
+    assert(got.getDouble(1) == naive.getDouble(0),
+      s"scalable rank path ${got.getDouble(1)} != naive window ${naive.getDouble(0)}")
+    assert(got.getDouble(2) == naive.getDouble(1))
+  }
 }
