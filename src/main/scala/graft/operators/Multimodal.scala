@@ -103,25 +103,62 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, idx, frame) =>
           val resized = resizeStub(frame, resizeFactor)
-          var ck = 1125899906842597L
+          // modular 31-fold (t04's cross-engine discipline: stays inside
+          // int64, so an independent engine can replay it bit-for-bit)
+          var ck = 0L
           var i = 0
-          while (i < resized.length) { ck = ck * 31 + (resized(i) & 0xFF); i += 1 }
+          while (i < resized.length) {
+            ck = (ck * 31 + (resized(i) & 0xFF)) % 2147483647L
+            i += 1
+          }
           Frame(id, idx, resized.length.toLong, ck)
         }
       }
   }
 
-  /** Frame-sample + resize over the same text-as-bytes payloads: 128-byte
-    * frames, every 2nd frame, resized by 2. Rows-only; MultimodalSpec
-    * pins frame counts, indexes, sizes and checksum determinism. */
-  val mm02 = Q.rowsOnly("mm02_frame_sample") { (s, dir) =>
+  /** Frame-sample + resize: 128-byte frames, every 2nd frame, resized by
+    * 2 — with a FULL value oracle over all four columns (doc_id,
+    * frame_idx, n_bytes, checksum), mm03's closed-form-payload trick
+    * applied to the video path.
+    *
+    * The registered payload is byte(i) = 96 + (doc_id·5 + i) % 32 with
+    * the clip length taken from the document's UTF-8 byte length. The
+    * Spark side runs the REAL binary path — an actual binary column,
+    * codegen'd binary substrings over the posexploded frame grid, the
+    * resize stub + modular checksum fold batched in mapPartitions
+    * ([[sampleFrames]], unchanged) — while DuckDB replays the same fold
+    * from the formula: resized byte k of frame f is payload byte
+    * f·128 + 2k, so the checksum is a list_reduce over range(0,64).
+    * MultimodalSpec keeps the frame-grid/resize/determinism/sensitivity
+    * pins on planted payloads. */
+  val mm02 = Q.sql(
+    "mm02_frame_sample",
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |grid AS (
+      |  SELECT doc_id, CAST(i * 2 AS INT) AS frame_idx
+      |  FROM m, unnest(range(0,
+      |    CASE WHEN n // 128 > 0 THEN (n // 128 - 1) // 2 + 1 ELSE 0 END)) t(i))
+      |SELECT doc_id, frame_idx, CAST(64 AS BIGINT) AS n_bytes,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64), k ->
+      |      96 + (doc_id * 5 + frame_idx * 128 + 2 * k) % 32)),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS checksum
+      |FROM grid
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
     implicit val enc = Encoders.product[MediaRecord]
+    val n = length(encode(col("text"), "UTF-8"))
+    val byteChar = (i: Column) => chr(lit(96) + (col("doc_id") * 5 + i) % 32)
     val media = Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
+        // n = 0 would make sequence(0, -1) throw; empty doc → empty payload
+        when(n > 0,
+          encode(array_join(transform(sequence(lit(0L), n.cast("long") - 1, lit(1L)),
+            byteChar), ""), "UTF-8"))
+          .otherwise(encode(lit(""), "UTF-8")).as("payload"),
         lit("video/fake").as("mime"),
-        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+        n.cast("long").as("n_bytes"))
       .as[MediaRecord]
     sampleFrames(media, frameBytes = 128, stride = 2, resizeFactor = 2).toDF()
       .orderBy("doc_id", "frame_idx")
