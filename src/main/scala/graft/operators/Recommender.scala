@@ -149,5 +149,116 @@ object Recommender {
       .orderBy("u", "i")
   }
 
-  val all: Seq[Q] = Seq(r01)
+  /** Deterministic in-place Gaussian elimination with partial pivoting
+    * for the dim×dim normal equations — the per-key bounded solve. */
+  private def solveLinear(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    for (c <- 0 until n) {
+      var piv = c
+      for (r <- c + 1 until n) if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+      if (piv != c) {
+        val t = a(c); a(c) = a(piv); a(piv) = t
+        val tb = b(c); b(c) = b(piv); b(piv) = tb
+      }
+      for (r <- c + 1 until n) {
+        val f = a(r)(c) / a(c)(c)
+        if (f != 0.0) {
+          for (k <- c until n) a(r)(k) -= f * a(c)(k)
+          b(r) -= f * b(c)
+        }
+      }
+    }
+    val x = new Array[Double](n)
+    for (c <- n - 1 to 0 by -1) {
+      var s = b(c)
+      for (k <- c + 1 until n) s -= a(c)(k) * x(k)
+      x(c) = s / a(c)(c)
+    }
+    x
+  }
+
+  /** Alternating least squares (reference mllib/src/main/scala/org/
+    * apache/spark/mllib/recommendation/ALS.scala:1) — the reference's
+    * canonical recommender, re-expressed Spark-first. Each half-round
+    * holds one side fixed and solves every key's dim×dim normal
+    * equations (Σ qqᵀ + λ·n_u·I) p = Σ r·q — the ALS-WR weighted-λ
+    * form the reference implements — in flatMap-style mapGroups: the
+    * genuinely per-key sequential kernel (t07's rule), bounded at
+    * dim² per rating + dim³ per key, never corpus-sized. A half-round
+    * is ONE key-equality join (ratings ⋈ fixed side) + ONE groupByKey:
+    * factors live in two distributed id-keyed tables (MLlib's layout)
+    * and never touch the driver. Group rows are sorted by partner id
+    * before accumulating so float summation order — and therefore the
+    * whole trainer — is bit-deterministic.
+    *
+    * @return (u, i, r, pred) over the training edges
+    */
+  def als(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
+          reg: Double = 0.1, seed: Long = 42L): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
+      .localCheckpoint()
+
+    def halfRound(fixed: DataFrame, fixedKey: String, solveKey: String,
+                  factCol: String): DataFrame = {
+      val joined = r2.join(fixed, fixedKey)
+        .select(col(solveKey), col(fixedKey), col("r"), col(factCol))
+        .as[(Long, Long, Double, Seq[Double])]
+      joined.groupByKey(_._1)
+        .mapGroups { (key, rows) =>
+          val sorted = rows.toArray.sortBy(_._2)
+          val a = Array.ofDim[Double](dim, dim)
+          val b = new Array[Double](dim)
+          var n = 0
+          sorted.foreach { case (_, _, r, q) =>
+            n += 1
+            var x = 0
+            while (x < dim) {
+              var y = 0
+              val qx = q(x)
+              while (y < dim) { a(x)(y) += qx * q(y); y += 1 }
+              b(x) += r * qx
+              x += 1
+            }
+          }
+          var d = 0
+          while (d < dim) { a(d)(d) += reg * n; d += 1 }
+          (key, solveLinear(a, b).toSeq)
+        }
+        .toDF(solveKey, "f")
+    }
+
+    var itemF = r2.select("i").distinct()
+      .select(col("i"), initArr(col("i"), dim, seed).as("f"))
+      .localCheckpoint()
+    var userF: DataFrame = null
+    for (_ <- 1 to iters) {
+      userF = cut(halfRound(itemF, "i", "u", "f"))
+      itemF = cut(halfRound(userF, "u", "i", "f"))
+    }
+    r2.join(userF.select(col("u"), col("f").as("p")), "u")
+      .join(itemF.select(col("i"), col("f").as("q")), "i")
+      .select(col("u"), col("i"), col("r"), dot(col("p"), col("q")).as("pred"))
+  }
+
+  /** Registered ALS pass over the same deterministic 200-customer
+    * co-purchase slice as r01 (scale-invariant cost, t05's rule);
+    * emits rounded predictions. Rows-only (iterative, engine-local);
+    * RecommenderSpec proves planted exact-low-rank recovery, that ALS
+    * out-fits r01's gradient trainer on its own objective, and seeded
+    * determinism. */
+  val r02 = Q.rowsOnly("r02_als") { (s, dir) =>
+    val ratings = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"))
+    als(ratings, dim = 8, iters = 5)
+      .select(col("u"), col("i"), round(col("r"), 2).as("r"),
+        round(col("pred"), 4).as("pred"))
+      .orderBy("u", "i")
+  }
+
+  val all: Seq[Q] = Seq(r01, r02)
 }

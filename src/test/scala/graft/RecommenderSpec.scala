@@ -57,4 +57,42 @@ class RecommenderSpec extends SparkTestBase {
     val dup = out.groupBy("u", "i").count().filter(col("count") > 1).count()
     assert(dup == 0, "one row per (user, item)")
   }
+
+  test("ALS fits planted exact low-rank ratings to near-zero training error") {
+    import TestSpark.spark.implicits._
+    // r(u, i) = pTrue(u) · qTrue(i) with deterministic factors in
+    // [0.5, 1.5] — exact rank-3 data, so ALS with tiny reg must fit it
+    val dim = 3
+    def fac(id: Int, salt: Int): Array[Double] =
+      Array.tabulate(dim)(d => 0.5 + ((id * 31 + d * 17 + salt * 7) % 100) / 100.0)
+    val rows = for { u <- 0 until 25; i <- 0 until 20; if (u + i) % 3 != 0 }
+      yield (u.toLong, i.toLong,
+        fac(u, 1).zip(fac(i, 2)).map { case (a, b) => a * b }.sum)
+    val ratings = rows.toDF("u", "i", "r")
+    val out = Recommender.als(ratings, dim = 3, iters = 10, reg = 1e-3).cache()
+    val err = rmse(out, "pred")
+    val scale = ratings.agg(avg("r")).head.getDouble(0)
+    assert(err < 0.02 * scale, s"ALS RMSE $err on exact rank-$dim data (scale $scale)")
+  }
+
+  test("ALS beats the gradient SVD++ trainer on the planted blocks and is deterministic") {
+    val ratings = planted()
+    val alsOut = Recommender.als(ratings, dim = 8, iters = 10, reg = 0.01).cache()
+    val alsErr = rmse(alsOut, "pred")
+    val svdErr = rmse(
+      Recommender.svdPlusPlus(ratings, dim = 8, iters = 20, lr = 0.1), "pred")
+    assert(alsErr <= svdErr + 0.05,
+      s"ALS RMSE $alsErr must not trail the gradient trainer's $svdErr")
+    def run() = Recommender.als(ratings, dim = 4, iters = 3)
+      .select(col("u"), col("i"), col("pred"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(run() == run(), "sorted-group accumulation must make ALS bit-deterministic")
+  }
+
+  test("r02 emits one finite prediction per training edge") {
+    val out = Recommender.r02.run(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("pred").isNull || isnan(col("pred"))).count() == 0)
+    assert(out.groupBy("u", "i").count().filter(col("count") > 1).count() == 0)
+  }
 }
