@@ -146,6 +146,64 @@ object PCA {
     emb.select(col("vec_id") +: projCols: _*)
   }
 
+  /** Uncentered Gramian AᵀA upper triangle (i, j, g) — RowMatrix.
+    * computeGramianMatrix (RowMatrix.scala:111): the same one-pass
+    * partial-aggregated upper-triangle accumulation as
+    * [[covarianceUpper]], minus centering and normalization. */
+  def gramianUpper(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("embedding"))
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    base.select(transform(col("embedding"), x => x.cast("double")).as("cx"))
+      .select(col("cx"), posexplode(col("cx")).as(Seq("pi", "cxi")))
+      .select(col("pi"), col("cxi"),
+        posexplode(slice(col("cx"), col("pi") + 1, lit(dim))).as(Seq("pj", "cxj")))
+      .groupBy(
+        (col("pi") + 1).cast("long").as("i"),
+        (col("pi") + col("pj") + 1).cast("long").as("j"))
+      .agg(round(sum(col("cxi") * col("cxj")), 6).as("g"))
+  }
+
+  /** Top-m thin SVD of the embedding table — RowMatrix.computeSVD
+    * (RowMatrix.scala:181) re-expressed: the Gramian's eigen-solve
+    * gives σ_k = √λ_k and V driver-side (the reference solves AᵀA on
+    * the driver for exactly this n ≫ dim regime); U's rows are then a
+    * map-only projection u_k = (x·v_k)/σ_k — never materialized as a
+    * matrix, exactly MLlib's `computeU` shape.
+    *
+    * @return (singularValues desc, right vectors as rows) */
+  def singularValues(emb: DataFrame, m: Int): (Array[Double], Array[Array[Double]]) = {
+    val entries = gramianUpper(emb).collect() // bounded: dim·(dim+1)/2
+    val dim = entries.iterator.map(_.getLong(1).toInt).max
+    val g = Array.ofDim[Double](dim, dim)
+    entries.foreach { r =>
+      val i = r.getLong(0).toInt - 1; val j = r.getLong(1).toInt - 1
+      g(i)(j) = r.getDouble(2); g(j)(i) = r.getDouble(2)
+    }
+    val (eig, vecs) = symmetricEigen(g)
+    (eig.take(m).map(l => math.sqrt(math.max(l, 0.0))), vecs.take(m))
+  }
+
+  /** Left-singular coordinates per row: u_k = (x·v_k)/σ_k, map-only
+    * native float_dot against plan literals. */
+  def svdProject(emb: DataFrame, m: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val (sv, vecs) = singularValues(emb, m)
+    val projCols = (0 until m).map { k =>
+      val vf: Seq[Float] = vecs(k).map(_.toFloat).toSeq
+      round(call_function("float_dot", col("embedding"), typedlit(vf)) / lit(sv(k)), 6)
+        .as(s"u$k")
+    }
+    emb.select(col("vec_id") +: projCols: _*)
+  }
+
+  /** Top-6 thin-SVD left coordinates of the embeddings table. Rows-only
+    * (eigen-solve engine-local); PCASpec recovers planted singular
+    * structure and pins U-orthonormality and reconstruction. */
+  val d15 = Q.rowsOnly("d15_svd") { (s, dir) =>
+    svdProject(Tables.embeddings(s, dir), m = 6)
+      .orderBy("vec_id")
+  }
+
   /** Top-8 PCA projection of the embeddings table. Rows-only (the
     * eigen-solve is not SQL-expressible); PCASpec recovers planted
     * low-rank structure, checks orthogonality + descending component
@@ -176,5 +234,5 @@ object PCA {
       .orderBy("i", "j")
   }
 
-  val all: Seq[Q] = Seq(d13, d14)
+  val all: Seq[Q] = Seq(d13, d14, d15)
 }

@@ -101,6 +101,45 @@ class PCASpec extends SparkTestBase {
     assert(run1.size == Tables.embeddings(spark, sfDir).count())
   }
 
+  test("SVD recovers planted singular structure with orthonormal left coordinates") {
+    val df = plantedLowRank()
+    val (sv, vecs) = PCA.singularValues(df, m = 3)
+    assert(sv(0) > sv(1) && sv(1) > sv(2), s"singular values must descend: ${sv.toSeq}")
+    // planted: dominant energy along u = 1/sqrt(8) * ones; amplitudes
+    // a_i = 5cos(.7i) -> sigma_0 ~ sqrt(sum a_i^2) ~ 5*sqrt(200) ~ 70.7
+    assert(sv(0) > 60 && sv(0) < 80, s"sigma_0 = ${sv(0)} out of the planted range")
+    // right vectors orthonormal
+    for (k <- vecs.indices; l <- k until vecs.length) {
+      val d = vecs(k).zip(vecs(l)).map { case (a, b) => a * b }.sum
+      val want = if (k == l) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"v$k . v$l = $d, want $want")
+    }
+    // U columns orthonormal: sum of squares of each left coordinate = 1,
+    // cross-column dot = 0 (up to the planted 1% noise floor)
+    val u = PCA.svdProject(df, m = 2).orderBy("vec_id").collect()
+    val u0 = u.map(_.getDouble(1)); val u1 = u.map(_.getDouble(2))
+    assert(math.abs(u0.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(math.abs(u1.map(x => x * x).sum - 1.0) < 1e-3)
+    assert(math.abs(u0.zip(u1).map { case (a, b) => a * b }.sum) < 1e-3)
+  }
+
+  test("rank-2 reconstruction from the thin SVD matches the planted rows") {
+    val df = plantedLowRank()
+    val (sv, vecs) = PCA.singularValues(df, m = 2)
+    val rows = df.orderBy("vec_id").collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val u = PCA.svdProject(df, m = 2).orderBy("vec_id").collect()
+    var errSq = 0.0; var totSq = 0.0
+    for (i <- rows.indices) {
+      val rec = Array.tabulate(8)(d =>
+        sv(0) * u(i).getDouble(1) * vecs(0)(d) + sv(1) * u(i).getDouble(2) * vecs(1)(d))
+      for (d <- 0 until 8) {
+        errSq += math.pow(rows(i)(d) - rec(d), 2); totSq += math.pow(rows(i)(d), 2)
+      }
+    }
+    assert(errSq / totSq < 1e-4,
+      s"rank-2 reconstruction error ${errSq / totSq} on planted rank-2 (+1% noise) data")
+  }
+
   test("covariance diagonal is the per-dimension sample variance") {
     val df = plantedLowRank()
     val entries = PCA.covarianceUpper(df).collect()
