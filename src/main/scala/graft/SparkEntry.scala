@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TextOps.all ++ operators.Word2Vec.all ++
       operators.Classify.all ++
       operators.Features.all ++ operators.Recommender.all ++
+      operators.Regression.all ++ operators.Trees.all ++
       operators.Topics.all ++ operators.Patterns.all ++
       operators.Similarity.all ++
       operators.Clusters.all ++ operators.Bucketed.all ++

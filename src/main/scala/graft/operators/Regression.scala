@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** The reference's generalized-linear regression surface
+  * (mllib/src/main/scala/org/apache/spark/mllib/regression/
+  * RidgeRegression.scala:1, LinearRegression.scala:1,
+  * classification/LogisticRegression.scala:1,
+  * regression/IsotonicRegression.scala:1) re-expressed Spark-first.
+  *
+  * The reference trains every GLM by distributed SGD
+  * (GeneralizedLinearAlgorithm.scala:1 + optimization/
+  * GradientDescent.scala — sampled minibatch gradients aggregated per
+  * step). On Spark 4 the idiomatic shapes differ by model:
+  *
+  *  - ridge/linear (d ≪ n): the normal equations collapse the WHOLE
+  *    dataset into one bounded (d+1)×(d+1) aggregate — a single
+  *    partial-agg pass, driver-side solve of a d+1 system (the d14
+  *    covariance discipline). No iteration at all.
+  *  - logistic: the loss has no closed form, so it keeps the
+  *    full-batch gradient loop — but each step is ONE bounded
+  *    aggregate (d+1 sums) with the current weights as plan literals
+  *    (gm01's E-step discipline), not a sampled minibatch.
+  *  - isotonic: order-constrained least squares — per-partition
+  *    pool-adjacent-violators on range-partitioned x, then one bounded
+  *    driver merge of the surviving blocks (exactly MLlib's
+  *    parallel-PAV shape, IsotonicRegression.scala's
+  *    parallelPoolAdjacentViolators).
+  */
+object Regression {
+
+  // ---------------------------------------------------------------- ridge
+
+  /** 3×3 determinant, written as the one fixed expression tree that the
+    * DuckDB oracle repeats verbatim — identical IEEE operation order on
+    * identical inputs gives bit-identical coefficients. */
+  private def det3(a: Array[Array[Double]]): Double =
+    a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+      a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+      a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+
+  /** Ridge regression of `y` on two features via the normal equations
+    * (X'X + λI')β = X'y, intercept unpenalized (I' zeroes the
+    * intercept row/col — the standard convention; the reference
+    * regularizes exactly the weight vector, RidgeRegression.scala:40).
+    *
+    * Every moment (Σx, Σx², Σxy, …) is accumulated in EXACT decimal —
+    * decimal products and sums are order-independent, so the normal
+    * equations are bit-identical across engines and partition layouts,
+    * with no rounded-aggregate tolerance dance. The decimal(18,6) input
+    * cast keeps Σx·y within decimal(38,12) up to ~10⁹ rows of this
+    * magnitude; the registered entry's scaled y keeps products ≤ 10⁴.
+    * The 3×3 Cramer solve runs driver-side on the nine collected sums
+    * (the eigen-solve placement of d13/d15).
+    *
+    * @return one row (b0, b1, b2) rounded 6dp
+    */
+  def ridge2(data: DataFrame, x1: Column, x2: Column, y: Column,
+             lambda: Double): (Double, Double, Double) = {
+    val d = (c: Column) => c.cast("decimal(18,6)")
+    val row = data.select(d(x1).as("x1"), d(x2).as("x2"), d(y).as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      .select(col("n").cast("double"), col("s1").cast("double"),
+        col("s2").cast("double"), col("sy").cast("double"),
+        col("s11").cast("double"), col("s12").cast("double"),
+        col("s22").cast("double"), col("s1y").cast("double"),
+        col("s2y").cast("double"))
+      .head
+    val Seq(n, s1, s2, sy, s11, s12, s22, s1y, s2y) =
+      (0 until 9).map(row.getDouble)
+    val a = Array(
+      Array(n, s1, s2),
+      Array(s1, s11 + lambda, s12),
+      Array(s2, s12, s22 + lambda))
+    val b = Array(sy, s1y, s2y)
+    val det = det3(a)
+    def repl(j: Int) = Array.tabulate(3, 3)((r, c) => if (c == j) b(r) else a(r)(c))
+    (det3(repl(0)) / det, det3(repl(1)) / det, det3(repl(2)) / det)
+  }
+
+  /** Registered pass: ridge fit of the scaled extended price
+    * (l_extendedprice/1000) on quantity and discount, λ = 1 — the
+    * price curve a pipeline fits to spot mispriced rows. FULL value
+    * oracle: DuckDB accumulates the identical decimal moments and
+    * solves the identical Cramer expressions. */
+  val rg01 = Q.sql(
+    "rg01_ridge",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x1 * x1) AS DOUBLE) AS s11, CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+      |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+      |    CAST(sum(x1 * y) AS DOUBLE) AS s1y, CAST(sum(x2 * y) AS DOUBLE) AS s2y
+      |  FROM (SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x1,
+      |               CAST(l_discount AS DECIMAL(18,6)) AS x2,
+      |               CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS y
+      |        FROM lineitem)),
+      |s AS (
+      |  SELECT n, s1, s2, sy, s11 + 1.0 AS a11, s12, s22 + 1.0 AS a22, s1y, s2y
+      |  FROM m),
+      |c AS (
+      |  SELECT *,
+      |    n * (a11 * a22 - s12 * s12) - s1 * (s1 * a22 - s12 * s2)
+      |      + s2 * (s1 * s12 - a11 * s2) AS det
+      |  FROM s)
+      |SELECT
+      |  round((sy * (a11 * a22 - s12 * s12) - s1 * (s1y * a22 - s12 * s2y)
+      |    + s2 * (s1y * s12 - a11 * s2y)) / det, 6) AS b0,
+      |  round((n * (s1y * a22 - s12 * s2y) - sy * (s1 * a22 - s12 * s2)
+      |    + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+      |  round((n * (a11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |    + sy * (s1 * s12 - a11 * s2)) / det, 6) AS b2
+      |FROM c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val (b0, b1, b2) = ridge2(
+      Tables.lineitem(s, dir),
+      col("l_quantity"), col("l_discount"), col("l_extendedprice") / 1000.0,
+      lambda = 1.0)
+    Seq((math.rint(b0 * 1e6) / 1e6, math.rint(b1 * 1e6) / 1e6,
+      math.rint(b2 * 1e6) / 1e6)).toDF("b0", "b1", "b2")
+  }
+
+  // ------------------------------------------------------------- logistic
+
+  /** Full-batch logistic regression: β ← β − η·∇, ∇ = Σ(σ(x'β) − y)x/n.
+    *
+    * Shape at scale: the feature frame is materialized once
+    * (localCheckpoint); each of the `iters` steps is ONE partial-agg
+    * pass computing d+1 gradient sums with the current β as plan
+    * LITERALS — no driver data beyond the (d+1)-vector per step, no
+    * sampled minibatch variance (the reference's GradientDescent
+    * samples; full-batch is exact and one pass is cheap when d is
+    * tiny). Features should arrive pre-scaled to O(1).
+    *
+    * @return learned weights, intercept first
+    */
+  def logistic(feats: DataFrame, xCols: Seq[String], yCol: String,
+               eta: Double, iters: Int): Array[Double] = {
+    val d = xCols.length
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val data = feats.select(
+      array(xs: _*).as("x"), col(yCol).cast("double").as("y"))
+      .localCheckpoint()
+    var beta = Array.fill(d + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val margin = (0 to d).map(j => col("x")(j) * lit(beta(j))).reduce(_ + _)
+      val resid = lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")
+      val g = data.agg(
+        count(lit(1)).as("n"),
+        (0 to d).map(j => sum(resid * col("x")(j)).as(s"g$j")): _*).head
+      val n = g.getLong(0).toDouble
+      beta = Array.tabulate(d + 1)(j => beta(j) - eta * g.getDouble(j + 1) / n)
+    }
+    beta
+  }
+
+  /** Registered pass: is this document English? Logistic regression on
+    * three O(1) text-quality features (t02's measures). Rows-only — the
+    * sigmoid loop is not SQL-expressible; RegressionSpec pins planted
+    * separable recovery, determinism, and that learned accuracy does not
+    * fall below the majority class on the real table (whose synthetic
+    * scalar features are deliberately near-signal-free — the calibrated
+    * majority fit IS the correct answer there). */
+  val rg02 = Q.rowsOnly("rg02_logistic") { (s, dir) =>
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val feats = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      (size(toks).cast("double") / 100.0).as("f_words"),
+      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
+        size(toks) / 10.0).as("f_wlen"),
+      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
+        length(col("text"))).as("f_sym"),
+      (col("lang") === "en").cast("double").as("y"))
+    val beta = logistic(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
+      eta = 2.0, iters = 40)
+    val margin = lit(beta(0)) + col("f_words") * lit(beta(1)) +
+      col("f_wlen") * lit(beta(2)) + col("f_sym") * lit(beta(3))
+    feats.select(col("doc_id"), col("lang"),
+      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p_en"),
+      (lit(1.0) / (lit(1.0) + exp(-margin)) >= 0.5).as("pred_en"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- isotonic
+
+  /** Weighted pool-adjacent-violators over (x asc)-ordered points held
+    * as exact (Σwy, Σw) numerator/denominator pairs — pooling is
+    * rational-exact, and the final numerator/denominator double
+    * division is the one place floating point enters, mirroring the
+    * oracle's CAST(decimal)/CAST(decimal). */
+  private[graft] def pav(points: Seq[(Double, BigDecimal, Long)])
+      : Seq[(Double, Double)] = {
+    // stack of pooled blocks: (xLast, num, den, fromIdx)
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Double, BigDecimal, Long, Int)]
+    points.zipWithIndex.foreach { case ((x, num, den), i) =>
+      var cn = num; var cd = den; var from = i
+      // merge while the new block's mean undercuts its predecessor's
+      while (st.nonEmpty && {
+        val (_, pn, pd, _) = st.last
+        pn.toDouble / pd.toDouble >= cn.toDouble / cd.toDouble
+      }) {
+        val (_, pn, pd, pf) = st.remove(st.length - 1)
+        cn = pn + cn; cd = pd + cd; from = pf
+      }
+      st.append((x, cn, cd, from))
+    }
+    // expand each surviving block over its index range
+    val fit = Array.ofDim[Double](points.length)
+    val ends = st.map(_._4).drop(1) :+ points.length
+    st.zip(ends).foreach { case ((_, num, den, from), end) =>
+      val v = num.toDouble / den.toDouble
+      (from until end).foreach(i => fit(i) = v)
+    }
+    points.map(_._1).zip(fit.toSeq)
+  }
+
+  /** Isotonic fit of mean scaled extended price over the quantity axis.
+    *
+    * Shape at scale: the corpus collapses FIRST to one weighted point
+    * per distinct x (exact decimal Σy and count — one partial-agg
+    * groupBy, the only pass that sees row count); PAV then runs on the
+    * bounded point set. For continuous x the same code runs
+    * per-partition on range-partitioned x and the driver merges the
+    * surviving blocks — MLlib's parallel-PAV (IsotonicRegression
+    * .scala:308); with 50 distinct quantities the partition step is
+    * degenerate and the driver pass IS the fit.
+    *
+    * FULL value oracle via the max-min characterization
+    * ŷ_i = max_{j≤i} min_{k≥i} avg(y, j..k) — O(points³) in DuckDB,
+    * fine for a bounded point set, and every average is the same
+    * exact-decimal ratio the PAV blocks carry. */
+  def isotonicQuantityCurve(lineitem: DataFrame): Seq[(Double, Double, Long)] = {
+    val pts = lineitem
+      .groupBy(col("l_quantity").cast("double").as("x"))
+      .agg(sum((col("l_extendedprice") / 1000.0).cast("decimal(18,6)")).as("sy"),
+        count(lit(1)).as("w"))
+      .orderBy("x")
+      .collect()
+      .map(r => (r.getDouble(0), BigDecimal(r.getDecimal(1)), r.getLong(2)))
+      .toSeq
+    pav(pts).zip(pts).map { case ((x, fit), (_, _, w)) => (x, fit, w) }
+  }
+
+  val rg03 = Q.sql(
+    "rg03_isotonic",
+    """WITH pts AS (
+      |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+      |    sum(CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6))) AS sy,
+      |    count(*) AS w
+      |  FROM lineitem GROUP BY 1),
+      |idx AS (SELECT x, sy, w, row_number() OVER (ORDER BY x) AS rn FROM pts),
+      |pre AS (
+      |  SELECT rn, x, w,
+      |    sum(sy) OVER (ORDER BY rn) AS cs,
+      |    sum(w) OVER (ORDER BY rn) AS cw
+      |  FROM idx),
+      |avgs AS (
+      |  SELECT j.rn AS j, k.rn AS k,
+      |    CAST(k.cs - coalesce(jp.cs, 0) AS DOUBLE)
+      |      / CAST(k.cw - coalesce(jp.cw, 0) AS DOUBLE) AS v
+      |  FROM pre j JOIN pre k ON j.rn <= k.rn
+      |  LEFT JOIN pre jp ON jp.rn = j.rn - 1),
+      |mins AS (
+      |  SELECT a.j, i.rn AS i, min(a.v) AS mv
+      |  FROM avgs a JOIN pre i ON a.j <= i.rn AND a.k >= i.rn
+      |  GROUP BY a.j, i.rn)
+      |SELECT p.x, round(max(m.mv), 6) AS fit, p.w
+      |FROM mins m JOIN pre p ON p.rn = m.i
+      |GROUP BY p.x, p.w
+      |ORDER BY p.x""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    isotonicQuantityCurve(Tables.lineitem(s, dir))
+      .map { case (x, fit, w) => (x, math.rint(fit * 1e6) / 1e6, w) }
+      .toDF("x", "fit", "w")
+      .orderBy("x")
+  }
+
+  val all: Seq[Q] = Seq(rg01, rg02, rg03)
+}

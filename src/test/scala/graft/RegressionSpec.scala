@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Regression
+
+class RegressionSpec extends SparkTestBase {
+
+  test("ridge2 with lambda 0 recovers exact planted linear coefficients") {
+    import TestSpark.spark.implicits._
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 20).toDouble
+      // /16 keeps every value exact at the decimal(18,6) input cast
+      val x2 = ((i * 7) % 13).toDouble / 16.0
+      (x1, x2, 2.0 + 3.0 * x1 - 5.0 * x2)
+    }.toDF("x1", "x2", "y")
+    val (b0, b1, b2) = Regression.ridge2(df, col("x1"), col("x2"), col("y"), 0.0)
+    assert(math.abs(b0 - 2.0) < 1e-6, s"b0 = $b0")
+    assert(math.abs(b1 - 3.0) < 1e-6, s"b1 = $b1")
+    assert(math.abs(b2 + 5.0) < 1e-6, s"b2 = $b2")
+  }
+
+  test("ridge shrinks the weight vector monotonically in lambda") {
+    import TestSpark.spark.implicits._
+    val df = (0 until 300).map { i =>
+      val x1 = (i % 17).toDouble
+      val x2 = ((i * 5) % 11).toDouble
+      (x1, x2, 1.0 + 2.0 * x1 + 0.5 * x2 + math.sin(i.toDouble))
+    }.toDF("x1", "x2", "y")
+    def norm(l: Double) = {
+      val (_, b1, b2) = Regression.ridge2(df, col("x1"), col("x2"), col("y"), l)
+      math.sqrt(b1 * b1 + b2 * b2)
+    }
+    val ns = Seq(0.0, 10.0, 1000.0, 100000.0).map(norm)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b < a + 1e-12 },
+      s"weight norms must shrink with lambda: $ns")
+  }
+
+  test("rg01 on the real table: one-row output, fit no worse than the mean-only model") {
+    val out = Regression.rg01.run(spark, sfDir).collect()
+    assert(out.length == 1)
+    val Seq(b0, b1, b2) = (0 until 3).map(out.head.getDouble)
+    // λ=1 is tiny relative to the moment matrix, so the fit's MSE must not
+    // exceed the variance of y (the mean-only model) — data-independent,
+    // unlike a sign assumption on this synthetic corpus (quantity and
+    // extended price are uncorrelated in the generated tables).
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("double").as("x1"),
+      col("l_discount").cast("double").as("x2"),
+      (col("l_extendedprice") / 1000.0).cast("double").as("y"))
+    val pred = lit(b0) + col("x1") * lit(b1) + col("x2") * lit(b2)
+    val r = li.agg(
+      avg(pow(col("y") - pred, 2.0)).as("mse"),
+      var_pop(col("y")).as("vy")).head
+    assert(r.getDouble(0) <= r.getDouble(1) * (1 + 1e-9),
+      s"ridge MSE ${r.getDouble(0)} must not exceed var(y) ${r.getDouble(1)}")
+  }
+
+  test("logistic recovers a planted separable rule and is deterministic") {
+    import TestSpark.spark.implicits._
+    val df = (0 until 600).map { i =>
+      val f = if (i % 2 == 0) 0.2 + (i % 7) * 0.01 else 0.8 + (i % 7) * 0.01
+      val noise = ((i * 31) % 10) / 100.0
+      (i.toLong, f, noise, if (i % 2 == 0) 0.0 else 1.0)
+    }.toDF("id", "f1", "f2", "y")
+    val beta = Regression.logistic(df, Seq("f1", "f2"), "y", eta = 4.0, iters = 60)
+    val beta2 = Regression.logistic(df, Seq("f1", "f2"), "y", eta = 4.0, iters = 60)
+    assert(beta.toSeq == beta2.toSeq, "full-batch training must be deterministic")
+    assert(beta(1) > 0, s"f1 separates upward, got ${beta.toSeq}")
+    val m = lit(beta(0)) + col("f1") * lit(beta(1)) + col("f2") * lit(beta(2))
+    val acc = df.select(
+      avg(((m > 0).cast("double") === col("y")).cast("double"))).head.getDouble(0)
+    assert(acc >= 0.99, s"planted separable accuracy $acc")
+  }
+
+  test("rg02 on the real table: full coverage, calibrated range, beats majority") {
+    val out = Regression.rg02.run(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir).count()
+      assert(out.count() == docs)
+      val probs = out.select(min("p_en"), max("p_en")).head
+      assert(probs.getDouble(0) >= 0.0 && probs.getDouble(1) <= 1.0)
+      val joined = out
+      val acc = joined.select(avg(
+        (col("pred_en") === (col("lang") === "en")).cast("double"))).head.getDouble(0)
+      val majority = {
+        val en = Tables.documents(spark, sfDir)
+          .select(avg((col("lang") === "en").cast("double"))).head.getDouble(0)
+        math.max(en, 1 - en)
+      }
+      assert(acc >= majority - 0.02,
+        s"learned accuracy $acc must not fall below the majority baseline $majority")
+    } finally out.unpersist()
+  }
+
+  test("pav matches the brute-force max-min characterization and is monotone") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 24).map { i =>
+      (i.toDouble, BigDecimal(math.rint(rnd.nextDouble() * 1000) / 10), 1L + rnd.nextInt(5))
+    }
+    val fit = Regression.pav(pts.map { case (x, s, w) => (x, s * w, w) }).map(_._2)
+    assert(fit.zip(fit.tail).forall { case (a, b) => a <= b + 1e-12 }, "monotone")
+    // brute force: fit_i = max_{j<=i} min_{k>=i} weighted avg over [j,k]
+    val n = pts.length
+    def avg(j: Int, k: Int): Double = {
+      val num = (j to k).map(i => pts(i)._2 * pts(i)._3).sum
+      num.toDouble / (j to k).map(pts(_)._3).sum.toDouble
+    }
+    for (i <- 0 until n) {
+      val want = (0 to i).map(j => (i until n).map(k => avg(j, k)).min).max
+      assert(math.abs(fit(i) - want) < 1e-9,
+        s"fit($i) = ${fit(i)}, max-min gives $want")
+    }
+  }
+
+  test("rg03 on the real table: one point per quantity, monotone, mass-complete") {
+    val out = Regression.rg03.run(spark, sfDir).collect()
+    val nq = Tables.lineitem(spark, sfDir).select(count_distinct(col("l_quantity")))
+      .head.getLong(0)
+    assert(out.length == nq, s"${out.length} points vs $nq distinct quantities")
+    val fits = out.map(_.getDouble(1)).toSeq
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "isotonic fit must be nondecreasing in quantity")
+    val w = out.map(_.getLong(2)).sum
+    assert(w == Tables.lineitem(spark, sfDir).count())
+  }
+}
