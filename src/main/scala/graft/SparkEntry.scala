@@ -17,6 +17,7 @@ object SparkEntry {
       operators.Classify.all ++
       operators.Features.all ++ operators.Recommender.all ++
       operators.Regression.all ++ operators.Trees.all ++
+      operators.Matrices.all ++
       operators.Topics.all ++ operators.Patterns.all ++
       operators.Similarity.all ++
       operators.Clusters.all ++ operators.Bucketed.all ++

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** The reference's distributed-matrix surface (mllib/src/main/scala/org/
+  * apache/spark/mllib/linalg/distributed/RowMatrix.scala `multiply`,
+  * BlockMatrix.scala:336 `multiply`, CoordinateMatrix.scala) re-expressed
+  * Spark-first. Three shapes, by density and operand size:
+  *
+  *  - tall-skinny × small dense (RowMatrix.multiply): B broadcasts as
+  *    plan literals and the product is a MAP-ONLY per-row fold — no
+  *    shuffle at all, the shape ANN/PCA projection pipelines use.
+  *  - sparse × sparse (CoordinateMatrix): entries join on the inner
+  *    index + partial-agg groupBy on (i, j) — Catalyst's join/agg
+  *    machinery IS the SUMMA pattern for sparse data.
+  *  - dense blocked (BlockMatrix.multiply): fixed-size dense blocks
+  *    join on the inner block index, a per-pair sequential gemm kernel
+  *    (the genuinely imperative part, mapGroups like r02's solver), and
+  *    an element-wise block reduce — amortizing per-entry overhead by
+  *    blockSize² exactly as the reference's Breeze `gemm` per block
+  *    pair.
+  */
+object Matrices {
+
+  /** Deterministic dim×m projection matrix used by the registered
+    * entries: B(k, j) = ((k·17 + j·29) mod 7 − 3) / 10, k 0-based —
+    * exact in IEEE on both engines (small integer / 10.0). */
+  def projB(dim: Int, m: Int): Array[Array[Double]] =
+    Array.tabulate(dim, m)((k, j) => ((k * 17 + j * 29) % 7 - 3) / 10.0)
+
+  /** RowMatrix.multiply(B) parity: rows stay rows, B rides in the plan,
+    * C's row i is a per-row SEQUENTIAL fold over k — bit-reproducible
+    * against DuckDB's list_sum(list_transform(...)) because both
+    * engines promote the float to double, multiply by the identical
+    * double constant, and accumulate in array order (d10's oracle
+    * discipline). Map-only: the 100 TB plan is a parquet scan plus
+    * projection, nothing else. */
+  def rowMultiply(emb: DataFrame, b: Array[Array[Double]]): DataFrame = {
+    val m = b(0).length
+    val cols = (0 until m).map { j =>
+      val bj: Seq[Double] = b.map(_(j)).toSeq
+      aggregate(
+        zip_with(col("embedding"), typedlit(bj), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, p) => acc + p).as(s"c$j")
+    }
+    emb.select(col("vec_id") +: cols: _*)
+  }
+
+  /** CoordinateMatrix multiply: sparse entries (i, k, v) ⋈ (k, j, v) on
+    * the inner index, partial-agg sum on (i, j). Shuffle carries only
+    * present products; skew on a hot inner index is AQE's skew-join
+    * case. The sparse path of the operator family — used as the
+    * independent check that the blocked kernel below is correct. */
+  def coordinateMultiply(a: DataFrame, b: DataFrame): DataFrame = {
+    val aE = a.select(col("i"), col("k"), col("v").cast("double").as("av"))
+    val bE = b.select(col("k"), col("j"), col("v").cast("double").as("bv"))
+    aE.join(bE, "k")
+      .groupBy("i", "j")
+      .agg(sum(col("av") * col("bv")).as("v"))
+  }
+
+  /** BlockMatrix.multiply parity (BlockMatrix.scala:336): entries fold
+    * into dense bs×bs blocks (zero-padded at the ragged edges), blocks
+    * join on the inner block index kb, each joined pair runs one local
+    * row-major gemm (the genuinely sequential kernel → mapGroups), and
+    * product blocks reduce element-wise per output block. Per-entry
+    * overhead amortizes by bs²; the shuffle moves O(nBlocks·mBlocks·
+    * kBlocks) fixed-size arrays, never single entries — the reference's
+    * grid-partitioned Breeze-gemm shape on DataFrames.
+    *
+    * Indices must be ≥ 0. Returns entries (i, j, v) with explicit
+    * zeros dropped.
+    */
+  def blockMultiply(a: DataFrame, b: DataFrame, bs: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    require(bs > 0)
+
+    def blockify(m: DataFrame, rowCol: String, colCol: String): DataFrame =
+      m.select(
+        call_function("div", col(rowCol), lit(bs.toLong)).as("rb"),
+        call_function("div", col(colCol), lit(bs.toLong)).as("cb"),
+        (col(rowCol) % bs).cast("int").as("lr"),
+        (col(colCol) % bs).cast("int").as("lc"),
+        col("v").cast("double").as("v"))
+        .as[(Long, Long, Int, Int, Double)]
+        .groupByKey(t => (t._1, t._2))
+        .mapGroups { (key, rows) =>
+          val arr = new Array[Double](bs * bs)
+          rows.foreach(t => arr(t._3 * bs + t._4) += t._5)
+          (key._1, key._2, arr.toSeq)
+        }
+        .toDF("rb", "cb", "block")
+
+    val aB = blockify(a, "i", "k").withColumnsRenamed(
+      Map("rb" -> "ib", "cb" -> "kb", "block" -> "ablk"))
+    val bB = blockify(b, "k", "j").withColumnsRenamed(
+      Map("rb" -> "kb", "cb" -> "jb", "block" -> "bblk"))
+
+    val products = aB.join(bB, "kb")
+      .select(col("ib"), col("jb"), col("ablk"), col("bblk"))
+      .as[(Long, Long, Seq[Double], Seq[Double])]
+      .map { case (ib, jb, ablk, bblk) =>
+        val av = ablk.toArray; val bv = bblk.toArray
+        val out = new Array[Double](bs * bs)
+        var x = 0
+        while (x < bs) {
+          var k = 0
+          while (k < bs) {
+            val axk = av(x * bs + k)
+            if (axk != 0.0) {
+              var y = 0
+              while (y < bs) { out(x * bs + y) += axk * bv(k * bs + y); y += 1 }
+            }
+            k += 1
+          }
+          x += 1
+        }
+        (ib, jb, out.toSeq)
+      }
+
+    products
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key, rows) =>
+        val acc = new Array[Double](bs * bs)
+        rows.foreach { t =>
+          var p = 0
+          val blk = t._3
+          while (p < acc.length) { acc(p) += blk(p); p += 1 }
+        }
+        (key._1, key._2, acc.toSeq)
+      }
+      .toDF("ib", "jb", "cblk")
+      .select(col("ib"), col("jb"),
+        posexplode(col("cblk")).as(Seq("p", "v")))
+      .where(col("v") =!= 0.0)
+      .select(
+        (col("ib") * bs + call_function("div", col("p"), lit(bs.toLong))).as("i"),
+        (col("jb") * bs + col("p") % bs).as("j"),
+        col("v"))
+  }
+
+  /** Registered pass: project the full embedding table through the
+    * deterministic 64×16 B — RowMatrix.multiply's map-only broadcast
+    * shape, C = A·B emitted as 16 columns per row. FULL DuckDB value
+    * oracle: the per-row folds are bit-identical (d10's rule), rounded
+    * 6 dp like every aggregate-free float surface. MatricesSpec proves
+    * the blocked and coordinate paths compute the same product. */
+  val bm01 = Q.sql(
+    "bm01_row_matmul",
+    s"""SELECT vec_id,
+       |${(0 until 16).map(j =>
+          s"  round(list_sum(list_transform(range(1, 65), k -> " +
+            s"embedding[k] * ((((k - 1) * 17 + $j * 29) % 7 - 3) / 10.0))), 6) AS c$j")
+          .mkString(",\n")}
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val b = projB(64, 16)
+    val raw = rowMultiply(Tables.embeddings(s, dir), b)
+    raw.select(col("vec_id") +:
+      (0 until 16).map(j => round(col(s"c$j"), 6).as(s"c$j")): _*)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(bm01)
+}

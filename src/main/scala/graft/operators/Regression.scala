@@ -284,5 +284,128 @@ object Regression {
       .orderBy("x")
   }
 
-  val all: Seq[Q] = Seq(rg01, rg02, rg03)
+  // ----------------------------------------------------------------- lasso
+
+  /** L1 regression via cyclic coordinate descent on the normal-equation
+    * moments (reference mllib/regression/Lasso.scala:1 — trained there
+    * by subgradient minibatch SGD; the d ≪ n Spark-first shape is
+    * sharper): the SAME nine exact-decimal moments as [[ridge2]] are
+    * collected in ONE distributed pass, then coordinate descent —
+    * b_j ← soft(ρ_j/n, λ)/(X'X_jj/n), intercept unthresholded —
+    * iterates DRIVER-side on the 3×3 system (the glmnet solver shape;
+    * exact per-coordinate minimization, so it converges fast even when
+    * the moments are ill-conditioned, unlike proximal gradient). Zero
+    * extra cluster passes regardless of sweep count, bit-deterministic,
+    * and the soft threshold yields EXACT zeros — the sparsity the L1
+    * penalty exists for. Objective: (1/2n)·||y − Xb||² + λ·(|b1|+|b2|).
+    */
+  def lasso2(data: DataFrame, x1: Column, x2: Column, y: Column,
+             lambda: Double, sweeps: Int): (Double, Double, Double) = {
+    val d = (c: Column) => c.cast("decimal(18,6)")
+    val row = data.select(d(x1).as("x1"), d(x2).as("x2"), d(y).as("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      .select(col("n").cast("double"), col("s1").cast("double"),
+        col("s2").cast("double"), col("sy").cast("double"),
+        col("s11").cast("double"), col("s12").cast("double"),
+        col("s22").cast("double"), col("s1y").cast("double"),
+        col("s2y").cast("double"))
+      .head
+    val Seq(n, s1, s2, sy, s11, s12, s22, s1y, s2y) =
+      (0 until 9).map(row.getDouble)
+    // X'X (with intercept col) and X'y
+    val xtx = Array(
+      Array(n, s1, s2), Array(s1, s11, s12), Array(s2, s12, s22))
+    val xty = Array(sy, s1y, s2y)
+    def soft(v: Double, t: Double) =
+      if (v > t) v - t else if (v < -t) v + t else 0.0
+    val b = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until sweeps; j <- 0 until 3) {
+      val rho = xty(j) - (0 until 3).collect { case k if k != j => xtx(j)(k) * b(k) }.sum
+      b(j) =
+        if (j == 0) rho / xtx(0)(0)
+        else soft(rho / n, lambda) / (xtx(j)(j) / n)
+    }
+    (b(0), b(1), b(2))
+  }
+
+  /** Registered pass: lasso on rg01's axes with λ strong enough that
+    * both (noise-level) slopes collapse to EXACT zeros and the
+    * intercept carries the fit — the sparse-recovery behavior itself.
+    * Rows-only (the ISTA loop is not SQL); RegressionSpec pins exact
+    * planted support recovery, the exact-zero property, and λ→0
+    * agreement with the ridge solve. */
+  val rg04 = Q.rowsOnly("rg04_lasso") { (s, dir) =>
+    import s.implicits._
+    val (b0, b1, b2) = lasso2(
+      Tables.lineitem(s, dir),
+      col("l_quantity"), col("l_discount"), col("l_extendedprice") / 1000.0,
+      lambda = 5.0, sweeps = 200)
+    Seq((math.rint(b0 * 1e6) / 1e6, math.rint(b1 * 1e6) / 1e6,
+      math.rint(b2 * 1e6) / 1e6)).toDF("b0", "b1", "b2")
+  }
+
+  // ------------------------------------------------------------------- svm
+
+  /** Linear SVM by full-batch subgradient descent on the hinge loss
+    * (reference mllib/classification/SVM.scala:1 — minibatch SGD there;
+    * full-batch is exact and each step is still ONE bounded aggregate):
+    * labels s ∈ {−1,+1}, step g_j = avg(1[s·β'x < 1]·(−s·x_j)) + λβ_j
+    * (intercept unpenalized), current β as plan literals. Driver state
+    * d+1 doubles — rg02's discipline with the hinge in place of the
+    * sigmoid. */
+  def svmHinge(feats: DataFrame, xCols: Seq[String], yCol: String,
+               eta: Double, lambda: Double, iters: Int): Array[Double] = {
+    val d = xCols.length
+    val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
+    val data = feats.select(
+      array(xs: _*).as("x"),
+      (col(yCol).cast("double") * 2.0 - 1.0).as("s"))
+      .localCheckpoint()
+    var beta = Array.fill(d + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val margin = (0 to d).map(j => col("x")(j) * lit(beta(j))).reduce(_ + _)
+      val active = (col("s") * margin) < 1.0
+      val aggs = (0 to d).map(j =>
+        sum(when(active, -col("s") * col("x")(j)).otherwise(0.0)).as(s"g$j"))
+      val g = data.agg(count(lit(1)).as("n"), aggs: _*).head
+      val n = g.getLong(0).toDouble
+      beta = Array.tabulate(d + 1) { j =>
+        val reg = if (j == 0) 0.0 else lambda * beta(j)
+        beta(j) - eta * (g.getDouble(j + 1) / n + reg)
+      }
+    }
+    beta
+  }
+
+  /** Registered pass: the SVM twin of rg02 on the same three
+    * text-quality features — decision value + sign per document.
+    * Rows-only; RegressionSpec pins planted max-margin recovery,
+    * determinism, and the ≥-majority floor (the synthetic corpus is
+    * near-signal-free, see rg02). */
+  val svm01 = Q.rowsOnly("svm01_linear_svm") { (s, dir) =>
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val feats = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      (size(toks).cast("double") / 100.0).as("f_words"),
+      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
+        size(toks) / 10.0).as("f_wlen"),
+      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
+        length(col("text"))).as("f_sym"),
+      (col("lang") === "en").cast("double").as("y"))
+    val beta = svmHinge(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
+      eta = 0.5, lambda = 0.01, iters = 40)
+    val dec = lit(beta(0)) + col("f_words") * lit(beta(1)) +
+      col("f_wlen") * lit(beta(2)) + col("f_sym") * lit(beta(3))
+    feats.select(col("doc_id"), col("lang"),
+      round(dec, 6).as("decision"), (dec >= 0.0).as("pred_en"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(rg01, rg02, rg03, rg04, svm01)
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * literals (rg02's discipline). Driver state is the (d+1)-vector —
   * exactly the reference's latestModel placement.
   */
-final class StreamingLinearModel(val dim: Int, eta: Double, stepsPerBatch: Int) {
+class StreamingLinearModel(val dim: Int, eta: Double, stepsPerBatch: Int) {
   @volatile private var betaVec: Array[Double] = Array.fill(dim + 1)(0.0)
 
   def weights: Array[Double] = betaVec.clone()
@@ -34,12 +34,17 @@ final class StreamingLinearModel(val dim: Int, eta: Double, stepsPerBatch: Int) 
     (0 until dim).map(j => x(j) * lit(b(j + 1))).foldLeft(lit(b(0)): Column)(_ + _)
   }
 
+  /** The per-row model output the gradient compares against y — the
+    * margin itself for the linear model; the logistic subclass applies
+    * its sigmoid link here. */
+  protected def linkExpr(x: Column): Column = predictExpr(x)
+
   /** Fold one micro-batch of (x: array<double>, y: double) rows in. */
   def update(batch: DataFrame): Unit = synchronized {
     if (batch.isEmpty) return
     val data = batch.select(col("x"), col("y").cast("double").as("y"))
     for (_ <- 0 until stepsPerBatch) {
-      val resid = predictExpr(col("x")) - col("y")
+      val resid = linkExpr(col("x")) - col("y")
       val aggs = sum(resid).as("g0") +:
         (0 until dim).map(j => sum(resid * col("x")(j)).as(s"g${j + 1}"))
       val g = data.agg(count(lit(1)).as("n"), aggs: _*).head
@@ -47,6 +52,21 @@ final class StreamingLinearModel(val dim: Int, eta: Double, stepsPerBatch: Int) 
       betaVec = Array.tabulate(dim + 1)(j => betaVec(j) - eta * g.getDouble(j + 1) / n)
     }
   }
+}
+
+/** Streaming logistic regression (reference mllib/classification/
+  * StreamingLogisticRegressionWithSGD.scala:1) — the reference layers it
+  * over the same StreamingLinearAlgorithm, differing only in the
+  * gradient's link; re-expressed as exactly that: the sigmoid replaces
+  * the identity in the residual, everything else (per-step bounded
+  * aggregate, (d+1)-vector driver state) inherits. */
+final class StreamingLogisticModel(dim: Int, eta: Double, stepsPerBatch: Int)
+    extends StreamingLinearModel(dim, eta, stepsPerBatch) {
+  override protected def linkExpr(x: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-predictExpr(x)))
+
+  /** P(y=1 | x) under the current weights. */
+  def probabilityExpr(x: Column): Column = linkExpr(x)
 }
 
 object StreamingRegressionOps {

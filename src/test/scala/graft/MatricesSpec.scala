@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Matrices
+
+class MatricesSpec extends SparkTestBase {
+
+  /** Entries of a small dense matrix as an (i, k/j, v) frame. */
+  private def entries(m: Array[Array[Double]], rc: (String, String)) = {
+    import TestSpark.spark.implicits._
+    val rows = for {
+      i <- m.indices; j <- m(i).indices if m(i)(j) != 0.0
+    } yield (i.toLong, j.toLong, m(i)(j))
+    rows.toDF("i_", "k_", "v")
+      .withColumnsRenamed(Map("i_" -> rc._1, "k_" -> rc._2))
+  }
+
+  private def planted(rows: Int, cols: Int, salt: Int): Array[Array[Double]] =
+    Array.tabulate(rows, cols)((i, j) => ((i * 31 + j * 17 + salt) % 11 - 5).toDouble)
+
+  test("blockMultiply matches coordinateMultiply and the local product") {
+    val a = planted(37, 23, 1) // ragged vs blockSize 8 on purpose
+    val b = planted(23, 19, 4)
+    val aDf = entries(a, ("i", "k"))
+    val bDf = entries(b, ("k", "j"))
+
+    val local = Array.tabulate(37, 19)((i, j) =>
+      (0 until 23).map(k => a(i)(k) * b(k)(j)).sum)
+
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val viaBlocks = toMap(Matrices.blockMultiply(aDf, bDf, bs = 8))
+    val viaCoord = toMap(Matrices.coordinateMultiply(aDf, bDf))
+
+    for (i <- 0 until 37; j <- 0 until 19) {
+      val want = local(i)(j)
+      assert(math.abs(viaBlocks.getOrElse((i.toLong, j.toLong), 0.0) - want) < 1e-9,
+        s"block C($i,$j)")
+      assert(math.abs(viaCoord.getOrElse((i.toLong, j.toLong), 0.0) - want) < 1e-9,
+        s"coord C($i,$j)")
+    }
+  }
+
+  test("rowMultiply agrees with coordinateMultiply on the embedding slice") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200).localCheckpoint()
+    val b = Matrices.projB(64, 16)
+    val viaRows = Matrices.rowMultiply(emb, b).collect()
+      .flatMap(r => (0 until 16).map(j =>
+        ((r.getLong(0), j.toLong), r.getDouble(j + 1)))).toMap
+
+    val aEntries = emb
+      .select(col("vec_id").as("i"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("i"), col("p").cast("long").as("k"), col("x").cast("double").as("v"))
+    val bEntries = entries(b, ("k", "j"))
+    val viaCoord = Matrices.coordinateMultiply(aEntries, bEntries).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    assert(viaRows.size == 200 * 16)
+    viaCoord.foreach { case (key, v) =>
+      assert(math.abs(viaRows(key) - v) < 1e-6, s"C$key")
+    }
+  }
+
+  test("bm01 on the real table: full coverage, deterministic") {
+    val out1 = Matrices.bm01.run(spark, sfDir)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out1.count() == n)
+    val a = out1.collect().map(_.toSeq).toSeq
+    val b = Matrices.bm01.run(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b, "projection must be deterministic")
+  }
+}

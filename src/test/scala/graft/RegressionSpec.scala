@@ -92,6 +92,71 @@ class RegressionSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("lasso recovers the planted support with EXACT zeros, matches ridge at lambda 0") {
+    import TestSpark.spark.implicits._
+    // y depends only on x1; x2 is pure noise
+    val df = (0 until 400).map { i =>
+      val x1 = (i % 20).toDouble
+      val x2 = ((i * 13) % 16).toDouble / 16.0
+      (x1, x2, 2.0 + 3.0 * x1)
+    }.toDF("x1", "x2", "y")
+    val (b0, b1, b2) = Regression.lasso2(df, col("x1"), col("x2"), col("y"),
+      lambda = 2.0, sweeps = 500)
+    assert(b2 == 0.0, s"L1 must zero the noise feature exactly, got $b2")
+    // the optimum is the planted 3.0 SHRUNK by ~lambda/var(x1) ≈ 0.06
+    assert(math.abs(b1 - 3.0) < 0.1 && b1 < 3.0, s"b1 = $b1 must be 3.0 shrunk")
+    assert(math.abs(b0 - 2.0) < 0.8, s"b0 = $b0")
+
+    val (r0, r1, r2) = Regression.ridge2(df, col("x1"), col("x2"), col("y"), 0.0)
+    val (l0, l1, l2) = Regression.lasso2(df, col("x1"), col("x2"), col("y"),
+      lambda = 0.0, sweeps = 2000)
+    assert(math.abs(l0 - r0) < 1e-3 && math.abs(l1 - r1) < 1e-3 &&
+      math.abs(l2 - r2) < 1e-3,
+      s"lambda 0 coordinate descent ($l0,$l1,$l2) must approach the exact solve ($r0,$r1,$r2)")
+  }
+
+  test("rg04 on the real table: one row, both slopes collapse to exact zero") {
+    val out = Regression.rg04.run(spark, sfDir).collect()
+    assert(out.length == 1)
+    // quantity and discount carry ~zero signal in the synthetic corpus,
+    // so at lambda=5 the L1 penalty must zero both exactly while the
+    // intercept absorbs the mean
+    assert(out.head.getDouble(1) == 0.0 && out.head.getDouble(2) == 0.0,
+      s"want exact-zero slopes, got ${out.head}")
+    assert(out.head.getDouble(0) > 0.0, "intercept carries the mean price")
+  }
+
+  test("svmHinge recovers a planted separable rule with margin and is deterministic") {
+    import TestSpark.spark.implicits._
+    val df = (0 until 600).map { i =>
+      val f = if (i % 2 == 0) 0.1 + (i % 7) * 0.01 else 0.9 + (i % 7) * 0.01
+      (i.toLong, f, ((i * 31) % 10) / 100.0, if (i % 2 == 0) 0.0 else 1.0)
+    }.toDF("id", "f1", "f2", "y")
+    val beta = Regression.svmHinge(df, Seq("f1", "f2"), "y",
+      eta = 1.0, lambda = 0.01, iters = 80)
+    val beta2 = Regression.svmHinge(df, Seq("f1", "f2"), "y",
+      eta = 1.0, lambda = 0.01, iters = 80)
+    assert(beta.toSeq == beta2.toSeq, "full-batch hinge training must be deterministic")
+    val m = lit(beta(0)) + col("f1") * lit(beta(1)) + col("f2") * lit(beta(2))
+    val acc = df.select(
+      avg(((m >= 0).cast("double") === col("y")).cast("double"))).head.getDouble(0)
+    assert(acc >= 0.99, s"planted separable accuracy $acc")
+  }
+
+  test("svm01 on the real table: full coverage, decision values, majority floor") {
+    val out = Regression.svm01.run(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir).count()
+      assert(out.count() == docs)
+      val acc = out.select(avg(
+        (col("pred_en") === (col("lang") === "en")).cast("double"))).head.getDouble(0)
+      val en = Tables.documents(spark, sfDir)
+        .select(avg((col("lang") === "en").cast("double"))).head.getDouble(0)
+      assert(acc >= math.max(en, 1 - en) - 0.02,
+        s"hinge accuracy $acc vs majority ${math.max(en, 1 - en)}")
+    } finally out.unpersist()
+  }
+
   test("pav matches the brute-force max-min characterization and is monotone") {
     val rnd = new scala.util.Random(7)
     val pts = (0 until 24).map { i =>
