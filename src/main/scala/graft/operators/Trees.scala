@@ -4,19 +4,24 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
-/** Distributed decision-tree training (reference mllib/src/main/scala/
-  * org/apache/spark/mllib/tree/DecisionTree.scala:1) re-expressed
-  * Spark-first: MLlib's core trick — bin the features once, then train
-  * each LEVEL with ONE aggregation pass that collects per
-  * (node, feature, bin, label) counts — maps directly onto a DataFrame
-  * groupBy. The driver only ever sees the bounded histogram cube
-  * (nodes × features × bins × classes), never rows; split choice is
-  * driver-side arithmetic on those counts (the reference's
-  * findBestSplits placement, DecisionTree.scala:1136).
+/** Distributed tree-family training (reference mllib/src/main/scala/org/
+  * apache/spark/mllib/tree/DecisionTree.scala:1, RandomForest.scala:1,
+  * GradientBoostedTrees.scala:1) re-expressed Spark-first: MLlib's core
+  * trick — bin the features once, then train each LEVEL with ONE
+  * aggregation pass that collects per (node, feature, bin, label|moment)
+  * statistics — maps directly onto a DataFrame groupBy. The driver only
+  * ever sees the bounded histogram cube (nodes × features × bins ×
+  * stats), never rows; split choice is driver-side arithmetic on those
+  * counts (the reference's findBestSplits placement,
+  * DecisionTree.scala:1136).
   *
   * Rows carry their current node id as a COLUMN (updated per level by a
   * bounded when-chain on the binned feature), so the tree state lives
-  * in the data — no shuffling by node, no per-node filtering passes.
+  * in the data — no shuffling by node, no per-node passes. The forest
+  * reuses the same machinery with per-tree deterministic Poisson(1)
+  * bootstrap WEIGHTS (RandomForest.scala's baggedInput — weights, not
+  * resampled copies) and per-tree feature subsets; boosting reuses the
+  * regression variant on a residual column updated in-plan.
   */
 object Trees {
 
@@ -26,46 +31,87 @@ object Trees {
   final case class Model(splits: Map[Int, Split], leafClass: Map[Int, String],
                          depth: Int)
 
+  /** Regression tree: leaves carry the weighted mean response. */
+  final case class RModel(splits: Map[Int, Split], leafValue: Map[Int, Double],
+                          depth: Int)
+
   private def gini(counts: Seq[Long]): Double = {
     val n = counts.sum.toDouble
     if (n == 0) 0.0 else 1.0 - counts.map(c => (c / n) * (c / n)).sum
   }
 
-  /** Train a depth-`depth` Gini tree over `fts` (array column of `d`
-    * doubles, pre-binned here into `bins` fixed-width bins from one
-    * global min/max aggregate — deterministic, unlike sampled
-    * quantiles) against string label `labelCol`.
+  /** Fixed-width bin columns from ONE global min/max aggregate —
+    * deterministic, unlike sampled quantiles. */
+  private def binColumns(raw: DataFrame, d: Int, bins: Int): Seq[Column] = {
+    val mmExprs = (0 until d).flatMap(j =>
+      Seq(min(col("x")(j)).as(s"lo$j"), max(col("x")(j)).as(s"hi$j")))
+    val mm = raw.agg(mmExprs.head, mmExprs.tail: _*).head
+    (0 until d).map { j =>
+      val lo = mm.getDouble(2 * j); val hi = mm.getDouble(2 * j + 1)
+      val w = (hi - lo) / bins
+      if (w == 0) lit(0)
+      else least(floor((col("x")(j) - lit(lo)) / lit(w)).cast("int"), lit(bins - 1))
+    }
+  }
+
+  /** Classification-tree prediction as a pure when-chain over the binned
+    * feature array column — map-only application. */
+  def classifyExpr(model: Model, b: Column): Column = {
+    val fallback = model.leafClass.values.toSeq.sorted.headOption.getOrElse("")
+    def go(node: Int, depth: Int): Column = model.splits.get(node) match {
+      case Some(s) if depth < model.depth =>
+        when(b(s.feature) <= s.thresholdBin, go(2 * node + 1, depth + 1))
+          .otherwise(go(2 * node + 2, depth + 1))
+      case _ => lit(model.leafClass.getOrElse(node, fallback))
+    }
+    go(0, 0)
+  }
+
+  /** Regression-tree prediction, same shape with double leaves. */
+  def regressExpr(model: RModel, b: Column): Column = {
+    def go(node: Int, depth: Int): Column = model.splits.get(node) match {
+      case Some(s) if depth < model.depth =>
+        when(b(s.feature) <= s.thresholdBin, go(2 * node + 1, depth + 1))
+          .otherwise(go(2 * node + 2, depth + 1))
+      case _ => lit(model.leafValue.getOrElse(node, 0.0))
+    }
+    go(0, 0)
+  }
+
+  /** Train a depth-`depth` Gini tree over `fts` (d doubles, binned here)
+    * against string label `labelCol`.
     *
     * Per level: one partial-agg groupBy over (node, feature, bin,
     * label) — the posexplode multiplies rows by d (bounded, d tiny) and
     * combines map-side, so the shuffle carries at most
     * nodes·d·bins·classes rows per partition. Ties break (gain desc,
     * feature asc, bin asc) so training is deterministic end-to-end.
+    *
+    * @param weight   per-row long bootstrap weight (0 = out-of-bag; the
+    *                 row still routes and gets a prediction)
+    * @param features feature indices this tree may split on (the
+    *                 forest's per-tree subset); split stats always
+    *                 aggregate all d features — the cube stays bounded —
+    *                 but only allowed ones compete
     */
   def train(data: DataFrame, fts: Seq[Column], labelCol: Column,
-            depth: Int, bins: Int): (DataFrame, Model) = {
+            depth: Int, bins: Int, weight: Column = lit(1L),
+            features: Option[Set[Int]] = None): (DataFrame, Model) = {
     val d = fts.length
+    val allowed = features.getOrElse((0 until d).toSet)
+    require(allowed.nonEmpty && allowed.forall(f => f >= 0 && f < d))
+    val f0 = allowed.min // label totals are read off this feature's cells
     val raw = data.select(array(fts.map(_.cast("double")): _*).as("x"),
-      labelCol.cast("string").as("label"))
-    val mmExprs = (0 until d).flatMap(j =>
-      Seq(min(col("x")(j)).as(s"lo$j"), max(col("x")(j)).as(s"hi$j")))
-    val mm = raw.agg(mmExprs.head, mmExprs.tail: _*).head
-    val lo = Array.tabulate(d)(j => mm.getDouble(2 * j))
-    val hi = Array.tabulate(d)(j => mm.getDouble(2 * j + 1))
-    val binCols = (0 until d).map { j =>
-      val w = (hi(j) - lo(j)) / bins
-      if (w == 0) lit(0)
-      else least(floor((col("x")(j) - lit(lo(j))) / lit(w)).cast("int"), lit(bins - 1))
-    }
-    var df = raw.select(array(binCols: _*).as("b"), col("label"),
-      lit(0).as("node")).localCheckpoint()
+      labelCol.cast("string").as("label"), weight.cast("long").as("w"))
+    var df = raw.select(array(binColumns(raw, d, bins): _*).as("b"),
+      col("label"), col("w"), lit(0).as("node")).localCheckpoint()
 
     var splits = Map.empty[Int, Split]
     var leaves = Map.empty[Int, String]
     for (_ <- 0 until depth) {
-      val cube = df.select(col("node"), col("label"),
+      val cube = df.select(col("node"), col("label"), col("w"),
         posexplode(col("b")).as(Seq("f", "bin")))
-        .groupBy("node", "f", "bin", "label").agg(count(lit(1)).as("c"))
+        .groupBy("node", "f", "bin", "label").agg(sum(col("w")).as("c"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))
       val byNode = cube.groupBy(_._1)
@@ -73,17 +119,17 @@ object Trees {
         if (splits.contains(node) || leaves.contains(node)) None
         else {
           val labels = rows.groupBy(_._4).map { case (l, rs) =>
-            // feature 0 rows carry each row exactly once
-            l -> rs.filter(_._2 == 0).map(_._5).sum
+            // feature f0 cells carry each row's weight exactly once
+            l -> rs.filter(_._2 == f0).map(_._5).sum
           }
           val total = labels.values.sum
           val parentG = gini(labels.values.toSeq)
           val majority = labels.toSeq.minBy { case (l, c) => (-c, l) }._1
-          if (labels.size <= 1) { leaves += node -> majority; None }
+          if (labels.count(_._2 > 0) <= 1) { leaves += node -> majority; None }
           else {
             // best (feature, bin threshold) by Gini gain via prefix scans
             var best: Option[(Double, Int, Int)] = None
-            for (f <- 0 until d) {
+            for (f <- allowed.toSeq.sorted) {
               val cells = rows.filter(_._2 == f)
               val labelsSeq = labels.keys.toSeq.sorted
               val prefix = scala.collection.mutable.Map(
@@ -109,20 +155,19 @@ object Trees {
           }
         }
       }
-      if (levelSplits.isEmpty) {
-        // nothing left to split — remaining nodes became leaves above
-      } else {
+      if (levelSplits.nonEmpty) {
         splits ++= levelSplits.map(s => s.node -> s)
         val route = levelSplits.foldLeft(col("node")) { (acc, s) =>
           when(col("node") === s.node,
             lit(s.node * 2 + 1) + (col("b")(s.feature) > s.thresholdBin).cast("int"))
             .otherwise(acc)
         }
-        df = df.select(col("b"), col("label"), route.as("node")).localCheckpoint()
+        df = df.select(col("b"), col("label"), col("w"), route.as("node"))
+          .localCheckpoint()
       }
     }
-    // finalize leaves: majority class of every still-open node
-    val finalCounts = df.groupBy("node", "label").agg(count(lit(1)).as("c"))
+    // finalize leaves: weighted-majority class of every still-open node
+    val finalCounts = df.groupBy("node", "label").agg(sum(col("w")).as("c"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     finalCounts.groupBy(_._1).foreach { case (node, rows) =>
       if (!splits.contains(node) && !leaves.contains(node))
@@ -132,15 +177,147 @@ object Trees {
     (df, Model(splits, leafClass = leaves, depth))
   }
 
+  /** Regression tree on a PRE-BINNED frame (columns `b` array<int>,
+    * `y` double, `w` long): per level ONE groupBy collecting the
+    * (node, feature, bin) → (Σw, Σwy, Σwy²) moment cube; splits by
+    * weighted SSE reduction, leaves carry the weighted mean. The
+    * boosting loop calls this once per round on the residual column. */
+  def trainRegressionBinned(binned: DataFrame, d: Int, depth: Int,
+                            bins: Int): RModel = {
+    var df = binned
+    var splits = Map.empty[Int, Split]
+    var leafV = Map.empty[Int, Double]
+    def sse(w: Double, sy: Double, syy: Double): Double =
+      if (w <= 0) 0.0 else syy - sy * sy / w
+    for (_ <- 0 until depth) {
+      val cube = df.select(col("node"), col("y"), col("w"),
+        posexplode(col("b")).as(Seq("f", "bin")))
+        .groupBy("node", "f", "bin")
+        .agg(sum(col("w")).as("cw"),
+          sum(col("w") * col("y")).as("sy"),
+          sum(col("w") * col("y") * col("y")).as("syy"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getLong(3).toDouble, r.getDouble(4), r.getDouble(5)))
+      val byNode = cube.groupBy(_._1)
+      val levelSplits = byNode.toSeq.sortBy(_._1).flatMap { case (node, rows) =>
+        if (splits.contains(node) || leafV.contains(node)) None
+        else {
+          val f0cells = rows.filter(_._2 == 0)
+          val tw = f0cells.map(_._4).sum
+          val tsy = f0cells.map(_._5).sum
+          val tsyy = f0cells.map(_._6).sum
+          val parent = sse(tw, tsy, tsyy)
+          if (tw <= 0) { leafV += node -> 0.0; None }
+          else {
+            var best: Option[(Double, Int, Int)] = None
+            for (f <- 0 until d) {
+              val cells = rows.filter(_._2 == f)
+              var cw = 0.0; var cy = 0.0; var cyy = 0.0
+              for (t <- 0 until bins - 1) {
+                cells.filter(_._3 == t).foreach { r =>
+                  cw += r._4; cy += r._5; cyy += r._6
+                }
+                if (cw > 0 && cw < tw) {
+                  val gain = parent - sse(cw, cy, cyy) -
+                    sse(tw - cw, tsy - cy, tsyy - cyy)
+                  if (gain > 1e-9 && best.forall(b => gain > b._1 + 1e-9))
+                    best = Some((gain, f, t))
+                }
+              }
+            }
+            best match {
+              case Some((_, f, t)) => Some(Split(node, f, t))
+              case None => leafV += node -> tsy / tw; None
+            }
+          }
+        }
+      }
+      if (levelSplits.nonEmpty) {
+        splits ++= levelSplits.map(s => s.node -> s)
+        val route = levelSplits.foldLeft(col("node")) { (acc, s) =>
+          when(col("node") === s.node,
+            lit(s.node * 2 + 1) + (col("b")(s.feature) > s.thresholdBin).cast("int"))
+            .otherwise(acc)
+        }
+        df = df.select(col("b"), col("y"), col("w"), route.as("node"))
+          .localCheckpoint()
+      }
+    }
+    val fin = df.groupBy("node")
+      .agg(sum(col("w")).as("cw"), sum(col("w") * col("y")).as("sy"))
+      .collect().map(r => (r.getInt(0), r.getLong(1).toDouble, r.getDouble(2)))
+    fin.foreach { case (node, w, sy) =>
+      if (!splits.contains(node) && !leafV.contains(node) && w > 0)
+        leafV += node -> sy / w
+    }
+    RModel(splits, leafV, depth)
+  }
+
+  /** Bin a raw (features, y) frame once for the regression/boosting
+    * loops. Returns the checkpointed frame (b, y, w, node=0). */
+  def binForRegression(data: DataFrame, fts: Seq[Column], yCol: Column,
+                       bins: Int): DataFrame = {
+    val d = fts.length
+    val raw = data.select(array(fts.map(_.cast("double")): _*).as("x"),
+      yCol.cast("double").as("y"))
+    raw.select(array(binColumns(raw, d, bins): _*).as("b"), col("y"),
+      lit(1L).as("w"), lit(0).as("node")).localCheckpoint()
+  }
+
+  /** Random forest (RandomForest.scala:1 parity): `nTrees` Gini trees,
+    * each trained with deterministic per-row Poisson(1) bootstrap
+    * weights (xxhash64 of the id columns + tree index → the weight
+    * distribution, the reference's baggedInput-by-weights) and a
+    * per-tree feature subset (featureSubsetStrategy); prediction is the
+    * per-row plurality vote folded as a pure column expression —
+    * map-only application, models live in the plan. */
+  def forest(data: DataFrame, fts: Seq[Column], labelCol: Column,
+             idCols: Seq[Column], depth: Int, bins: Int, nTrees: Int,
+             featuresPerTree: Int): Seq[Model] = {
+    val d = fts.length
+    (0 until nTrees).map { t =>
+      // deterministic Poisson(1) weights: P(0)=.368 P(1)=.368 P(2)=.184 ...
+      val h = pmod(xxhash64((idCols :+ (lit(t): Column)): _*), lit(1000L))
+      val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+        .when(h < 981, 3L).otherwise(4L)
+      val feats = (0 until featuresPerTree)
+        .map(i => (t * 31 + i * 17 + i) % d).distinct match {
+        case s if s.size < featuresPerTree =>
+          ((0 until d).filterNot(s.contains).take(featuresPerTree - s.size) ++ s).toSet
+        case s => s.toSet
+      }
+      train(data, fts, labelCol, depth, bins, weight = w,
+        features = Some(feats))._2
+    }
+  }
+
+  /** Plurality vote over the trees' prediction expressions, ties to the
+    * lexicographically smallest class (deterministic). */
+  def voteExpr(models: Seq[Model], b: Column): Column = {
+    val preds = array(models.map(m => classifyExpr(m, b)): _*)
+    // count occurrences of each distinct prediction, pick (max count, min class)
+    val best = aggregate(
+      array_distinct(preds),
+      struct(lit(-1).as("c"), lit("").as("cls")),
+      (acc, cls) => {
+        val c = size(filter(preds, p => p === cls))
+        when(c > acc.getField("c") ||
+          (c === acc.getField("c") && cls < acc.getField("cls")),
+          struct(c.as("c"), cls.as("cls"))).otherwise(acc)
+      })
+    best.getField("cls")
+  }
+
   /** Registered pass: depth-3 Gini tree predicting `l_returnflag` from
-    * (quantity, discount, tax, ship year) — the returnflag is
-    * date-driven in TPC-H, so the tree must discover the ship-year
-    * split on its own. Output is the bounded per-leaf summary
-    * (leaf, rows, predicted class, correct rows); TreesSpec pins exact
-    * planted-split recovery, determinism, and the training-accuracy ≥
-    * majority-class invariant (which holds by construction for
-    * majority-vote leaves). Rows-only: histogram split selection is
-    * driver arithmetic, not SQL. */
+    * (quantity, discount, tax, ship year). Output is the bounded
+    * per-leaf summary (leaf, rows, predicted class, correct rows);
+    * TreesSpec pins exact planted-split recovery, determinism, and the
+    * training-accuracy ≥ majority-class invariant (which holds by
+    * construction for majority-vote leaves; the synthetic returnflag is
+    * uniform noise, so accuracy sits AT the majority floor).
+    * Rows-only: histogram split selection is driver arithmetic, not
+    * SQL. */
   val dt01 = Q.rowsOnly("dt01_decision_tree") { (s, dir) =>
     import s.implicits._
     val li = Tables.lineitem(s, dir)
@@ -158,5 +335,56 @@ object Trees {
       .orderBy("leaf")
   }
 
-  val all: Seq[Q] = Seq(dt01)
+  /** Registered pass: 5-tree random forest on dt01's task — the
+    * bounded confusion matrix (actual, pred, n). Rows-only; TreesSpec
+    * pins planted recovery through bagging noise, determinism, and the
+    * majority floor. */
+  val rf01 = Q.rowsOnly("rf01_random_forest") { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+      year(col("l_shipdate")))
+    val models = forest(li, fts, col("l_returnflag"),
+      idCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+      depth = 3, bins = 32, nTrees = 5, featuresPerTree = 2)
+    val raw = li.select(array(fts.map(_.cast("double")): _*).as("x"),
+      col("l_returnflag").as("actual"))
+    val withB = raw.select(array(binColumns(raw, fts.length, 32): _*).as("b"),
+      col("actual"))
+    withB.select(col("actual"), voteExpr(models, col("b")).as("pred"))
+      .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("actual", "pred")
+  }
+
+  /** Registered pass: 4-round depth-2 gradient-boosted regression of the
+    * scaled extended price (GradientBoostedTrees.scala:1 parity,
+    * squared loss: each round fits a regression tree to the CURRENT
+    * residual column — updated in-plan, shrinkage 0.5 — so round m is
+    * dt01's bounded level-training on a frame that never leaves the
+    * cluster). Output: per-round training MSE (bounded, strictly
+    * decreasing — the boosting invariant TreesSpec pins on planted
+    * data). */
+  val gbt01 = Q.rowsOnly("gbt01_gbt_regression") { (s, dir) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+      year(col("l_shipdate")))
+    val shrink = 0.5
+    var frame = binForRegression(li, fts, col("l_extendedprice") / 1000.0, bins = 32)
+    // F0 = global mean
+    val f0 = frame.agg(avg("y")).head.getDouble(0)
+    frame = frame.withColumn("y", col("y") - f0).localCheckpoint()
+    val mses = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    for (m <- 1 to 4) {
+      val tree = trainRegressionBinned(frame, d = fts.length, depth = 2, bins = 32)
+      frame = frame
+        .select(col("b"), (col("y") - lit(shrink) * regressExpr(tree, col("b"))).as("y"),
+          col("w"), lit(0).as("node"))
+        .localCheckpoint()
+      mses += ((m, frame.agg(avg(col("y") * col("y"))).head.getDouble(0)))
+    }
+    mses.toSeq.map { case (m, v) => (m, math.rint(v * 1e6) / 1e6) }
+      .toDF("round", "train_mse").orderBy("round")
+  }
+
+  val all: Seq[Q] = Seq(dt01, rf01, gbt01)
 }

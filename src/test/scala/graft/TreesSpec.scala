@@ -35,6 +35,69 @@ class TreesSpec extends SparkTestBase {
     assert(m1.splits == m2.splits && m1.leafClass == m2.leafClass)
   }
 
+  test("regression tree recovers a planted step function exactly") {
+    import TestSpark.spark.implicits._
+    // y is a 4-level step in x0; x1 is noise
+    val df = (0 until 800).map { i =>
+      val x0 = (i % 40) / 40.0
+      val x1 = ((i * 13) % 40) / 40.0
+      val y = if (x0 < 0.25) 1.0 else if (x0 < 0.5) 3.0 else if (x0 < 0.75) 7.0 else 9.0
+      (x0, x1, y)
+    }.toDF("x0", "x1", "y")
+    val binned = Trees.binForRegression(df, Seq(col("x0"), col("x1")), col("y"), bins = 40)
+    val model = Trees.trainRegressionBinned(binned, d = 2, depth = 2, bins = 40)
+    val mse = binned
+      .select(pow(col("y") - Trees.regressExpr(model, col("b")), 2.0).as("e"))
+      .agg(avg("e")).head.getDouble(0)
+    assert(mse < 1e-18, s"planted step function must fit exactly, mse $mse")
+    assert(model.splits.size == 3, s"want 3 splits, got ${model.splits}")
+  }
+
+  test("forest is deterministic and recovers the planted quadrants through bagging") {
+    import TestSpark.spark.implicits._
+    val df = (0 until 800).map { i =>
+      val x0 = (i % 40) / 40.0
+      val x1 = ((i * 13) % 40) / 40.0
+      (i.toLong, x0, x1, (if (x0 <= 0.5) "a" else "b") + (if (x1 <= 0.3) "0" else "1"))
+    }.toDF("id", "x0", "x1", "label")
+    val fts = Seq(col("x0"), col("x1"))
+    val m1 = Trees.forest(df, fts, col("label"), Seq(col("id")),
+      depth = 2, bins = 40, nTrees = 5, featuresPerTree = 2)
+    val m2 = Trees.forest(df, fts, col("label"), Seq(col("id")),
+      depth = 2, bins = 40, nTrees = 5, featuresPerTree = 2)
+    assert(m1.map(_.splits) == m2.map(_.splits) &&
+      m1.map(_.leafClass) == m2.map(_.leafClass), "bagging must be deterministic")
+    // vote accuracy: every tree sees a weighted bootstrap of cleanly
+    // separable quadrants, so the plurality vote recovers them.
+    // Bins rebuilt with the trainer's fixed-width formula (lo=0,
+    // hi=39/40 for both features here).
+    val raw = df.select(array(fts.map(_.cast("double")): _*).as("x"), col("label"))
+    val w = 0.975 / 40
+    val b2 = raw.select(array(
+      least(floor(col("x")(0) / w).cast("int"), lit(39)),
+      least(floor(col("x")(1) / w).cast("int"), lit(39))).as("b"),
+      col("label"))
+    val acc = b2
+      .select(avg((Trees.voteExpr(m1, col("b")) === col("label")).cast("double")))
+      .head.getDouble(0)
+    assert(acc >= 0.97, s"forest vote accuracy $acc")
+  }
+
+  test("gbt01 on the real table: per-round MSE is non-increasing") {
+    val out = Trees.gbt01.run(spark, sfDir).collect()
+    assert(out.length == 4)
+    val mses = out.map(_.getDouble(1)).toSeq
+    assert(mses.zip(mses.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"boosting must not increase training MSE: $mses")
+  }
+
+  test("rf01 on the real table: bounded confusion matrix covering the table") {
+    val out = Trees.rf01.run(spark, sfDir).collect()
+    assert(out.length <= 9 && out.nonEmpty)
+    val total = out.map(_.getLong(2)).sum
+    assert(total == Tables.lineitem(spark, sfDir).count())
+  }
+
   test("dt01 on the real table: bounded leaf summary, accuracy >= majority") {
     val out = Trees.dt01.run(spark, sfDir).collect()
     assert(out.length <= 8 && out.nonEmpty, s"${out.length} leaves")
