@@ -124,11 +124,14 @@ object TextFunctions {
     * caveat: `ascii` folds UTF-16 units, so fingerprints agree across
     * engines for BMP text (all of the corpus); astral-plane codepoints
     * would fold as surrogate halves here but whole codepoints elsewhere. */
-  def crossEngineFingerprint(toks: Column): Column = {
-    def wordHash(w: Column): Column =
-      aggregate(split(w, ""), lit(0L), (a, c) => pmod(a * 33 + ascii(c), lit(P)))
-    aggregate(toks, lit(0L), (acc, w) => pmod(acc * 1000003L + wordHash(w), lit(P)))
-  }
+  /** The djb2-shaped per-word char fold ((h·33 + codepoint) mod P) —
+    * cross-engine reproducible (see [[crossEngineFingerprint]]); also the
+    * hash behind ht01's hashing-TF feature index. */
+  def wordFold(w: Column): Column =
+    aggregate(split(w, ""), lit(0L), (a, c) => pmod(a * 33 + ascii(c), lit(P)))
+
+  def crossEngineFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, w) => pmod(acc * 1000003L + wordFold(w), lit(P)))
 
   /** Exact cosine similarity: float multiplies (parquet element type),
     * double left-fold accumulation — bit-identical to the DuckDB oracle's

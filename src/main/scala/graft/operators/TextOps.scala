@@ -174,6 +174,41 @@ object TextOps {
     * vocabulary-safe choice (a broadcast model caps vocab like t03; the
     * shuffle join never needs to). Ranking happens on the ROUNDED score so
     * a last-ulp ln() difference between engines cannot flip an order. */
+  /** Hashed term frequencies (reference mllib/feature/HashingTF.scala:1
+    * parity): term → feature index by hash mod numFeatures, tf counts
+    * per (doc, feature) — the fixed-width bag-of-words that needs no
+    * vocabulary pass at all (the property HashingTF exists for: at
+    * 100 TB there is no dictionary to build, broadcast, or keep
+    * consistent; the map side is stateless). The reference hashes with
+    * String.hashCode; here the hash is t04's cross-engine djb2 char
+    * fold, which is what upgrades this from a rows-only check to a FULL
+    * DuckDB value oracle (identical indices on both engines). One
+    * explode + one partial-agg groupBy; collisions are part of the
+    * operator's contract (1024 features vs ~a few hundred corpus
+    * terms). */
+  val ht01 = Q.sql(
+    "ht01_hashing_tf",
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      |              FROM documents)
+      |SELECT doc_id,
+      |  (CASE WHEN t = '' THEN CAST(0 AS BIGINT) ELSE
+      |     list_reduce(
+      |       list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |       (a, cp) -> (a * 33 + cp) % 2147483647)
+      |   END) % 1024 AS feature,
+      |  count(*) AS tf
+      |FROM toks
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, feature""".stripMargin) { (s, dir) =>
+    val idx = pmod(when(col("t") === "", 0L).otherwise(wordFold(col("t"))), lit(1024L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), idx.as("feature"))
+      .groupBy("doc_id", "feature").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "feature")
+  }
+
   val t06 = Q.sql(
     "t06_tfidf",
     """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -347,5 +382,5 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09)
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01)
 }

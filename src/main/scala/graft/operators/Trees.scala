@@ -100,7 +100,6 @@ object Trees {
     val d = fts.length
     val allowed = features.getOrElse((0 until d).toSet)
     require(allowed.nonEmpty && allowed.forall(f => f >= 0 && f < d))
-    val f0 = allowed.min // label totals are read off this feature's cells
     val raw = data.select(array(fts.map(_.cast("double")): _*).as("x"),
       labelCol.cast("string").as("label"), weight.cast("long").as("w"))
     var df = raw.select(array(binColumns(raw, d, bins): _*).as("b"),
@@ -117,42 +116,10 @@ object Trees {
       val byNode = cube.groupBy(_._1)
       val levelSplits = byNode.toSeq.sortBy(_._1).flatMap { case (node, rows) =>
         if (splits.contains(node) || leaves.contains(node)) None
-        else {
-          val labels = rows.groupBy(_._4).map { case (l, rs) =>
-            // feature f0 cells carry each row's weight exactly once
-            l -> rs.filter(_._2 == f0).map(_._5).sum
-          }
-          val total = labels.values.sum
-          val parentG = gini(labels.values.toSeq)
-          val majority = labels.toSeq.minBy { case (l, c) => (-c, l) }._1
-          if (labels.count(_._2 > 0) <= 1) { leaves += node -> majority; None }
-          else {
-            // best (feature, bin threshold) by Gini gain via prefix scans
-            var best: Option[(Double, Int, Int)] = None
-            for (f <- allowed.toSeq.sorted) {
-              val cells = rows.filter(_._2 == f)
-              val labelsSeq = labels.keys.toSeq.sorted
-              val prefix = scala.collection.mutable.Map(
-                labelsSeq.map(_ -> 0L): _*)
-              for (t <- 0 until bins - 1) {
-                cells.filter(_._3 == t).foreach(r => prefix(r._4) += r._5)
-                val left = labelsSeq.map(prefix)
-                val nL = left.sum
-                if (nL > 0 && nL < total) {
-                  val right = labelsSeq.zip(left).map { case (l, c) => labels(l) - c }
-                  val g = parentG -
-                    (nL.toDouble / total) * gini(left) -
-                    ((total - nL).toDouble / total) * gini(right)
-                  if (g > 1e-12 && best.forall(b => g > b._1 + 1e-12))
-                    best = Some((g, f, t))
-                }
-              }
-            }
-            best match {
-              case Some((_, f, t)) => Some(Split(node, f, t))
-              case None => leaves += node -> majority; None
-            }
-          }
+        else chooseSplit(rows.toSeq.map(r => (r._2, r._3, r._4, r._5)),
+          allowed, bins) match {
+          case Right(s) => Some(s.copy(node = node))
+          case Left(leaf) => leaves += node -> leaf; None
         }
       }
       if (levelSplits.nonEmpty) {
@@ -265,31 +232,136 @@ object Trees {
       lit(1L).as("w"), lit(0).as("node")).localCheckpoint()
   }
 
+  /** Split choice for one node from its histogram cells
+    * ((f, bin, label, weight) tuples): the driver-side arithmetic shared
+    * by the single tree and the forest. Returns Right(split) or
+    * Left(majority leaf class). */
+  private def chooseSplit(rows: Seq[(Int, Int, String, Long)],
+                          allowed: Set[Int], bins: Int): Either[String, Split] = {
+    val f0 = allowed.min
+    val labels = rows.groupBy(_._3).map { case (l, rs) =>
+      // feature f0 cells carry each row's weight exactly once
+      l -> rs.filter(_._1 == f0).map(_._4).sum
+    }
+    val total = labels.values.sum
+    val parentG = gini(labels.values.toSeq)
+    val majority = labels.toSeq.minBy { case (l, c) => (-c, l) }._1
+    if (labels.count(_._2 > 0) <= 1) Left(majority)
+    else {
+      var best: Option[(Double, Int, Int)] = None
+      for (f <- allowed.toSeq.sorted) {
+        val cells = rows.filter(_._1 == f)
+        val labelsSeq = labels.keys.toSeq.sorted
+        val prefix = scala.collection.mutable.Map(labelsSeq.map(_ -> 0L): _*)
+        for (t <- 0 until bins - 1) {
+          cells.filter(_._2 == t).foreach(r => prefix(r._3) += r._4)
+          val left = labelsSeq.map(prefix)
+          val nL = left.sum
+          if (nL > 0 && nL < total) {
+            val right = labelsSeq.zip(left).map { case (l, c) => labels(l) - c }
+            val g = parentG -
+              (nL.toDouble / total) * gini(left) -
+              ((total - nL).toDouble / total) * gini(right)
+            if (g > 1e-12 && best.forall(b => g > b._1 + 1e-12))
+              best = Some((g, f, t))
+          }
+        }
+      }
+      best.map { case (_, f, t) => Split(-1, f, t) }.toRight(majority)
+    }
+  }
+
+  /** The forest's deterministic per-tree feature subset. */
+  private def featureSubset(t: Int, d: Int, k: Int): Set[Int] = {
+    val s = (0 until k).map(i => (t * 31 + i * 17 + i) % d).distinct
+    if (s.size < k)
+      ((0 until d).filterNot(s.contains).take(k - s.size) ++ s).toSet
+    else s.toSet
+  }
+
   /** Random forest (RandomForest.scala:1 parity): `nTrees` Gini trees,
-    * each trained with deterministic per-row Poisson(1) bootstrap
-    * weights (xxhash64 of the id columns + tree index → the weight
-    * distribution, the reference's baggedInput-by-weights) and a
-    * per-tree feature subset (featureSubsetStrategy); prediction is the
+    * each seeing deterministic per-row Poisson(1) bootstrap WEIGHTS
+    * (xxhash64 of the id columns + tree index, the reference's
+    * baggedInput-by-weights — no data copies) and a per-tree feature
+    * subset (featureSubsetStrategy).
+    *
+    * All trees train TOGETHER, one aggregation pass per LEVEL for the
+    * whole forest (the reference's node-group batching,
+    * RandomForest.scala's findBestSplits over a node queue): rows carry
+    * a per-tree node-id ARRAY and a per-tree weight ARRAY; the level
+    * pass explodes the tree index (×nTrees) and the features (×d) —
+    * both bounded — and partial-aggregates the
+    * (tree, node, feature, bin, label) cube, so the whole forest costs
+    * `depth` cluster passes, not nTrees·depth. Prediction is the
     * per-row plurality vote folded as a pure column expression —
     * map-only application, models live in the plan. */
   def forest(data: DataFrame, fts: Seq[Column], labelCol: Column,
              idCols: Seq[Column], depth: Int, bins: Int, nTrees: Int,
              featuresPerTree: Int): Seq[Model] = {
     val d = fts.length
-    (0 until nTrees).map { t =>
-      // deterministic Poisson(1) weights: P(0)=.368 P(1)=.368 P(2)=.184 ...
+    val allowed = (0 until nTrees).map(t => featureSubset(t, d, featuresPerTree))
+    // deterministic Poisson(1) weights: P(0)=.368 P(1)=.368 P(2)=.184 ...
+    val wCols = (0 until nTrees).map { t =>
       val h = pmod(xxhash64((idCols :+ (lit(t): Column)): _*), lit(1000L))
-      val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+      when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
         .when(h < 981, 3L).otherwise(4L)
-      val feats = (0 until featuresPerTree)
-        .map(i => (t * 31 + i * 17 + i) % d).distinct match {
-        case s if s.size < featuresPerTree =>
-          ((0 until d).filterNot(s.contains).take(featuresPerTree - s.size) ++ s).toSet
-        case s => s.toSet
-      }
-      train(data, fts, labelCol, depth, bins, weight = w,
-        features = Some(feats))._2
     }
+    val raw = data.select(array(fts.map(_.cast("double")): _*).as("x"),
+      labelCol.cast("string").as("label"), array(wCols: _*).as("w"))
+    var df = raw.select(array(binColumns(raw, d, bins): _*).as("b"),
+      col("label"), col("w"),
+      typedlit(Seq.fill(nTrees)(0)).as("node")).localCheckpoint()
+
+    val splits = Array.fill(nTrees)(Map.empty[Int, Split])
+    val leaves = Array.fill(nTrees)(Map.empty[Int, String])
+    for (_ <- 0 until depth) {
+      val cube = df
+        .select(col("b"), col("label"), col("w"), col("node"),
+          explode(sequence(lit(0), lit(nTrees - 1))).as("t"))
+        .select(col("t"), element_at(col("node"), col("t") + 1).as("node"),
+          element_at(col("w"), col("t") + 1).as("wt"), col("label"),
+          posexplode(col("b")).as(Seq("f", "bin")))
+        .groupBy("t", "node", "f", "bin", "label").agg(sum("wt").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4), r.getLong(5)))
+      val routes = (0 until nTrees).map { t =>
+        val mine = cube.filter(_._1 == t)
+        val levelSplits = mine.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+          case (node, rows) =>
+            if (splits(t).contains(node) || leaves(t).contains(node)) None
+            else chooseSplit(rows.toSeq.map(r => (r._3, r._4, r._5, r._6)),
+              allowed(t), bins) match {
+              case Right(s) => Some(s.copy(node = node))
+              case Left(leaf) => leaves(t) += node -> leaf; None
+            }
+        }
+        splits(t) ++= levelSplits.map(s => s.node -> s)
+        val nodeT = element_at(col("node"), t + 1)
+        levelSplits.foldLeft(nodeT) { (acc, s) =>
+          when(nodeT === s.node,
+            lit(s.node * 2 + 1) + (col("b")(s.feature) > s.thresholdBin).cast("int"))
+            .otherwise(acc)
+        }
+      }
+      df = df.select(col("b"), col("label"), col("w"),
+        array(routes: _*).as("node")).localCheckpoint()
+    }
+    // finalize leaves for every still-open (tree, node) in ONE pass
+    val fin = df
+      .select(col("label"), col("w"), col("node"),
+        explode(sequence(lit(0), lit(nTrees - 1))).as("t"))
+      .groupBy(col("t"), element_at(col("node"), col("t") + 1).as("node"),
+        col("label"))
+      .agg(sum(element_at(col("w"), col("t") + 1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    fin.groupBy(r => (r._1, r._2)).foreach { case ((t, node), rows) =>
+      if (!splits(t).contains(node) && !leaves(t).contains(node))
+        leaves(t) += node -> rows.map(r => (r._3, r._4)).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+    }
+    (0 until nTrees).map(t => Model(splits(t), leaves(t), depth))
   }
 
   /** Plurality vote over the trees' prediction expressions, ties to the

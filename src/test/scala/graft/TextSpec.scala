@@ -130,6 +130,27 @@ class TextSpec extends SparkTestBase {
     assert(t2.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
   }
 
+  test("ht01 hashing-TF: indices in range, mass equals token count, hash stable") {
+    import TestSpark.spark.implicits._
+    val out = TextOps.ht01.run(spark, sfDir).cache()
+    try {
+      assert(out.filter(col("feature") < 0 || col("feature") >= 1024).count() == 0)
+      // total tf mass == total whitespace tokens (collisions merge cells,
+      // never drop counts)
+      val mass = out.agg(sum("tf")).head.getLong(0)
+      val toks = Tables.documents(spark, sfDir)
+        .select(sum(size(graft.functions.TextFunctions.tokens(col("text")))))
+        .head.getLong(0)
+      assert(mass == toks, s"tf mass $mass vs $toks tokens")
+      // the same term hashes to the same feature everywhere: hashing one
+      // known word twice through the column fold is stable
+      val idx = Seq("spark", "spark").toDF("t")
+        .select(pmod(graft.functions.TextFunctions.wordFold(col("t")), lit(1024L)))
+        .collect().map(_.getLong(0))
+      assert(idx.distinct.length == 1 && idx.head >= 0 && idx.head < 1024)
+    } finally out.unpersist()
+  }
+
   test("t06 tfidf ranks the rare term above the ubiquitous one") {
     import TestSpark.spark.implicits._
     // "banana" appears in every doc (idf = ln 1 = 0); each doc's rare term
