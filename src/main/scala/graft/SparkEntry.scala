@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Embeddings.all ++ operators.PCA.all ++
       operators.SemanticDedup.all ++
       operators.Graphs.all ++
-      operators.Multimodal.all ++ operators.Stats.all
+      operators.Multimodal.all ++ operators.Stats.all ++
+      operators.Evaluation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
