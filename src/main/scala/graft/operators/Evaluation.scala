@@ -377,5 +377,91 @@ object Evaluation {
       round(avg("ndcg"), 6).as("ndcg_at_10"))
   }
 
-  val all: Seq[Q] = Seq(ev01, ev02, ev03, ev04)
+  /** Multilabel metrics (MultilabelMetrics.scala:1 parity — with ev01–
+    * ev04 this completes the reference's whole evaluation package) for a
+    * per-order task over the label space {A, N, R}: the actual label set
+    * is the order's distinct returnflags, the predicted set comes from a
+    * deterministic per-order rule (any-discount>.05 → R, any-qty>25 → A,
+    * any-tax<.04 → N). Because both sets live in a 3-label space, every
+    * set statistic folds to SIX 0/1 columns per order (one bounded
+    * groupBy over lineitem), and the metric suite — subset accuracy,
+    * mean Jaccard, Hamming loss, doc-averaged P/R/F1, micro P/R/F1 — is
+    * one more aggregate. numLabels follows the reference: distinct
+    * labels across ACTUAL sets. */
+  val ev05 = Q.sql(
+    "ev05_multilabel_metrics",
+    """WITH per AS (
+      |  SELECT l_orderkey,
+      |    max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS la,
+      |    max(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS ln,
+      |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS lr,
+      |    max(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS pa,
+      |    max(CASE WHEN l_tax < 0.04 THEN 1 ELSE 0 END) AS pn,
+      |    max(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS pr
+      |  FROM lineitem GROUP BY l_orderkey),
+      |d AS (SELECT la, ln, lr, pa, pn, pr,
+      |        la * pa + ln * pn + lr * pr AS inter,
+      |        la + ln + lr AS lsz, pa + pn + pr AS psz
+      |      FROM per),
+      |nl AS (SELECT CAST(max(la) + max(ln) + max(lr) AS DOUBLE) AS n_labels FROM d)
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  (SELECT CAST(n_labels AS BIGINT) FROM nl) AS n_labels,
+      |  round(avg(CASE WHEN lsz = psz AND inter = lsz THEN 1.0 ELSE 0.0 END), 6)
+      |    AS subset_accuracy,
+      |  round(avg(CAST(inter AS DOUBLE) / (lsz + psz - inter)), 6) AS accuracy,
+      |  round(sum(CAST(lsz + psz - 2 * inter AS DOUBLE)) /
+      |        (count(*) * (SELECT n_labels FROM nl)), 6) AS hamming_loss,
+      |  round(avg(CASE WHEN psz > 0 THEN CAST(inter AS DOUBLE) / psz ELSE 0.0 END), 6)
+      |    AS doc_precision,
+      |  round(avg(CAST(inter AS DOUBLE) / lsz), 6) AS doc_recall,
+      |  round(avg(2.0 * inter / (psz + lsz)), 6) AS doc_f1,
+      |  round(CAST(sum(inter) AS DOUBLE) / sum(psz), 6) AS micro_precision,
+      |  round(CAST(sum(inter) AS DOUBLE) / sum(lsz), 6) AS micro_recall,
+      |  round(2.0 * sum(inter) / (sum(lsz) + sum(psz)), 6) AS micro_f1
+      |FROM d""".stripMargin) { (s, dir) =>
+    val per = Tables.lineitem(s, dir).groupBy("l_orderkey").agg(
+      max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("la"),
+      max(when(col("l_returnflag") === "N", 1).otherwise(0)).as("ln"),
+      max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("lr"),
+      max(when(col("l_quantity") > 25, 1).otherwise(0)).as("pa"),
+      max(when(col("l_tax") < 0.04, 1).otherwise(0)).as("pn"),
+      max(when(col("l_discount") > 0.05, 1).otherwise(0)).as("pr"))
+    multilabelMetrics(per)
+  }
+
+  /** The multilabel metric aggregate over a frame of six 0/1 columns
+    * (la/ln/lr actual, pa/pn/pr predicted) — reference formulas; micro
+    * F1 = 2·Σtp/(2·Σtp + Σfp + Σfn) simplifies to 2·Σ|∩|/(Σ|L| + Σ|P|). */
+  def multilabelMetrics(per: DataFrame): DataFrame = {
+    val d = per.select(col("la"), col("ln"), col("lr"),
+      col("pa"), col("pn"), col("pr"),
+      (col("la") * col("pa") + col("ln") * col("pn") + col("lr") * col("pr"))
+        .as("inter"),
+      (col("la") + col("ln") + col("lr")).as("lsz"),
+      (col("pa") + col("pn") + col("pr")).as("psz"))
+    val nLabels = d.agg((max(col("la")) + max(col("ln")) + max(col("lr")))
+      .cast("double")).head.getDouble(0)
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      lit(nLabels.toLong).as("n_labels"),
+      round(avg(when(col("lsz") === col("psz") &&
+        col("inter") === col("lsz"), 1.0).otherwise(0.0)), 6).as("subset_accuracy"),
+      round(avg(col("inter").cast("double") /
+        (col("lsz") + col("psz") - col("inter"))), 6).as("accuracy"),
+      round(sum((col("lsz") + col("psz") - lit(2) * col("inter")).cast("double")) /
+        (count(lit(1)) * nLabels), 6).as("hamming_loss"),
+      round(avg(when(col("psz") > 0,
+        col("inter").cast("double") / col("psz")).otherwise(0.0)), 6)
+        .as("doc_precision"),
+      round(avg(col("inter").cast("double") / col("lsz")), 6).as("doc_recall"),
+      round(avg(lit(2.0) * col("inter") / (col("psz") + col("lsz"))), 6).as("doc_f1"),
+      round(sum(col("inter")).cast("double") / sum(col("psz")), 6)
+        .as("micro_precision"),
+      round(sum(col("inter")).cast("double") / sum(col("lsz")), 6)
+        .as("micro_recall"),
+      round(lit(2.0) * sum(col("inter")) / (sum(col("lsz")) + sum(col("psz"))), 6)
+        .as("micro_f1"))
+  }
+
+  val all: Seq[Q] = Seq(ev01, ev02, ev03, ev04, ev05)
 }

@@ -104,6 +104,27 @@ class EvaluationSpec extends SparkTestBase {
     assert(out.getAs[Double]("ndcg_at_10") == r6(ndcg1 / 2))
   }
 
+  test("ev05 multilabel: hand-computed suite incl. an empty prediction set") {
+    import TestSpark.spark.implicits._
+    // doc1 L={A} P={A}; doc2 L={A,N} P={N,R}; doc3 L={R} P=∅
+    val per = Seq(
+      (1, 0, 0, 1, 0, 0),
+      (1, 1, 0, 0, 1, 1),
+      (0, 0, 1, 0, 0, 0))
+      .toDF("la", "ln", "lr", "pa", "pn", "pr")
+    val m = Evaluation.multilabelMetrics(per).head
+    assert(m.getAs[Long]("n_docs") == 3L && m.getAs[Long]("n_labels") == 3L)
+    assert(m.getAs[Double]("subset_accuracy") == 0.333333)
+    assert(m.getAs[Double]("accuracy") == 0.444444)
+    assert(m.getAs[Double]("hamming_loss") == 0.333333)
+    assert(m.getAs[Double]("doc_precision") == 0.5)
+    assert(m.getAs[Double]("doc_recall") == 0.5)
+    assert(m.getAs[Double]("doc_f1") == 0.5)
+    assert(m.getAs[Double]("micro_precision") == 0.666667)
+    assert(m.getAs[Double]("micro_recall") == 0.5)
+    assert(m.getAs[Double]("micro_f1") == 0.571429)
+  }
+
   test("ev01/ev02/ev04 registered entries run with sane shapes") {
     val b = Evaluation.ev01.run(spark, sfDir).head
     assert(b.getAs[Long]("n_pos") > 0 && b.getAs[Long]("n_neg") > 0)
