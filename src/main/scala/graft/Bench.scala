@@ -172,6 +172,10 @@ object Bench {
       }
     }
     emit()
+    // a -1 median means a registered query never ran (crash, not slow) —
+    // exit nonzero so the round record can't show rc:0 over missing data
+    val anyUnmeasured = results().exists(_._2 < 0)
     spark.stop()
+    if (anyUnmeasured) sys.exit(2)
   }
 }

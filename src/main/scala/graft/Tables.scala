@@ -24,16 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads as
-    * long via the legacy conf; convert to microsecond TimestampType with
-    * floor division — the same truncation DuckDB applies reading nanos. */
+  /** events.parquet has shipped `ts` in two physical encodings across
+    * corpus generations: TIMESTAMP(NANOS) (readable only as long via the
+    * legacy conf) and native TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ or
+    * TIMESTAMP depending on isAdjustedToUTC). Branch on the loaded dataType
+    * so either corpus works; the UTC session timeZone makes the NTZ→TZ cast
+    * lossless and keeps window/oracle semantics identical. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // set-if-unset: repeated conf mutation invalidates cached session
-    // state on every call
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // set-if-unset (repeated conf mutation invalidates cached session
+    // state); only affects NANOS columns, so harmless on a µs corpus
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: floor-divide, same truncation DuckDB applies
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

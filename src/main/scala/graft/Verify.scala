@@ -19,13 +19,24 @@ object Verify {
     // sets it, so official runs always dump the full registry
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Crashed queries must stay VISIBLE in the artifacts: a query that
+    // throws writes a `<name>/_ERROR` sentinel (so the driver's parquet
+    // read of that dir fails loudly instead of the entry silently
+    // vanishing from the correctness record) and is collected into a
+    // top-level `_errors.json` for human diagnosis.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val ej = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), ej)
+    }
     spark.stop()
+    // nonzero exit makes a crashed registry impossible to mistake for a
+    // clean dump (the sentinel files above carry the per-query details)
+    if (failed.nonEmpty) sys.exit(2)
   }
 }
