@@ -34,7 +34,11 @@ object PCA {
     * (i, j, cov), 1-based dims, i ≤ j, sample normalization (n−1).
     * Means are rounded (6 dp) BEFORE centering on both engines (d12's
     * aggregate-rounding rule) so the per-row arithmetic is identical
-    * IEEE ops on identical constants. */
+    * IEEE ops on identical constants, and each centered product is
+    * accumulated in EXACT decimal (rg01's rule): decimal sums are
+    * order-independent, so the aggregate is bit-identical across
+    * engines, partition layouts, and core counts — no float
+    * sum-order surface left for a hash compare to trip on. */
   def covarianceUpper(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding"))
     val dim = base.select(size(col("embedding"))).head.getInt(0)
@@ -46,6 +50,10 @@ object PCA {
       .orderBy("p").collect().map(_.getDouble(1)).toSeq
     val cx = zip_with(col("embedding"), typedlit(mus),
       (xv, m) => xv.cast("double") - m)
+    // decimal(18,12) keeps 12 fractional digits of each centered value
+    // (float inputs carry ~7 significant digits, so nothing real is
+    // lost) and bounds the exact product/sum at decimal(38,24) —
+    // 14 integer digits, room for ~10^12 rows of O(100) products
     base.select(cx.as("cx"))
       .select(col("cx"), posexplode(col("cx")).as(Seq("pi", "cxi")))
       .select(col("pi"), col("cxi"),
@@ -53,7 +61,9 @@ object PCA {
       .groupBy(
         (col("pi") + 1).cast("long").as("i"),
         (col("pi") + col("pj") + 1).cast("long").as("j"))
-      .agg(round(sum(col("cxi") * col("cxj")) / (count(lit(1)) - 1), 6).as("cov"))
+      .agg(round(
+        sum(col("cxi").cast("decimal(18,12)") * col("cxj").cast("decimal(18,12)"))
+          .cast("double") / (count(lit(1)) - 1), 6).as("cov"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
@@ -223,10 +233,10 @@ object PCA {
       |  SELECT e.vec_id, i AS dim_idx, CAST(e.embedding[i] AS DOUBLE) AS x
       |  FROM embeddings e, unnest(range(1, 65)) t(i)),
       |m AS (SELECT dim_idx, round(avg(x), 6) AS mu FROM x GROUP BY dim_idx),
-      |c AS (SELECT x.vec_id, x.dim_idx, x.x - m.mu AS cx
+      |c AS (SELECT x.vec_id, x.dim_idx, CAST(x.x - m.mu AS DECIMAL(18,12)) AS cx
       |      FROM x JOIN m ON x.dim_idx = m.dim_idx)
       |SELECT a.dim_idx AS i, b.dim_idx AS j,
-      |  round(sum(a.cx * b.cx) / (count(*) - 1), 6) AS cov
+      |  round(CAST(sum(a.cx * b.cx) AS DOUBLE) / (count(*) - 1), 6) AS cov
       |FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.dim_idx >= a.dim_idx
       |GROUP BY 1, 2
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
