@@ -352,10 +352,18 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
-  /** HLL approx_count_distinct — the scale path of q24. Sketch impls
-    * differ across engines, so this is a rows-only check; the ScalaTest
-    * spec bounds the relative error against the exact count instead. */
-  val q30 = Q.rowsOnly("q30_approx_distinct") { (s, dir) =>
+  /** HLL approx_count_distinct — the scale path of q24. Sketch VALUES
+    * differ across engines, so the raw estimate can't be hash-compared;
+    * instead the entry emits the exact count plus the HLL error-bound
+    * CLAIM (|approx−exact|/exact ≤ 5% at rsd 2%) evaluated in-plan, and
+    * the oracle asserts that claim as a literal TRUE — a sketch that
+    * drifts out of bound flips the flag and fails the hash. The
+    * ScalaTest spec additionally bounds the raw relative error. */
+  val q30 = Q.sql(
+    "q30_approx_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_ord,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     // approx and exact run as separate aggregations then join: mixing a
     // distinct and a non-distinct aggregate in one agg forces an Expand
     // (row duplication) that multiplies the HLL update cost
@@ -364,7 +372,11 @@ object Analytics {
       .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_ord"))
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct("l_orderkey").as("exact_ord"))
-    approx.join(exact, "l_returnflag").orderBy("l_returnflag")
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_ord"),
+        (abs(col("approx_ord") - col("exact_ord")) <=
+          col("exact_ord") * 0.05).as("within_bound"))
+      .orderBy("l_returnflag")
   }
 
   /** GROUPING SETS — the explicit-set surface distinct from q15's ROLLUP

@@ -214,14 +214,39 @@ object PCA {
       .orderBy("vec_id")
   }
 
-  /** Top-8 PCA projection of the embeddings table. Rows-only (the
-    * eigen-solve is not SQL-expressible); PCASpec recovers planted
-    * low-rank structure, checks orthogonality + descending component
-    * variance, and pins determinism. The covariance input to the
-    * eigen-solve is itself fully oracled as d14_covariance. */
-  val d13 = Q.rowsOnly("d13_pca") { (s, dir) =>
-    pcaProject(Tables.embeddings(s, dir), m = 8)
-      .orderBy("vec_id")
+  /** PCA variance accounting with a FULL value oracle: project onto all
+    * 64 components and compare the projected total variance against the
+    * input trace — an orthogonal rotation preserves total variance, so
+    * the invariant checks the whole pipeline (means, covariance,
+    * eigen-solve orthogonality, float_dot projection) against a value
+    * DuckDB computes from the raw table alone. Per-row top-m projections
+    * (the production surface) remain spec'd in PCASpec, which recovers
+    * planted low-rank structure and pins determinism; the covariance
+    * input to the eigen-solve is itself fully oracled as d14. */
+  val d13 = Q.sql(
+    "d13_pca",
+    """WITH x AS (
+      |  SELECT CAST(e.embedding[i] AS DOUBLE) AS x, i AS dim_idx
+      |  FROM embeddings e, unnest(range(1, 65)) t(i)),
+      |v AS (SELECT sum(vv) AS tot FROM (
+      |  SELECT var_samp(x) AS vv FROM x GROUP BY dim_idx))
+      |SELECT CAST(64 AS BIGINT) AS dims,
+      |  round(tot, 2) AS total_var_input,
+      |  round(tot, 2) AS total_var_projected
+      |FROM v""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val proj = pcaProject(emb, m = dim)
+    val totProj = proj
+      .agg((0 until dim).map(k => var_samp(col(s"pc$k"))).reduce(_ + _).as("tp"))
+    val totIn = emb
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("p").agg(var_samp(col("x").cast("double")).as("vv"))
+      .agg(sum(col("vv")).as("ti"))
+    totProj.crossJoin(totIn).select(
+      lit(dim.toLong).as("dims"),
+      round(col("ti"), 2).as("total_var_input"),
+      round(col("tp"), 2).as("total_var_projected"))
   }
 
   /** The centered sample covariance matrix (upper triangle) — the

@@ -36,10 +36,10 @@ class AnalyticsSpec extends SparkTestBase {
   }
 
   test("q30 HLL approx distinct within 5% of exact") {
-    Analytics.q30.run(spark, sfDir).collect().foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.05, s"HLL err too big: $approx vs $exact")
+    val rows = Analytics.q30.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"HLL err out of bound for ${r.getString(0)}")
     }
   }
 
