@@ -50,10 +50,15 @@ object PCA {
       .orderBy("p").collect().map(_.getDouble(1)).toSeq
     val cx = zip_with(col("embedding"), typedlit(mus),
       (xv, m) => xv.cast("double") - m)
-    // decimal(18,12) keeps 12 fractional digits of each centered value
-    // (float inputs carry ~7 significant digits, so nothing real is
-    // lost) and bounds the exact product/sum at decimal(38,24) —
-    // 14 integer digits, room for ~10^12 rows of O(100) products
+    // The per-row product stays a DOUBLE multiply (one IEEE op on
+    // identical inputs is bit-identical on any engine); only the
+    // PRODUCT is cast to decimal(18,12) for the sum. This keeps the
+    // order-independence (decimal addition is exact) while avoiding
+    // BigDecimal multiplies in the 66M-element hot loop, and
+    // decimal(18,12) stays in Spark's compact-long representation.
+    // 12 fractional digits lose nothing real (float inputs carry ~7
+    // significant digits); sum precision 38 leaves 26 integer digits —
+    // room for ~10^12 rows of O(100) products.
     base.select(cx.as("cx"))
       .select(col("cx"), posexplode(col("cx")).as(Seq("pi", "cxi")))
       .select(col("pi"), col("cxi"),
@@ -62,7 +67,7 @@ object PCA {
         (col("pi") + 1).cast("long").as("i"),
         (col("pi") + col("pj") + 1).cast("long").as("j"))
       .agg(round(
-        sum(col("cxi").cast("decimal(18,12)") * col("cxj").cast("decimal(18,12)"))
+        sum((col("cxi") * col("cxj")).cast("decimal(18,12)"))
           .cast("double") / (count(lit(1)) - 1), 6).as("cov"))
   }
 
@@ -258,10 +263,11 @@ object PCA {
       |  SELECT e.vec_id, i AS dim_idx, CAST(e.embedding[i] AS DOUBLE) AS x
       |  FROM embeddings e, unnest(range(1, 65)) t(i)),
       |m AS (SELECT dim_idx, round(avg(x), 6) AS mu FROM x GROUP BY dim_idx),
-      |c AS (SELECT x.vec_id, x.dim_idx, CAST(x.x - m.mu AS DECIMAL(18,12)) AS cx
+      |c AS (SELECT x.vec_id, x.dim_idx, x.x - m.mu AS cx
       |      FROM x JOIN m ON x.dim_idx = m.dim_idx)
       |SELECT a.dim_idx AS i, b.dim_idx AS j,
-      |  round(CAST(sum(a.cx * b.cx) AS DOUBLE) / (count(*) - 1), 6) AS cov
+      |  round(CAST(sum(CAST(a.cx * b.cx AS DECIMAL(18,12))) AS DOUBLE)
+      |        / (count(*) - 1), 6) AS cov
       |FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.dim_idx >= a.dim_idx
       |GROUP BY 1, 2
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
