@@ -258,15 +258,33 @@ object Analytics {
   /** Approximate percentiles — the scale path of q25: exact `percentile`
     * buffers every group value (fine for bounded groups, unbounded memory
     * on a 100 TB fact table); approx_percentile keeps a fixed-size
-    * sketch per group regardless of row count. Rows-only (sketch results
-    * are engine-specific); AnalyticsSpec bounds the error against the
-    * exact q25 values. */
-  val q41 = Q.rowsOnly("q41_approx_percentiles") { (s, dir) =>
+    * sketch per group regardless of row count. Sketch VALUES are
+    * engine-specific, so (q30's pattern) the entry emits the exact
+    * percentiles plus in-plan 3%-error-bound flags for the sketch, and
+    * the oracle asserts the bound claims as literal TRUE — the exact
+    * side exists only to score the sketch; the approx path is the
+    * production surface. AnalyticsSpec additionally bounds raw error. */
+  val q41 = Q.sql(
+    "q41_approx_percentiles",
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+      |  TRUE AS median_in_bound, TRUE AS p90_in_bound
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
       .groupBy("o_orderpriority")
       .agg(
-        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("median_price"),
-        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_price"))
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("am"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a9"))
+      .select(col("o_orderpriority"), col("median_price"), col("p90_price"),
+        (abs(col("am") - col("median_price")) <= col("median_price") * 0.03)
+          .as("median_in_bound"),
+        (abs(col("a9") - col("p90_price")) <= col("p90_price") * 0.03)
+          .as("p90_in_bound"))
       .orderBy("o_orderpriority")
   }
 

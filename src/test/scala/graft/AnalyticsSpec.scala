@@ -47,15 +47,18 @@ class AnalyticsSpec extends SparkTestBase {
     // approx_percentile returns an actual element; exact `percentile`
     // interpolates between elements — at sf0.001 group sizes (~300 rows)
     // adjacent elements near the median already differ by ~1%, so the
-    // bound covers discretization, not just sketch error
+    // bound covers discretization, not just sketch error. The in-plan
+    // flags carry the bound claim; the exact columns must match q25.
     val exact = Analytics.q25.run(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = Analytics.q41.run(spark, sfDir).collect()
-    assert(approx.length == exact.size)
-    approx.foreach { r =>
+    val got = Analytics.q41.run(spark, sfDir).collect()
+    assert(got.length == exact.size)
+    got.foreach { r =>
       val (m, p90) = exact(r.getString(0))
-      assert(math.abs(r.getDouble(1) - m) / m < 0.03, s"median off: ${r.getDouble(1)} vs $m")
-      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.03, s"p90 off: ${r.getDouble(2)} vs $p90")
+      assert(r.getDouble(1) == m && r.getDouble(2) == p90,
+        s"exact columns diverged from q25 for ${r.getString(0)}")
+      assert(r.getBoolean(3), s"median sketch out of bound for ${r.getString(0)}")
+      assert(r.getBoolean(4), s"p90 sketch out of bound for ${r.getString(0)}")
     }
   }
 
