@@ -51,8 +51,31 @@ object Multimodal {
   }
 
   /** documents.text encoded to UTF-8 bytes plays the role of the media
-    * payload; metadata (mime, byte length) rides beside it. */
-  val mm01 = Q.rowsOnly("mm01_binary_meta") { (s, dir) =>
+    * payload; metadata (mime, byte length) rides beside it. FULL value
+    * oracle: the stub's byte-bucket math is exact integer arithmetic in
+    * float (bucket sums ≪ 2²⁴), the mean is one native float division
+    * (DuckDB REAL/REAL is single-precision — verified bit-identical),
+    * and the norm is a double fold — so DuckDB replays decode end-to-end
+    * from the characters (the corpus text is pure ASCII, pinned by
+    * TestDataSpec, so bytes ≡ char codes). */
+  val mm01 = Q.sql(
+    "mm01_binary_meta",
+    """WITH b AS (
+      |  SELECT doc_id, (i-1)%8 AS bucket,
+      |    ord(substring(text, CAST(i AS INT), 1)) AS bv
+      |  FROM documents, unnest(range(1, length(text)+1)) t(i)),
+      |m AS (
+      |  SELECT doc_id, bucket,
+      |    CAST(CAST(sum(bv) AS REAL)/CAST(count(*) AS REAL) AS REAL) AS mean
+      |  FROM b GROUP BY doc_id, bucket),
+      |n AS (
+      |  SELECT doc_id, sqrt(sum(CAST(mean AS DOUBLE)*CAST(mean AS DOUBLE))) AS norm
+      |  FROM m GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+      |  CAST(8 AS INT) AS feat_dim,
+      |  round(coalesce(n.norm, 0.0), 6) AS feat_norm
+      |FROM documents d LEFT JOIN n USING(doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     implicit val enc = Encoders.product[MediaRecord]
     val media = Tables.documents(s, dir)
       .select(
