@@ -93,11 +93,50 @@ object Graphs {
     labels
   }
 
+  /** The 5 synchronous LPA rounds of [[lp01]] unrolled as chained CTEs:
+    * each round is one edge⋈labels join, a (id,label) vote count, and
+    * the deterministic argmax (max count, ties to smallest label) —
+    * pure integer arithmetic, so DuckDB replays the whole fixed-round
+    * iteration exactly over the same d02 pair graph (d07's oracle CTE
+    * prefix). */
+  private val lp01OracleSql: String = {
+    val prefix =
+      s"""WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+        |grams0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |          FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)),
+        |grams AS (SELECT doc_id, g FROM grams0
+        |          QUALIFY count(*) OVER (PARTITION BY g) <= ${Similarity.d02DfCap}),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY d1, d2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN sizes s1 ON s1.doc_id = d1
+        |          JOIN sizes s2 ON s2.doc_id = d2
+        |          WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      val p = i - 1
+      s""",
+        |v$i AS (SELECT e.b AS id, l.label, count(*) AS n
+        |        FROM edges e JOIN l$p l ON l.id = e.a GROUP BY e.b, l.label),
+        |b$i AS (SELECT id, min(label) AS label FROM (
+        |          SELECT id, label, n, max(n) OVER (PARTITION BY id) AS mx FROM v$i) t
+        |        WHERE n = mx GROUP BY id),
+        |l$i AS (SELECT d.doc_id AS id, coalesce(b$i.label, d.doc_id) AS label
+        |        FROM documents d LEFT JOIN b$i ON b$i.id = d.doc_id)""".stripMargin
+    }.mkString
+    prefix + rounds +
+      "\nSELECT id AS doc_id, label AS community FROM l5 ORDER BY doc_id"
+  }
+
   /** Community labels over the d02 near-dup pair graph (the shared
-    * persisted candidate stage). Rows-only — the iteration is not
-    * SQL-expressible; GraphsSpec asserts community recovery on a planted
-    * barbell graph. */
-  val lp01 = Q.rowsOnly("lp01_label_propagation") { (s, dir) =>
+    * persisted candidate stage). FULL value oracle: the fixed-round
+    * synchronous iteration with deterministic tie-breaks is integer
+    * arithmetic end-to-end, so [[lp01OracleSql]] unrolls it in SQL.
+    * GraphsSpec asserts community recovery on a planted barbell graph. */
+  val lp01 = Q.sql("lp01_label_propagation", lp01OracleSql) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val pairs = Similarity
       .jaccardPairsShared(docs, dir, dfCap = Similarity.d02DfCap, minJaccard = 0.5)
