@@ -62,20 +62,34 @@ object ScaleGen {
     embUp.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     // one shared order-key offset keeps orders⋈lineitem joinable per
-    // replica (orders' key space is the superset)
+    // replica (orders' key space is the superset); ONE shared customer
+    // offset spans orders.o_custkey, events.user_id AND customer.c_custkey
+    // so both the orders⋈customer and events⋈customer join RATES stay
+    // constant per replica (customer is replicated below with the same
+    // offset)
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val evSrc = spark.read.parquet(s"$src/events.parquet")
     val maxOrd = math.max(
       ord.agg(max("o_orderkey")).head.getLong(0),
       li.agg(max("l_orderkey")).head.getLong(0)) + 1
-    val maxCust = ord.agg(max("o_custkey")).head.getLong(0) + 1
+    val custOff = Seq(
+      ord.agg(max("o_custkey")).head.getLong(0),
+      cust.agg(max("c_custkey")).head.getLong(0),
+      evSrc.agg(max("user_id")).head.getLong(0)).max + 1
     val ordUp = (0 until factor).map { k =>
       val rest = ord.columns.filter(c => c != "o_orderkey" && c != "o_custkey").map(col)
       ord.select(
         (Seq((col("o_orderkey") + k * maxOrd).as("o_orderkey"),
-          (col("o_custkey") + k * maxCust).as("o_custkey")) ++ rest): _*)
+          (col("o_custkey") + k * custOff).as("o_custkey")) ++ rest): _*)
     }.reduce(_ unionByName _)
     ordUp.write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    val custUp = (0 until factor).map { k =>
+      val rest = cust.columns.filter(_ != "c_custkey").map(col)
+      cust.select((Seq((col("c_custkey") + k * custOff).as("c_custkey")) ++ rest): _*)
+    }.reduce(_ unionByName _)
+    custUp.write.mode("overwrite").parquet(s"$dst/customer.parquet")
     val maxPart = {
       val m = li.agg(max("l_partkey")).head.getLong(0) + 1
       (m + 7) / 8 * 8 // multiple of 8: replicas keep their %8 classes
@@ -87,6 +101,37 @@ object ScaleGen {
           (col("l_partkey") + k * maxPart).as("l_partkey")) ++ rest): _*)
     }.reduce(_ unionByName _)
     liUp.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // events: scale by EXTENDING THE TIMELINE — each replica shifts ts by
+    // a whole-day-aligned span and offsets user/event ids, so per-window
+    // density, per-user session shapes and as-of adjacency stay exactly
+    // as in the source while window count and user count grow ×factor
+    // (the way a real event stream grows). Day alignment keeps every
+    // hour/minute-granular window boundary congruent across replicas.
+    val ev = evSrc
+    val span = ev.agg(
+      (ceil((unix_timestamp(max("ts")) - unix_timestamp(min("ts"))) / 86400.0)
+        .cast("long") + 1) * 86400L).head.getLong(0)
+    val maxEvt = ev.agg(max("event_id")).head.getLong(0) + 1
+    val evUp = (0 until factor).map { k =>
+      val rest = ev.columns
+        .filter(c => c != "event_id" && c != "user_id" && c != "ts").map(col)
+      ev.select(
+        (Seq((col("event_id") + k * maxEvt).as("event_id"),
+          // interval add preserves sub-second precision (dedup/as-of
+          // semantics key on exact microsecond timestamps)
+          expr(s"timestampadd(SECOND, ${k * span}, ts)").as("ts"),
+          (col("user_id") + k * custOff).as("user_id")) ++ rest): _*)
+        .select(ev.columns.map(col): _*) // original column order
+    }.reduce(_ unionByName _)
+    evUp.write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // remaining small dims pass through unchanged (they broadcast;
+    // scaling them would change join semantics, not engine load)
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
 
     println(s"""{"scaled": "$src -> $dst", "factor": $factor}""")
     spark.stop()
