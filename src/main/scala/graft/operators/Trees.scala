@@ -381,6 +381,99 @@ object Trees {
     best.getField("cls")
   }
 
+  /** The whole depth-3 Gini induction of [[dt01]] replayed in SQL: the
+    * same fixed-width bins from one global min/max, then per level the
+    * (node, feature, bin, label) count cube, threshold prefix sums,
+    * Gini gains in the fixed A/N/R operation order, the 1e-12-epsilon
+    * argmax with (feature, threshold) tie-break, and the when-chain
+    * routing — three unrolled levels, then weighted-majority leaves.
+    * Gains are arithmetic on integer counts, so distinct split
+    * configurations sit ≫1e-12 apart and the epsilon rule picks the
+    * identical split on both engines. */
+  private val dt01OracleSql: String = {
+    val prefix =
+      """WITH raw AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS x0, CAST(l_discount AS DOUBLE) AS x1,
+        |         CAST(l_tax AS DOUBLE) AS x2, CAST(year(l_shipdate) AS DOUBLE) AS x3,
+        |         l_returnflag AS label
+        |  FROM lineitem),
+        |mm AS (
+        |  SELECT min(x0) AS lo0, max(x0) AS hi0, min(x1) AS lo1, max(x1) AS hi1,
+        |         min(x2) AS lo2, max(x2) AS hi2, min(x3) AS lo3, max(x3) AS hi3
+        |  FROM raw),
+        |routed0 AS (
+        |  SELECT
+        |    CASE WHEN hi0=lo0 THEN 0 ELSE least(CAST(floor((x0-lo0)/((hi0-lo0)/32)) AS INT), 31) END AS b0,
+        |    CASE WHEN hi1=lo1 THEN 0 ELSE least(CAST(floor((x1-lo1)/((hi1-lo1)/32)) AS INT), 31) END AS b1,
+        |    CASE WHEN hi2=lo2 THEN 0 ELSE least(CAST(floor((x2-lo2)/((hi2-lo2)/32)) AS INT), 31) END AS b2,
+        |    CASE WHEN hi3=lo3 THEN 0 ELSE least(CAST(floor((x3-lo3)/((hi3-lo3)/32)) AS INT), 31) END AS b3,
+        |    label, 0 AS node
+        |  FROM raw, mm)""".stripMargin
+    val levels = (1 to 3).map { i =>
+      val src = s"routed${i - 1}"
+      s""",
+        |cells$i AS (
+        |  SELECT node, f, bin, label, count(*) AS c FROM (
+        |    SELECT node, 0 AS f, b0 AS bin, label FROM $src
+        |    UNION ALL SELECT node, 1, b1, label FROM $src
+        |    UNION ALL SELECT node, 2, b2, label FROM $src
+        |    UNION ALL SELECT node, 3, b3, label FROM $src)
+        |  GROUP BY node, f, bin, label),
+        |tot$i AS (
+        |  SELECT node,
+        |    sum(CASE WHEN label='A' THEN c ELSE 0 END) AS tA,
+        |    sum(CASE WHEN label='N' THEN c ELSE 0 END) AS tN,
+        |    sum(CASE WHEN label='R' THEN c ELSE 0 END) AS tR
+        |  FROM cells$i WHERE f = 0 GROUP BY node),
+        |lefts$i AS (
+        |  SELECT c.node, c.f, t.t AS t,
+        |    sum(CASE WHEN c.label='A' THEN c.c ELSE 0 END) AS lA,
+        |    sum(CASE WHEN c.label='N' THEN c.c ELSE 0 END) AS lN,
+        |    sum(CASE WHEN c.label='R' THEN c.c ELSE 0 END) AS lR
+        |  FROM cells$i c JOIN range(0, 31) t(t) ON c.bin <= t.t
+        |  GROUP BY c.node, c.f, t.t),
+        |gains$i AS (
+        |  SELECT l.node, l.f, l.t,
+        |    (1.0 - (pow(tA/(tA+tN+tR),2) + pow(tN/(tA+tN+tR),2) + pow(tR/(tA+tN+tR),2)))
+        |    - ((lA+lN+lR)*1.0/(tA+tN+tR)) *
+        |      (1.0 - (pow(lA/(lA+lN+lR),2) + pow(lN/(lA+lN+lR),2) + pow(lR/(lA+lN+lR),2)))
+        |    - ((tA+tN+tR-lA-lN-lR)*1.0/(tA+tN+tR)) *
+        |      (1.0 - (pow((tA-lA)/(tA+tN+tR-lA-lN-lR),2)
+        |            + pow((tN-lN)/(tA+tN+tR-lA-lN-lR),2)
+        |            + pow((tR-lR)/(tA+tN+tR-lA-lN-lR),2))) AS g
+        |  FROM lefts$i l JOIN tot$i USING (node)
+        |  WHERE (lA+lN+lR) > 0 AND (lA+lN+lR) < (tA+tN+tR)),
+        |best$i AS (
+        |  SELECT node, f, t FROM (
+        |    SELECT node, f, t, g, max(g) OVER (PARTITION BY node) AS mg
+        |    FROM gains$i WHERE g > 1e-12) q
+        |  WHERE g >= mg - 1e-12
+        |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY f, t) = 1),
+        |routed$i AS (
+        |  SELECT r.b0, r.b1, r.b2, r.b3, r.label,
+        |    CASE WHEN b.node IS NULL THEN r.node
+        |         ELSE r.node*2 + 1 + CASE WHEN (CASE b.f WHEN 0 THEN r.b0 WHEN 1 THEN r.b1
+        |                                        WHEN 2 THEN r.b2 ELSE r.b3 END) > b.t
+        |                             THEN 1 ELSE 0 END
+        |    END AS node
+        |  FROM $src r LEFT JOIN best$i b ON r.node = b.node)""".stripMargin
+    }.mkString
+    prefix + levels +
+      """,
+        |leafc AS (
+        |  SELECT node AS leaf, label, count(*) AS c FROM routed3 GROUP BY node, label),
+        |pred AS (
+        |  SELECT leaf, label AS pred FROM (
+        |    SELECT leaf, label, c,
+        |      row_number() OVER (PARTITION BY leaf ORDER BY c DESC, label) AS rn
+        |    FROM leafc) q WHERE rn = 1)
+        |SELECT l.leaf, p.pred, CAST(sum(l.c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l.label = p.pred THEN l.c ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM leafc l JOIN pred p USING (leaf)
+        |GROUP BY l.leaf, p.pred
+        |ORDER BY l.leaf""".stripMargin
+  }
+
   /** Registered pass: depth-3 Gini tree predicting `l_returnflag` from
     * (quantity, discount, tax, ship year). Output is the bounded
     * per-leaf summary (leaf, rows, predicted class, correct rows);
@@ -388,9 +481,10 @@ object Trees {
     * training-accuracy ≥ majority-class invariant (which holds by
     * construction for majority-vote leaves; the synthetic returnflag is
     * uniform noise, so accuracy sits AT the majority floor).
-    * Rows-only: histogram split selection is driver arithmetic, not
-    * SQL. */
-  val dt01 = Q.rowsOnly("dt01_decision_tree") { (s, dir) =>
+    * FULL value oracle: [[dt01OracleSql]] replays the whole induction —
+    * binning, level-order Gini split selection, routing, majority
+    * leaves — in DuckDB. */
+  val dt01 = Q.sql("dt01_decision_tree", dt01OracleSql) { (s, dir) =>
     import s.implicits._
     val li = Tables.lineitem(s, dir)
     val (assigned, model) = train(
