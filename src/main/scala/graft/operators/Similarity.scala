@@ -74,7 +74,7 @@ object Similarity {
     * path doesn't resolve — callers must then BYPASS the cache (compute
     * unpersisted) rather than alias distinct corpora onto a shared
     * sentinel slot, where one could evict or poison the other. */
-  private def corpusVersion(spark: SparkSession, dir: String): Option[Long] = {
+  private[operators] def corpusVersion(spark: SparkSession, dir: String): Option[Long] = {
     try {
       val path = new org.apache.hadoop.fs.Path(dir)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
