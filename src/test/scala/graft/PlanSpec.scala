@@ -37,6 +37,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("q41 scores the sketch against exact percentiles in ONE scan") {
+    // exact percentile + approx_percentile share a single ObjectHashAgg
+    // pass — the entry must not pay two scans of the fact table for the
+    // bound flags
+    val p = plan(Analytics.q41.run(spark, sfDir))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"q41 scans orders $scans times:\n$p")
+  }
+
   test("q06 global agg reads only the four needed columns") {
     val p = plan(Relational.q06.run(spark, sfDir))
     assert(!p.contains("l_orderkey") && !p.contains("l_tax"),
