@@ -36,10 +36,18 @@ object PCA {
     * or unpersist lifecycle). d13 and d14 both need the exact same
     * centered covariance; in one session (Verify, Bench, a real PCA
     * pipeline) it computes once. Keys carry the corpus snapshot version
-    * (file listing hash); an unversionable corpus bypasses the cache. */
-  private final case class CovKey(session: Int, corpus: String, version: Long)
+    * (file listing hash); an unversionable corpus bypasses the cache.
+    * The outer map is WEAK on the session OBJECT: entries die with their
+    * session (no unbounded growth across sessions in a long-lived
+    * process) and two live sessions can never alias — an
+    * identityHashCode-keyed map could collide. NOTE for bench readers:
+    * because of this stage, d13/d14 medians are WARM shared-stage
+    * numbers — the first consumer in a session pays the distributed
+    * pass (~6.5 s at sf0.1), later samples read the cached 2080-row
+    * driver artifact. */
   private val covCache =
-    new java.util.concurrent.ConcurrentHashMap[CovKey, (Seq[Double], Array[(Long, Long, Double)])]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[(String, Long), (Seq[Double], Array[(Long, Long, Double)])]]()
 
   private def covarianceData(emb: DataFrame): (Seq[Double], Array[(Long, Long, Double)]) = {
     val mus = emb
@@ -57,16 +65,19 @@ object PCA {
     Similarity.corpusVersion(s, dir) match {
       case None => covarianceData(emb) // unversionable: recompute, never alias
       case Some(version) =>
-        val key = CovKey(System.identityHashCode(s), dir, version)
-        covCache.synchronized {
-          // drop superseded snapshots of the same (session, corpus)
-          val it = covCache.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getKey.copy(version = version) == key && e.getKey.version != version)
-              it.remove()
+        val perSession = covCache.synchronized {
+          var inner = covCache.get(s)
+          if (inner == null) {
+            inner = scala.collection.mutable.Map.empty
+            covCache.put(s, inner)
           }
-          covCache.computeIfAbsent(key, _ => covarianceData(emb))
+          inner
+        }
+        perSession.synchronized {
+          // drop superseded snapshots of the same corpus
+          perSession.keys.filter(k => k._1 == dir && k._2 != version)
+            .toList.foreach(perSession.remove)
+          perSession.getOrElseUpdate((dir, version), covarianceData(emb))
         }
     }
   }
@@ -107,9 +118,13 @@ object PCA {
       .groupBy(
         (col("pi") + 1).cast("long").as("i"),
         (col("pi") + col("pj") + 1).cast("long").as("j"))
-      .agg(round(
+      // + 0.0 normalizes signed zero: DuckDB's binary round keeps the
+      // sign of a tiny negative sum (-0.0) while Spark's decimal
+      // HALF_UP round emits +0.0 — numerically equal, hash-different.
+      // IEEE: -0.0 + 0.0 = +0.0; every other value is unchanged.
+      .agg((round(
         sum((col("cxi") * col("cxj")).cast("decimal(18,12)"))
-          .cast("double") / (count(lit(1)) - 1), 6).as("cov"))
+          .cast("double") / (count(lit(1)) - 1), 6) + lit(0.0d)).as("cov"))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
@@ -350,7 +365,7 @@ object PCA {
       |      FROM x JOIN m ON x.dim_idx = m.dim_idx)
       |SELECT a.dim_idx AS i, b.dim_idx AS j,
       |  round(CAST(sum(CAST(a.cx * b.cx AS DECIMAL(18,12))) AS DOUBLE)
-      |        / (count(*) - 1), 6) AS cov
+      |        / (count(*) - 1), 6) + 0.0 AS cov
       |FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.dim_idx >= a.dim_idx
       |GROUP BY 1, 2
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
