@@ -90,8 +90,17 @@ object ScaleGen {
       cust.select((Seq((col("c_custkey") + k * custOff).as("c_custkey")) ++ rest): _*)
     }.reduce(_ unionByName _)
     custUp.write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    // ONE shared part offset spans l_partkey AND p_partkey: part is
+    // replicated below with the same offset (mirroring custUp), so the
+    // lineitem⋈part join RATE stays constant per replica — without this,
+    // only replica 0 of lineitem would match any part row and the join
+    // rate would collapse to 1/factor (q11 anti join, q44 promo share),
+    // flattering scaling ratios for the wrong reason.
+    val part = spark.read.parquet(s"$src/part.parquet")
     val maxPart = {
-      val m = li.agg(max("l_partkey")).head.getLong(0) + 1
+      val m = math.max(
+        li.agg(max("l_partkey")).head.getLong(0),
+        part.agg(max("p_partkey")).head.getLong(0)) + 1
       (m + 7) / 8 * 8 // multiple of 8: replicas keep their %8 classes
     }
     val liUp = (0 until factor).map { k =>
@@ -101,6 +110,11 @@ object ScaleGen {
           (col("l_partkey") + k * maxPart).as("l_partkey")) ++ rest): _*)
     }.reduce(_ unionByName _)
     liUp.write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    val partUp = (0 until factor).map { k =>
+      val rest = part.columns.filter(_ != "p_partkey").map(col)
+      part.select((Seq((col("p_partkey") + k * maxPart).as("p_partkey")) ++ rest): _*)
+    }.reduce(_ unionByName _)
+    partUp.write.mode("overwrite").parquet(s"$dst/part.parquet")
 
     // events: scale by EXTENDING THE TIMELINE — each replica shifts ts by
     // a whole-day-aligned span and offsets user/event ids, so per-window
@@ -126,9 +140,10 @@ object ScaleGen {
     }.reduce(_ unionByName _)
     evUp.write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    // remaining small dims pass through unchanged (they broadcast;
-    // scaling them would change join semantics, not engine load)
-    Seq("region", "nation", "supplier", "part").foreach { t =>
+    // remaining small dims pass through unchanged — only the truly
+    // broadcast-static ones whose keys lineitem/orders don't offset
+    // (part is replicated above because l_partkey IS offset)
+    Seq("region", "nation", "supplier").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }

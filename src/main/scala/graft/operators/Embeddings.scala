@@ -114,12 +114,13 @@ object Embeddings {
     sel.map(centers).toArray
   }
 
-  /** Lloyd's spherical k-means: returns (vec_id, cluster).
-    * `parallelInit` seeds with [[kmeansParallelSeeds]] (the default);
-    * false keeps the first-k-vec_ids init (cheaper, but collapses when
-    * the smallest ids share one dense region). */
-  def kmeansAssign(
-      emb: DataFrame, k: Int, iters: Int, parallelInit: Boolean = true): DataFrame = {
+  /** Lloyd's spherical k-means: returns (final centroids, assignment
+    * (vec_id, cluster)). `parallelInit` seeds with
+    * [[kmeansParallelSeeds]] (the default); false keeps the
+    * first-k-vec_ids init (cheaper, but collapses when the smallest ids
+    * all share one dense region). */
+  def kmeansModel(emb: DataFrame, k: Int, iters: Int,
+                  parallelInit: Boolean = true): (Array[Array[Float]], DataFrame) = {
     require(k >= 2, "k-means needs k >= 2")
     val base = emb.select(col("vec_id"), col("embedding"))
     var centroids: Array[Array[Float]] =
@@ -140,14 +141,49 @@ object Embeddings {
       }
       centroids = next
     }
-    withCluster(base, centroids).select(col("vec_id"), col("cluster"))
+    (centroids, withCluster(base, centroids).select(col("vec_id"), col("cluster")))
   }
 
-  /** k=8 spherical k-means over the embeddings table. Rows-only (the
-    * iteration is not SQL-expressible); EmbeddingsSpec asserts planted
-    * clusters are recovered and runs are deterministic. */
-  val d08 = Q.rowsOnly("d08_kmeans") { (s, dir) =>
-    kmeansAssign(Tables.embeddings(s, dir), k = 8, iters = 10)
+  /** Lloyd's spherical k-means assignment: (vec_id, cluster). */
+  def kmeansAssign(
+      emb: DataFrame, k: Int, iters: Int, parallelInit: Boolean = true): DataFrame =
+    kmeansModel(emb, k, iters, parallelInit)._2
+
+  /** k=8 spherical k-means over the embeddings table.
+    *
+    * FULL oracle via the assignment-optimality claim (the q30/q41
+    * pattern): every vector's cluster must be the argmax of cosine
+    * similarity over the k EMITTED centroids. The flag is computed
+    * IN-PLAN by an INDEPENDENT formulation — HOF zip_with/aggregate
+    * cosine with double accumulation against the same centroid
+    * literals — so a bug in the native float_cosine codegen, the
+    * greatest-struct argmax, or the trainer's final assignment pass
+    * surfaces as a FALSE (1e-6 absorbs float-vs-double accumulation
+    * noise); DuckDB asserts the claim as literal TRUE per vec_id.
+    * Cluster recovery on planted data, determinism, and the assignment
+    * surface itself stay pinned in EmbeddingsSpec. */
+  val d08 = Q.sql(
+    "d08_kmeans",
+    """SELECT vec_id, TRUE AS assigned_argmax
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val (centroids, _) = kmeansModel(emb, k = 8, iters = 10)
+    def hofCos(c: Array[Float]): Column = {
+      val nc = math.sqrt(c.map(v => v.toDouble * v).sum)
+      val dot = aggregate(
+        zip_with(col("embedding"), typedlit(c.toSeq), (x, y) => (x * y).cast("double")),
+        lit(0.0d), _ + _)
+      val nx = sqrt(aggregate(
+        transform(col("embedding"), x => (x * x).cast("double")), lit(0.0d), _ + _))
+      when(nx === 0.0 || lit(nc) === 0.0, lit(0.0)).otherwise(dot / (nx * lit(nc)))
+    }
+    val sims = array(centroids.toIndexedSeq.map(hofCos): _*)
+    // same map stage the production assignment runs: argmax via the
+    // native float_cosine greatest-struct, certified against the HOF sims
+    withCluster(emb.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"),
+        (element_at(sims, col("cluster") + 1) >= array_max(sims) - lit(1e-6))
+          .as("assigned_argmax"))
       .orderBy("vec_id")
   }
 

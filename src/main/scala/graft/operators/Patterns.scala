@@ -106,10 +106,49 @@ object Patterns {
     * fraction) — CONSTANT in corpus size — instead of approaching the
     * whole item domain as an absolute threshold would at 100 TB; the
     * max(2, ·) floor keeps small-SF results identical to the absolute-2
-    * behavior the spec pins. Rows-only (the mining recursion is not
-    * SQL-expressible at unbounded size); PatternsSpec checks exact
-    * supports against a brute-force enumeration on planted baskets. */
-  val fp01 = Q.rowsOnly("fp01_freq_itemsets") { (s, dir) =>
+    * behavior the spec pins.
+    *
+    * FULL value oracle (r10): with `maxItems = 4` the registered output
+    * is exactly the frequent 2-/3-/4-itemsets, which DuckDB enumerates
+    * brute-force as ordered self-joins of the distinct (tid, item)
+    * pairs with HAVING count ≥ minSupport — exact supports for every
+    * itemset, same CSV serialization (any frequent 5-set's 4-subsets
+    * are frequent and already emitted, so the size cap is identical on
+    * both sides). The Spark side is unchanged: PFP stays the 100 TB
+    * path (the oracle's all-pairs joins are the thing PFP exists to
+    * avoid); PatternsSpec still checks planted baskets brute-force. */
+  val fp01 = Q.sql(
+    "fp01_freq_itemsets",
+    """WITH it AS (
+      |  SELECT DISTINCT l_orderkey AS tid, l_partkey AS item FROM lineitem),
+      |n AS (
+      |  SELECT greatest(2, CAST(ceil(count(DISTINCT tid) * 2e-5) AS BIGINT)) AS ms
+      |  FROM it),
+      |p2 AS (
+      |  SELECT a.item AS i1, b.item AS i2, count(*) AS sup
+      |  FROM it a JOIN it b ON a.tid = b.tid AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= (SELECT ms FROM n)),
+      |p3 AS (
+      |  SELECT a.item AS i1, b.item AS i2, c.item AS i3, count(*) AS sup
+      |  FROM it a JOIN it b ON a.tid = b.tid AND a.item < b.item
+      |       JOIN it c ON b.tid = c.tid AND b.item < c.item
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT ms FROM n)),
+      |p4 AS (
+      |  SELECT a.item AS i1, b.item AS i2, c.item AS i3, d.item AS i4,
+      |         count(*) AS sup
+      |  FROM it a JOIN it b ON a.tid = b.tid AND a.item < b.item
+      |       JOIN it c ON b.tid = c.tid AND b.item < c.item
+      |       JOIN it d ON c.tid = d.tid AND c.item < d.item
+      |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= (SELECT ms FROM n))
+      |SELECT CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR) AS items,
+      |       2 AS n_items, sup AS support FROM p2
+      |UNION ALL
+      |SELECT CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR) || ',' ||
+      |       CAST(i3 AS VARCHAR), 3, sup FROM p3
+      |UNION ALL
+      |SELECT CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR) || ',' ||
+      |       CAST(i3 AS VARCHAR) || ',' || CAST(i4 AS VARCHAR), 4, sup FROM p4
+      |ORDER BY items""".stripMargin) { (s, dir) =>
     val tx = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("tid"))
       .agg(collect_set("l_partkey").as("items"))

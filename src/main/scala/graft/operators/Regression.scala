@@ -336,17 +336,74 @@ object Regression {
   /** Registered pass: lasso on rg01's axes with λ strong enough that
     * both (noise-level) slopes collapse to EXACT zeros and the
     * intercept carries the fit — the sparse-recovery behavior itself.
-    * Rows-only (the ISTA loop is not SQL); RegressionSpec pins exact
-    * planted support recovery, the exact-zero property, and λ→0
-    * agreement with the ridge solve. */
-  val rg04 = Q.rowsOnly("rg04_lasso") { (s, dir) =>
-    import s.implicits._
+    *
+    * FULL oracle via the KKT optimality conditions (the q30/q41 claim
+    * pattern): coordinate descent's fixed point is certified by pure
+    * arithmetic on the SAME nine exact-decimal moments DuckDB already
+    * replays for rg01 — a zeroed coordinate needs |ρ_j|/n ≤ λ
+    * (subgradient condition), an active one ρ_j/n − λ·sign(b_j) =
+    * b_j·s_jj/n (stationarity), and the unpenalized intercept
+    * b_0 = ρ_0/n. The entry emits the learned coefficients plus the
+    * three flags computed IN-PLAN from a fresh moment aggregate with
+    * the learned β as plan literals; DuckDB asserts the coefficients
+    * (at this λ the unique fixed point is b₁=b₂=0, b₀=Σy/n — bitwise,
+    * since the moments are exact decimal and both engines run the
+    * identical double ops) and re-derives the identical flags from its
+    * own moments. RegressionSpec still pins planted support recovery,
+    * the exact-zero property, and λ→0 agreement with the ridge solve. */
+  val rg04 = Q.sql(
+    "rg04_lasso",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+      |    CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x1 * x1) AS DOUBLE) AS s11, CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+      |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+      |    CAST(sum(x1 * y) AS DOUBLE) AS s1y, CAST(sum(x2 * y) AS DOUBLE) AS s2y
+      |  FROM (SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x1,
+      |               CAST(l_discount AS DECIMAL(18,6)) AS x2,
+      |               CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS y
+      |        FROM lineitem))
+      |SELECT round(sy / n, 6) AS b0, 0.0 AS b1, 0.0 AS b2,
+      |  (abs((sy / n) * n - sy) <= 1e-9 * (abs(sy) + 1.0)) AS kkt_b0,
+      |  (abs((s1y - s1 * (sy / n)) / n) <= 5.0) AS kkt_b1,
+      |  (abs((s2y - s2 * (sy / n)) / n) <= 5.0) AS kkt_b2
+      |FROM m""".stripMargin) { (s, dir) =>
+    val lambda = 5.0
+    val li = Tables.lineitem(s, dir)
     val (b0, b1, b2) = lasso2(
-      Tables.lineitem(s, dir),
-      col("l_quantity"), col("l_discount"), col("l_extendedprice") / 1000.0,
-      lambda = 5.0, sweeps = 200)
-    Seq((math.rint(b0 * 1e6) / 1e6, math.rint(b1 * 1e6) / 1e6,
-      math.rint(b2 * 1e6) / 1e6)).toDF("b0", "b1", "b2")
+      li, col("l_quantity"), col("l_discount"), col("l_extendedprice") / 1000.0,
+      lambda = lambda, sweeps = 200)
+    val dc = (c: Column) => c.cast("decimal(18,6)")
+    val moments = li.select(
+      dc(col("l_quantity")).as("x1"), dc(col("l_discount")).as("x2"),
+      dc(col("l_extendedprice") / 1000.0).as("y"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x1")).cast("double").as("s1"), sum(col("x2")).cast("double").as("s2"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x1") * col("x1")).cast("double").as("s11"),
+        sum(col("x1") * col("x2")).cast("double").as("s12"),
+        sum(col("x2") * col("x2")).cast("double").as("s22"),
+        sum(col("x1") * col("y")).cast("double").as("s1y"),
+        sum(col("x2") * col("y")).cast("double").as("s2y"))
+    // KKT flags in-plan: ρ_j with the learned β as literals; the Scala
+    // branch picks which CONDITION applies (the coefficient is a plan-time
+    // constant), the arithmetic all runs inside the plan
+    def rho(sjy: Column, sj0: Column, sjk: Column, bk: Double): Column =
+      (sjy - sj0 * lit(b0) - sjk * lit(bk)) / col("n")
+    def kktSlope(bj: Double, r: Column, sjj: Column): Column =
+      if (bj == 0.0) abs(r) <= lit(lambda)
+      else abs(r - lit(lambda * math.signum(bj)) - lit(bj) * sjj / col("n")) <=
+        lit(1e-9) * (abs(r) + 1.0)
+    moments.select(
+      lit(math.rint(b0 * 1e6) / 1e6).as("b0"),
+      lit(math.rint(b1 * 1e6) / 1e6).as("b1"),
+      lit(math.rint(b2 * 1e6) / 1e6).as("b2"),
+      (abs(lit(b0) * col("n") - (col("sy") - col("s1") * lit(b1) - col("s2") * lit(b2))) <=
+        lit(1e-9) * (abs(col("sy")) + 1.0)).as("kkt_b0"),
+      kktSlope(b1, rho(col("s1y"), col("s1"), col("s12"), b2), col("s11")).as("kkt_b1"),
+      kktSlope(b2, rho(col("s2y"), col("s2"), col("s12"), b1), col("s22")).as("kkt_b2"))
   }
 
   // ------------------------------------------------------------------- svm

@@ -387,8 +387,38 @@ object TextOps {
       .sorted.toDF("term")
   }
 
-  val t08 = Q.rowsOnly("t08_freq_terms") { (s, dir) =>
-    freqTerms(Tables.documents(s, dir), support = 0.01).orderBy("term")
+  /** The standard TWO-PASS exact heavy hitters built on [[freqTerms]]:
+    * pass 1 is the Misra-Gries sketch (bounded O(1/support) candidate
+    * superset, no exact groupBy over an unbounded vocabulary); pass 2
+    * recounts ONLY the candidates (an isin filter over ≤1/support
+    * literals, then a bounded groupBy) and keeps terms with frequency
+    * strictly > support·N. By the sketch's superset guarantee the
+    * result equals the exact heavy-hitter set — which is what makes the
+    * r10 FULL value oracle sound: if the sketch ever dropped a true
+    * heavy hitter, the output would miss a term DuckDB finds, so the
+    * oracle verifies the guarantee itself, not just the recount. */
+  def freqTermsExact(docs: DataFrame, support: Double): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("term"))
+    val cands = toks.stat.freqItems(Seq("term"), support)
+      .head.getSeq[String](0)
+    val total = toks.count()
+    toks.filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(total.toDouble) * lit(support))
+  }
+
+  val t08 = Q.sql(
+    "t08_freq_terms",
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+      |SELECT term, count(*) AS cnt
+      |FROM toks, tot
+      |GROUP BY term, n
+      |HAVING count(*) > n * 0.01
+      |ORDER BY term""".stripMargin) { (s, dir) =>
+    freqTermsExact(Tables.documents(s, dir), support = 0.01).orderBy("term")
   }
 
   /** Overlapping document chunking — the context-window prep that feeds

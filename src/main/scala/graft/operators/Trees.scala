@@ -96,7 +96,8 @@ object Trees {
     */
   def train(data: DataFrame, fts: Seq[Column], labelCol: Column,
             depth: Int, bins: Int, weight: Column = lit(1L),
-            features: Option[Set[Int]] = None): (DataFrame, Model) = {
+            features: Option[Set[Int]] = None,
+            guardGainGaps: Boolean = false): (DataFrame, Model) = {
     val d = fts.length
     val allowed = features.getOrElse((0 until d).toSet)
     require(allowed.nonEmpty && allowed.forall(f => f >= 0 && f < d))
@@ -117,7 +118,7 @@ object Trees {
       val levelSplits = byNode.toSeq.sortBy(_._1).flatMap { case (node, rows) =>
         if (splits.contains(node) || leaves.contains(node)) None
         else chooseSplit(rows.toSeq.map(r => (r._2, r._3, r._4, r._5)),
-          allowed, bins) match {
+          allowed, bins, guardGainGaps) match {
           case Right(s) => Some(s.copy(node = node))
           case Left(leaf) => leaves += node -> leaf; None
         }
@@ -236,8 +237,17 @@ object Trees {
     * ((f, bin, label, weight) tuples): the driver-side arithmetic shared
     * by the single tree and the forest. Returns Right(split) or
     * Left(majority leaf class). */
+  /** `guardGaps` asserts the dt01-oracle assumption at every node: the
+    * DuckDB CTE replay (`g >= mg - 1e-12` + (f,t) argmin) equals this
+    * sequential epsilon update (`g > best + 1e-12`) only while no two
+    * DISTINCT gain values sit within (0, 2e-12] of each other (exact
+    * ties are safe — both tie-breaks pick the smallest (f,t)). The
+    * guard makes corpus drift fail HERE, loudly, instead of as an
+    * opaque verify hash mismatch (TreesSpec runs it on the real
+    * table with dt01's exact configuration). */
   private def chooseSplit(rows: Seq[(Int, Int, String, Long)],
-                          allowed: Set[Int], bins: Int): Either[String, Split] = {
+                          allowed: Set[Int], bins: Int,
+                          guardGaps: Boolean = false): Either[String, Split] = {
     val f0 = allowed.min
     val labels = rows.groupBy(_._3).map { case (l, rs) =>
       // feature f0 cells carry each row's weight exactly once
@@ -248,7 +258,9 @@ object Trees {
     val majority = labels.toSeq.minBy { case (l, c) => (-c, l) }._1
     if (labels.count(_._2 > 0) <= 1) Left(majority)
     else {
-      var best: Option[(Double, Int, Int)] = None
+      // materialize every candidate (bounded: d·bins entries) so the
+      // guard can inspect the full gain multiset
+      val candidates = scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Int)]
       for (f <- allowed.toSeq.sorted) {
         val cells = rows.filter(_._1 == f)
         val labelsSeq = labels.keys.toSeq.sorted
@@ -262,10 +274,27 @@ object Trees {
             val g = parentG -
               (nL.toDouble / total) * gini(left) -
               ((total - nL).toDouble / total) * gini(right)
-            if (g > 1e-12 && best.forall(b => g > b._1 + 1e-12))
-              best = Some((g, f, t))
+            candidates += ((g, f, t))
           }
         }
+      }
+      if (guardGaps) {
+        // sufficient condition for the replay to be exact: every pair of
+        // DISTINCT gain values sits > 2·ε apart (ε = 1e-12), so a ±ε band
+        // around the max holds exactly one distinct value and both
+        // argmax formulations collapse to the same (f, t); exact ties
+        // are safe (both tie-breaks pick the smallest (f, t))
+        val distinctGains = candidates.map(_._1).distinct.sorted
+        distinctGains.zip(distinctGains.drop(1)).foreach { case (a, b) =>
+          assert(b - a > 2e-12,
+            f"two distinct split gains within 2e-12 ($a%.15g vs $b%.15g): " +
+              "the dt01 oracle's epsilon argmax is no longer exact on this corpus")
+        }
+      }
+      var best: Option[(Double, Int, Int)] = None
+      candidates.foreach { case (g, f, t) =>
+        if (g > 1e-12 && best.forall(b => g > b._1 + 1e-12))
+          best = Some((g, f, t))
       }
       best.map { case (_, f, t) => Split(-1, f, t) }.toRight(majority)
     }
@@ -526,10 +555,30 @@ object Trees {
     * squared loss: each round fits a regression tree to the CURRENT
     * residual column — updated in-plan, shrinkage 0.5 — so round m is
     * dt01's bounded level-training on a frame that never leaves the
-    * cluster). Output: per-round training MSE (bounded, strictly
-    * decreasing — the boosting invariant TreesSpec pins on planted
-    * data). */
-  val gbt01 = Q.rowsOnly("gbt01_gbt_regression") { (s, dir) =>
+    * cluster).
+    *
+    * FULL oracle via the boosting invariant (the q30/q41 claim pattern):
+    * squared-loss GBT with mean leaves provably never increases training
+    * MSE (per leaf with mean μ and shrinkage ν: ΔSSE = −ν(2−ν)·n_leaf·μ²
+    * ≤ 0), so the entry emits per-round monotone and below-initial flags
+    * plus the INITIAL MSE as an exact-decimal anchor ((Σy² − Σy·(Σy/n))/n
+    * — rg01's moment discipline, order-independent so both engines run
+    * identical doubles through identical ops); DuckDB recomputes the
+    * anchor from the raw table and asserts the flags as literal TRUE.
+    * The raw per-round MSE path stays pinned in TreesSpec (planted-step
+    * exact recovery + non-increasing MSE). */
+  val gbt01 = Q.sql(
+    "gbt01_gbt_regression",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(y * y) AS DOUBLE) AS syy
+      |  FROM (SELECT CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6)) AS y
+      |        FROM lineitem))
+      |SELECT CAST(r AS INT) AS round,
+      |  round((syy - sy * (sy / n)) / n, 6) AS mse0,
+      |  TRUE AS monotone, TRUE AS below_initial
+      |FROM m, range(1, 5) t(r)
+      |ORDER BY round""".stripMargin) { (s, dir) =>
     import s.implicits._
     val li = Tables.lineitem(s, dir)
     val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
@@ -539,6 +588,7 @@ object Trees {
     // F0 = global mean
     val f0 = frame.agg(avg("y")).head.getDouble(0)
     frame = frame.withColumn("y", col("y") - f0).localCheckpoint()
+    val mseInit = frame.agg(avg(col("y") * col("y"))).head.getDouble(0)
     val mses = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     for (m <- 1 to 4) {
       val tree = trainRegressionBinned(frame, d = fts.length, depth = 2, bins = 32)
@@ -548,8 +598,26 @@ object Trees {
         .localCheckpoint()
       mses += ((m, frame.agg(avg(col("y") * col("y"))).head.getDouble(0)))
     }
-    mses.toSeq.map { case (m, v) => (m, math.rint(v * 1e6) / 1e6) }
-      .toDF("round", "train_mse").orderBy("round")
+    // flags from the measured per-round MSEs (aggregates computed in the
+    // cluster; the comparison is driver arithmetic on those bounded
+    // values) — epsilon absorbs double-agg summation-order noise when a
+    // round's true decrease is ~0 (no split found)
+    val eps = (a: Double) => a * (1 + 1e-9) + 1e-12
+    val flags = mses.toSeq.map { case (m, v) =>
+      val prev = if (m == 1) mseInit else mses(m - 2)._2
+      (m, v <= eps(prev), v <= eps(mseInit))
+    }.toDF("round", "monotone", "below_initial")
+    // the exact-decimal anchor, computed in-plan with the oracle's ops
+    val anchor = li
+      .select((col("l_extendedprice") / 1000.0).cast("decimal(18,6)").as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(round((col("syy") - col("sy") * (col("sy") / col("n"))) / col("n"), 6)
+        .as("mse0"))
+    flags.crossJoin(anchor)
+      .select(col("round"), col("mse0"), col("monotone"), col("below_initial"))
+      .orderBy("round")
   }
 
   val all: Seq[Q] = Seq(dt01, rf01, gbt01)

@@ -48,12 +48,16 @@ class EmbeddingsSpec extends SparkTestBase {
       "k-means|| seeds must land in all three blobs")
   }
 
-  test("d08 assigns every embedding, uses multiple clusters, and is deterministic") {
+  test("d08 certifies argmax assignment, is deterministic, and uses multiple clusters") {
     val run1 = Embeddings.d08.run(spark, sfDir).collect().toSeq
     val run2 = Embeddings.d08.run(spark, sfDir).collect().toSeq
     assert(run1 == run2, "fixed init + fixed iterations must be reproducible")
     assert(run1.size == Tables.embeddings(spark, sfDir).count())
-    assert(run1.map(_.getInt(1)).distinct.size >= 2, "clustering must not collapse to one cluster")
+    assert(run1.forall(_.getBoolean(1)),
+      "every assignment must be the argmax over the emitted centroids")
+    val assign = Embeddings.kmeansAssign(Tables.embeddings(spark, sfDir), k = 8, iters = 10)
+    assert(assign.select("cluster").distinct().count() >= 2,
+      "clustering must not collapse to one cluster")
   }
 
   test("d11 int8 codes reconstruct within scale/2 and preserve nearest neighbors") {

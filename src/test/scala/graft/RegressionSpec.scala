@@ -124,6 +124,8 @@ class RegressionSpec extends SparkTestBase {
     assert(out.head.getDouble(1) == 0.0 && out.head.getDouble(2) == 0.0,
       s"want exact-zero slopes, got ${out.head}")
     assert(out.head.getDouble(0) > 0.0, "intercept carries the mean price")
+    assert(out.head.getBoolean(3) && out.head.getBoolean(4) && out.head.getBoolean(5),
+      s"KKT optimality flags must all hold at the fixed point: ${out.head}")
   }
 
   test("svmHinge recovers a planted separable rule with margin and is deterministic") {

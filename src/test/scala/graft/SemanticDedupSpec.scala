@@ -82,6 +82,36 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(e.count() == 4 * 3)
   }
 
+  test("planesFor bounds expected occupancy at any cluster population") {
+    // occupancy target 64: expected cell size = size / 2^p stays <= 64
+    for (size <- Seq(1L, 63L, 64L, 65L, 500L, 5000L, 50000L, 5000000L)) {
+      val p = SemanticDedup.planesFor(size, 64, 16)
+      assert(p >= 1 && p <= 16)
+      if (p < 16)
+        assert(size.toDouble / (1L << p) <= 64.0,
+          s"size $size with $p planes leaves occupancy ${size / (1L << p)}")
+      if (p > 1) // one plane fewer would overflow the target
+        assert(size.toDouble / (1L << (p - 1)) > 64.0,
+          s"size $size over-partitioned at $p planes")
+    }
+    // sf0.1 regime (~625 per cluster) derives the 4 planes the constant pinned
+    assert(SemanticDedup.planesFor(625, 64, 16) == 4)
+  }
+
+  test("auto-occupancy edges keep the planted survivor structure") {
+    val emb = planted()
+    val out = SemanticDedup.semanticDedup(
+      emb, k = 4, iters = 5, nPlanes = 16, nTables = 4, tau = 0.99,
+      targetOccupancy = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.size == 44)
+    // 11-vector clusters mask to 1 plane (coarse buckets, full recall):
+    // the same 4 dup groups collapse, every singleton survives
+    assert(out.count(_._3 == 1L) == 4 + 32)
+    for (r <- 0 until 4; j <- 0 until 3)
+      assert(out.find(_._1 == r * 100 + j).get._2 == r * 100)
+  }
+
   test("d09 runs on the embeddings table and keep-flags partition the corpus") {
     val out = SemanticDedup.d09.run(spark, sfDir).cache()
     val n = Tables.embeddings(spark, sfDir).count()

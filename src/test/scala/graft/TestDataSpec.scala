@@ -67,6 +67,26 @@ class TestDataSpec extends SparkTestBase {
     }
   }
 
+  test("documents.text is pure ASCII (mm01's byte-decode oracle assumes it)") {
+    // mm01's DuckDB oracle replays the byte-bucket decode from ASCII char
+    // codes and equates length(text) with the byte count — valid only
+    // while every char is single-byte. A multibyte corpus must fail HERE,
+    // not as an opaque mm01 hash mismatch far from the cause.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, sfDir)
+      .where(not(col("text").rlike("^[\\x00-\\x7F]*$")) ||
+        octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L, s"$nonAscii documents contain non-ASCII text")
+  }
+
+  test("embeddings are exactly 64-dim (d13's oracle hardcodes range(1,65))") {
+    import org.apache.spark.sql.functions._
+    val offDim = Tables.embeddings(spark, sfDir)
+      .where(size(col("embedding")) =!= 64).count()
+    assert(offDim == 0L, s"$offDim vectors are not 64-dim")
+  }
+
   test("events reader normalizes ts to TimestampType on the current corpus") {
     val dt = Tables.events(spark, sfDir).schema("ts").dataType
     assert(dt == TimestampType, s"Tables.events ts is $dt")

@@ -182,6 +182,15 @@ class TextSpec extends SparkTestBase {
     assert(exactHot.nonEmpty, "corpus must have at least one frequent term")
     assert(exactHot.subsetOf(sketch),
       s"sketch missed frequent terms: ${exactHot -- sketch}")
+    // the two-pass recount (the registered t08) equals the exact
+    // heavy-hitter set, counts included
+    val twoPass = TextOps.freqTermsExact(docs, support = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactCounts = toks.groupBy("term").count()
+      .filter(col("count") > total * 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPass == exactCounts,
+      s"two-pass heavy hitters must equal the exact set: $twoPass vs $exactCounts")
   }
 
   test("t07 packing respects capacity, covers every doc, stays near the bin lower bound") {
