@@ -106,6 +106,34 @@ class PlanSpec extends SparkTestBase {
       s"fs01 top-k lost TakeOrderedAndProject:\n$p")
   }
 
+  test("d08's argmax-flag entry stays map-only: one scan, no join") {
+    // the optimality flag is computed per row against centroid plan
+    // literals — adding a join (e.g. assignment re-joined to embeddings)
+    // would put a shuffle in a provably map-only stage
+    val p = plan(graft.operators.Embeddings.d08.run(spark, sfDir))
+    assert(!p.contains("Join"), s"d08 flag plan grew a join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"d08 flag plan scans more than once:\n$p")
+  }
+
+  test("rg04's KKT flags cost ONE partial-aggregated scan of lineitem") {
+    val p = plan(graft.operators.Regression.rg04.run(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"rg04 flag plan scans more than once:\n$p")
+    assert(p.contains("partial_"),
+      s"rg04 moments lost map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rg04 flag plan grew a shuffled join:\n$p")
+  }
+
+  test("gbt01's MSE anchor costs ONE partial-aggregated scan of lineitem") {
+    val p = plan(graft.operators.Trees.gbt01.run(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"gbt01 anchor plan scans more than once:\n$p")
+    assert(p.contains("partial_"),
+      s"gbt01 anchor lost map-side combine:\n$p")
+  }
+
   test("q53 NOT IN plans the null-aware anti join, not a nested loop") {
     val p = plan(Relational.q53.run(spark, sfDir))
     assert(p.contains("NullAwareAntiJoin") ||
