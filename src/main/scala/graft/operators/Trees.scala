@@ -323,10 +323,16 @@ object Trees {
     * (tree, node, feature, bin, label) cube, so the whole forest costs
     * `depth` cluster passes, not nTrees·depth. Prediction is the
     * per-row plurality vote folded as a pure column expression —
-    * map-only application, models live in the plan. */
+    * map-only application, models live in the plan.
+    *
+    * @return (per-tree models, the final binned frame (b, label, w,
+    *         node) — already checkpointed, so a consumer scoring the
+    *         training set votes over it directly instead of re-scanning
+    *         and re-binning the source (one min/max pass + one full
+    *         scan saved; bins are identical by construction)) */
   def forest(data: DataFrame, fts: Seq[Column], labelCol: Column,
              idCols: Seq[Column], depth: Int, bins: Int, nTrees: Int,
-             featuresPerTree: Int): Seq[Model] = {
+             featuresPerTree: Int): (Seq[Model], DataFrame) = {
     val d = fts.length
     val allowed = (0 until nTrees).map(t => featureSubset(t, d, featuresPerTree))
     // deterministic Poisson(1) weights: P(0)=.368 P(1)=.368 P(2)=.184 ...
@@ -390,7 +396,7 @@ object Trees {
         leaves(t) += node -> rows.map(r => (r._3, r._4)).toSeq
           .minBy { case (l, c) => (-c, l) }._1
     }
-    (0 until nTrees).map(t => Model(splits(t), leaves(t), depth))
+    ((0 until nTrees).map(t => Model(splits(t), leaves(t), depth)), df)
   }
 
   /** Plurality vote over the trees' prediction expressions, ties to the
@@ -538,14 +544,12 @@ object Trees {
     val li = Tables.lineitem(s, dir)
     val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
       year(col("l_shipdate")))
-    val models = forest(li, fts, col("l_returnflag"),
+    val (models, frame) = forest(li, fts, col("l_returnflag"),
       idCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
       depth = 3, bins = 32, nTrees = 5, featuresPerTree = 2)
-    val raw = li.select(array(fts.map(_.cast("double")): _*).as("x"),
-      col("l_returnflag").as("actual"))
-    val withB = raw.select(array(binColumns(raw, fts.length, 32): _*).as("b"),
-      col("actual"))
-    withB.select(col("actual"), voteExpr(models, col("b")).as("pred"))
+    // vote over the trainer's own binned frame (r10): no second min/max
+    // pass, no re-scan of lineitem
+    frame.select(col("label").as("actual"), voteExpr(models, col("b")).as("pred"))
       .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
       .orderBy("actual", "pred")
   }

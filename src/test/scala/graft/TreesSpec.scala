@@ -61,9 +61,9 @@ class TreesSpec extends SparkTestBase {
       (i.toLong, x0, x1, (if (x0 <= 0.5) "a" else "b") + (if (x1 <= 0.3) "0" else "1"))
     }.toDF("id", "x0", "x1", "label")
     val fts = Seq(col("x0"), col("x1"))
-    val m1 = Trees.forest(df, fts, col("label"), Seq(col("id")),
+    val (m1, frame1) = Trees.forest(df, fts, col("label"), Seq(col("id")),
       depth = 2, bins = 40, nTrees = 5, featuresPerTree = 2)
-    val m2 = Trees.forest(df, fts, col("label"), Seq(col("id")),
+    val (m2, _) = Trees.forest(df, fts, col("label"), Seq(col("id")),
       depth = 2, bins = 40, nTrees = 5, featuresPerTree = 2)
     assert(m1.map(_.splits) == m2.map(_.splits) &&
       m1.map(_.leafClass) == m2.map(_.leafClass), "bagging must be deterministic")
@@ -81,6 +81,13 @@ class TreesSpec extends SparkTestBase {
       .select(avg((Trees.voteExpr(m1, col("b")) === col("label")).cast("double")))
       .head.getDouble(0)
     assert(acc >= 0.97, s"forest vote accuracy $acc")
+    // the trainer's returned frame votes identically — its bins must
+    // equal the independently rebuilt ones (what rf01 now relies on)
+    val accFrame = frame1
+      .select(avg((Trees.voteExpr(m1, col("b")) === col("label")).cast("double")))
+      .head.getDouble(0)
+    assert(accFrame == acc,
+      s"returned-frame vote $accFrame != rebinned vote $acc")
   }
 
   test("gbt01 on the real table: per-round MSE is non-increasing") {
