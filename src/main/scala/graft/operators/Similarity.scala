@@ -183,10 +183,71 @@ object Similarity {
       .select(col("d1"), col("d2"), jac.as("jaccard"))
   }
 
+  /** FULL value oracle for d03 (r10): DuckDB re-derives every MinHash
+    * signature from the raw text — word 3-grams, the XXH64 replay
+    * ([[graft.functions.DuckXxhash]]), the k=32 affine family
+    * h_s(x) = ((2s+1)·x + b_s) mod P — then re-joins LSH bands as raw
+    * 4-slot signature equality. The engine joins on `xxhash64` of the
+    * composed band string instead, so the two candidate sets agree
+    * modulo a 64-bit band-hash collision (the same documented
+    * equivalence the engine's own gram-hash dedup rests on); the
+    * estimated Jaccard matches/32 is an exact binary fraction on both
+    * engines. */
+  private def d03Oracle: String = {
+    val P = graft.plans.MinhashSignature.P
+    val B0 = graft.plans.MinhashSignature.B0
+    val (xxh, fin) = graft.functions.DuckXxhash.ctes("inp")
+    val sigCols = (0 until 32).map { s =>
+      val a = 2 * s + 1
+      val b = (s * B0) % P
+      s"COALESCE(MIN(($a*hp + $b) % $P), $P) AS g$s"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 8).map { b =>
+      val base = b * 4
+      s"SELECT doc_id, $b AS band, g${base} AS r0, g${base + 1} AS r1, " +
+        s"g${base + 2} AS r2, g${base + 3} AS r3 FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(s => s"(CASE WHEN sa.g$s = sb.g$s THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM words, unnest(range(1, greatest(len(w) - 1, 1))) t(i)),
+      |inp AS (SELECT DISTINCT s FROM grams),
+      |$xxh,
+      |gramh AS (
+      |  SELECT g.doc_id, ((x.hash % $P) + $P) % $P AS hp
+      |  FROM grams g JOIN $fin x ON x.s = g.s),
+      |sigs AS (
+      |  SELECT d.doc_id,
+      |    $sigCols
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  LEFT JOIN gramh ON gramh.doc_id = d.doc_id
+      |  GROUP BY d.doc_id),
+      |bandrows AS (
+      |  $bandRows),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bandrows a JOIN bandrows b
+      |    ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
+      |   AND a.r2 = b.r2 AND a.r3 = b.r3 AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT d1, d2, ($matches)::DOUBLE / 32 AS est_jaccard
+      |  FROM cands
+      |  JOIN sigs sa ON sa.doc_id = d1
+      |  JOIN sigs sb ON sb.doc_id = d2)
+      |SELECT d1, d2, est_jaccard FROM scored
+      |WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
+  }
+
   /** MinHash(k=32) + LSH(8 bands × 4 rows) near-dup candidates with the
-    * signature-estimated Jaccard. Rows-only (engine-local hash family);
-    * SimilaritySpec asserts recall against exact d02 pairs. */
-  val d03 = Q.rowsOnly("d03_minhash_lsh") { (s, dir) =>
+    * signature-estimated Jaccard. Full value oracle (r10): the whole
+    * signature pipeline is replayed in DuckDB via the XXH64 CTE chain —
+    * see [[d03Oracle]]; SimilaritySpec additionally asserts recall
+    * against exact d02 pairs. */
+  val d03 = Q.sql("d03_minhash_lsh", d03Oracle) { (s, dir) =>
     minhashLshPairs(Tables.documents(s, dir), k = 32, bands = 8, minEstJaccard = 0.5)
       .orderBy("d1", "d2")
   }
@@ -222,13 +283,60 @@ object Similarity {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** FULL value oracle for d04 (r10): DuckDB recomputes every 63-bit
+    * SimHash fingerprint from the raw text — per-token XXH64 via
+    * [[graft.functions.DuckXxhash]], ±1 votes per bit over the token
+    * multiset, sign-packed — then replays the 4×16-bit band join and the
+    * hamming≤6 filter with native integer ops. Unlike d03 there is no
+    * collision caveat: the engine's bands are raw fingerprint slices on
+    * both sides. */
+  private def d04Oracle: String = {
+    val (xxh, fin) = graft.functions.DuckXxhash.ctes("inp")
+    val M64 = "18446744073709551616"
+    val votes = (0 until 63).map(j =>
+      s"SUM(CASE WHEN (uh // ${BigInt(2).pow(j)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val shSum = (0 until 63)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j}::BIGINT ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      |  FROM documents),
+      |inp AS (SELECT DISTINCT tok AS s FROM toks),
+      |$xxh,
+      |toksh AS (
+      |  SELECT t.doc_id,
+      |    (CASE WHEN x.hash < 0 THEN x.hash::HUGEINT + $M64
+      |          ELSE x.hash::HUGEINT END) AS uh
+      |  FROM toks t JOIN $fin x ON x.s = t.tok),
+      |votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM toksh GROUP BY doc_id),
+      |sh AS (SELECT doc_id, ($shSum) AS sh FROM votes),
+      |banded AS (
+      |  SELECT doc_id, sh, band, (sh // divisor) % 65536 AS bh
+      |  FROM sh, (VALUES (0, 1::BIGINT), (1, 65536::BIGINT),
+      |                   (2, 4294967296::BIGINT),
+      |                   (3, 281474976710656::BIGINT)) AS bands(band, divisor)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |         bit_count(xor(a.sh, b.sh))::INT AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, hamming FROM pairs
+      |WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
+  }
+
   /** SimHash near-dup pairs: 63-bit fingerprints, candidates via matching
-    * 16-bit bands, kept when hamming distance <= 6. Rows-only.
+    * 16-bit bands, kept when hamming distance <= 6. Full value oracle
+    * (r10) — the fingerprints themselves are re-derived in DuckDB, see
+    * [[d04Oracle]].
     *
     * Fingerprinting is the native scalar [[graft.plans.SimHash63]]
     * (bit-identical to the explode+vote aggregate it replaced, but
     * map-only — no shuffle to build fingerprints). */
-  val d04 = Q.rowsOnly("d04_simhash") { (s, dir) =>
+  val d04 = Q.sql("d04_simhash", d04Oracle) { (s, dir) =>
     graft.plans.GraftFunctions.register(s)
     val hashed = Tables.documents(s, dir).select(
       col("doc_id"),
@@ -286,16 +394,74 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** FULL value oracle for d06 (r10): the seeded hyperplanes are
+    * re-embedded as SQL double literals (shortest-roundtrip decimal →
+    * bit-identical doubles), DuckDB recomputes every sign bucket with
+    * the d05-proven list_sum/list_transform double fold (same IEEE op
+    * sequence as [[graft.plans.HyperplaneSign]]), replays home+1-bit
+    * multi-probe via xor, and scores candidates with the d05 cosine +
+    * round(,6) discipline. */
+  private def d06Oracle(nPlanes: Int, k: Int, nTables: Int): String = {
+    val planeRows = (for {
+      t <- 0 until nTables
+      planes = planesFor(t, nPlanes)
+      p <- 0 until nPlanes
+    } yield {
+      val vec = planes.slice(p * 64, (p + 1) * 64).mkString("[", ", ", "]::DOUBLE[]")
+      s"($t, $p, $vec)"
+    }).mkString(",\n    ")
+    val bitOf = (0 until nPlanes)
+      .map(p => s"WHEN $p THEN ${1L << p}").mkString("CASE p ", " ", " END")
+    val probeList = ("bucket" +: (0 until nPlanes).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString("[", ", ", "]")
+    s"""WITH planes(tbl, p, pv) AS (VALUES
+      |    $planeRows),
+      |dots AS (
+      |  SELECT e.vec_id, pl.tbl, pl.p,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> e.embedding[i]::DOUBLE * pl.pv[i])) AS dot
+      |  FROM embeddings e, planes pl),
+      |bucketed AS (
+      |  SELECT vec_id, tbl,
+      |    SUM(CASE WHEN dot >= 0 THEN $bitOf ELSE 0 END)::BIGINT AS bucket
+      |  FROM dots GROUP BY vec_id, tbl),
+      |probes AS (
+      |  SELECT vec_id AS qid, tbl, unnest($probeList) AS bucket
+      |  FROM bucketed WHERE vec_id < 10),
+      |cands AS (
+      |  SELECT DISTINCT pr.qid, c.vec_id AS cid
+      |  FROM probes pr JOIN bucketed c
+      |    ON c.tbl = pr.tbl AND c.bucket = pr.bucket
+      |  WHERE c.vec_id <> pr.qid),
+      |sims AS (
+      |  SELECT cd.qid, cd.cid,
+      |    list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i] * q.embedding[i])))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i] * c.embedding[i])))) AS sim
+      |  FROM cands cd
+      |  JOIN embeddings q ON q.vec_id = cd.qid
+      |  JOIN embeddings c ON c.vec_id = cd.cid),
+      |ranked AS (
+      |  SELECT qid, cid, round(sim, 6) AS sim6,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rk
+      |  FROM sims)
+      |SELECT qid, cid, sim6, rk FROM ranked WHERE rk <= $k
+      |ORDER BY qid, rk""".stripMargin
+  }
+
   /** Random-hyperplane LSH ANN: fixed seeded hyperplanes bucket every
     * vector by sign pattern; top-k runs inside each bucket only. The
     * scale path of d05 — candidate generation is a bucket-equality join.
     * Bucket count must track corpus size (≈√n): 4 planes → 16 buckets
     * for the 500-5000-vector test tables; at 100 TB you'd raise planes
     * so buckets stay ~1k vectors and add multi-probe for recall.
-    * Rows-only; SimilaritySpec asserts agreement with brute force. */
-  val d06 = Q.rowsOnly("d06_ann_lsh") { (s, dir) =>
-    annLshTopK(Tables.embeddings(s, dir), nPlanes = 4, k = 5, nTables = 4)
-      .orderBy("qid", "rk")
+    * Full value oracle (r10): buckets, probes, and scores all re-derived
+    * in DuckDB — see [[d06Oracle]]; SimilaritySpec additionally asserts
+    * agreement with brute force. */
+  val d06 = Q.sql("d06_ann_lsh", d06Oracle(nPlanes = 4, k = 5, nTables = 4)) {
+    (s, dir) =>
+      annLshTopK(Tables.embeddings(s, dir), nPlanes = 4, k = 5, nTables = 4)
+        .orderBy("qid", "rk")
   }
 
   /** Multi-table, multi-probe random-hyperplane ANN: `nTables`
@@ -314,15 +480,20 @@ object Similarity {
     * seeded gaussian plane sets, each hashed by the native codegen
     * [[graft.plans.HyperplaneSign]]. Planes are literal-encoded so
     * executors get them via the plan (no closure serialization). */
+  /** Seeded gaussian hyperplanes for LSH table `table` (flattened
+    * row-major, nPlanes×dim). Deterministic (java.util.Random's specified
+    * LCG + StrictMath Box-Muller), so the d06 oracle can re-embed the
+    * SAME constants as SQL literals — they are model spec, like a band
+    * count, not hidden engine state. */
+  def planesFor(table: Int, nPlanes: Int, dim: Int = 64): Seq[Double] = {
+    val rnd = new scala.util.Random(20240812L + table * 7919L)
+    Seq.fill(nPlanes * dim)(rnd.nextGaussian())
+  }
+
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int, nTables: Int): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val dim = 64
-    def planesFor(table: Int): Seq[Double] = {
-      val rnd = new scala.util.Random(20240812L + table * 7919L)
-      Seq.fill(nPlanes * dim)(rnd.nextGaussian())
-    }
     def bucketOf(v: org.apache.spark.sql.Column, table: Int) =
-      call_function("hyperplane_sign", v, typedlit(planesFor(table)), lit(nPlanes))
+      call_function("hyperplane_sign", v, typedlit(planesFor(table, nPlanes)), lit(nPlanes))
     emb.select(
       col("vec_id"),
       posexplode(array((0 until nTables).map(t => bucketOf(col("embedding"), t)): _*))

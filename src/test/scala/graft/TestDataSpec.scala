@@ -80,6 +80,23 @@ class TestDataSpec extends SparkTestBase {
     assert(nonAscii == 0L, s"$nonAscii documents contain non-ASCII text")
   }
 
+  test("documents tokens stay under 10 bytes (d03/d04's XXH64 oracle unrolls <32)") {
+    // The DuckDB XXH64 replay (graft.functions.DuckXxhash) unrolls only
+    // the sub-32-byte path: tokens (d04) and word 3-grams (d03, worst
+    // case 3·maxTok+2 bytes) must stay below 32 bytes or the oracle
+    // emits NULL hashes. A corpus with longer words must fail HERE, not
+    // as an opaque d03/d04 hash mismatch. Whitespace beyond plain
+    // spaces would also break the split parity — pinned together.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val longTok = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 9).count()
+    assert(longTok == 0L, s"$longTok tokens exceed 9 bytes (3-gram could reach 32)")
+    val oddWs = docs.where(col("text").rlike("[\\t\\n\\r]|^ | $|  ")).count()
+    assert(oddWs == 0L, s"$oddWs documents have tabs/newlines/edge/double spaces")
+  }
+
   test("embeddings are exactly 64-dim (d13's oracle hardcodes range(1,65))") {
     import org.apache.spark.sql.functions._
     val offDim = Tables.embeddings(spark, sfDir)
