@@ -27,29 +27,32 @@ package graft.functions
   */
 object DuckXxhash {
 
-  private val M64 = "18446744073709551616" // 2^64 as a DuckDB literal
-  private val P1 = java.lang.Long.parseUnsignedLong("9E3779B185EBCA87", 16)
-  private val P2 = java.lang.Long.parseUnsignedLong("C2B2AE3D27D4EB4F", 16)
-  private val P3 = java.lang.Long.parseUnsignedLong("165667B19E3779F9", 16)
-  private val P4 = java.lang.Long.parseUnsignedLong("85EBCA77C2B2AE63", 16)
-  private val P5 = java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16)
+  val M64 = "18446744073709551616" // 2^64 as a DuckDB literal
+  val P1 = java.lang.Long.parseUnsignedLong("9E3779B185EBCA87", 16)
+  val P2 = java.lang.Long.parseUnsignedLong("C2B2AE3D27D4EB4F", 16)
+  val P3 = java.lang.Long.parseUnsignedLong("165667B19E3779F9", 16)
+  val P4 = java.lang.Long.parseUnsignedLong("85EBCA77C2B2AE63", 16)
+  val P5 = java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16)
 
-  private def u(v: Long): String = java.lang.Long.toUnsignedString(v)
-  private def pow2(n: Int): String =
+  def u(v: Long): String = java.lang.Long.toUnsignedString(v)
+  def pow2(n: Int): String =
     java.math.BigInteger.TWO.pow(n).toString
 
-  /** (x * c) mod 2^64, x a HUGEINT expression in [0,2^64), c constant. */
-  private def mul64c(x: String, c: Long): String = {
+  /** (x * c) mod 2^64, x a HUGEINT expression in [0,2^64), c constant:
+    * the variable operand splits into 32-bit halves so every partial
+    * product stays below 2^65 (inside HUGEINT). */
+  def mul64c(x: String, c: Long): String = {
     val clo = c & 0xFFFFFFFFL
     val chi = c >>> 32
     s"((($x)%4294967296)*$clo + (((($x)%4294967296)*$chi + " +
       s"(($x)//4294967296)*$clo)%4294967296)*4294967296) % $M64"
   }
 
-  private def rot(x: String, r: Int): String =
+  /** Exact 64-bit rotate-left by r of an unsigned HUGEINT expression. */
+  def rot(x: String, r: Int): String =
     s"((($x) % ${pow2(64 - r)}) * ${pow2(r)} + (($x) // ${pow2(64 - r)}))"
 
-  private def xor(a: String, b: String): String =
+  def xor(a: String, b: String): String =
     s"xor(($a)::HUGEINT, ($b)::HUGEINT)"
 
   /** ASCII byte at 1-based position `pos` of s, 0 beyond the end. */

@@ -332,7 +332,8 @@ object Trees {
     *         scan saved; bins are identical by construction)) */
   def forest(data: DataFrame, fts: Seq[Column], labelCol: Column,
              idCols: Seq[Column], depth: Int, bins: Int, nTrees: Int,
-             featuresPerTree: Int): (Seq[Model], DataFrame) = {
+             featuresPerTree: Int,
+             guardGainGaps: Boolean = false): (Seq[Model], DataFrame) = {
     val d = fts.length
     val allowed = (0 until nTrees).map(t => featureSubset(t, d, featuresPerTree))
     // deterministic Poisson(1) weights: P(0)=.368 P(1)=.368 P(2)=.184 ...
@@ -366,7 +367,7 @@ object Trees {
           case (node, rows) =>
             if (splits(t).contains(node) || leaves(t).contains(node)) None
             else chooseSplit(rows.toSeq.map(r => (r._3, r._4, r._5, r._6)),
-              allowed(t), bins) match {
+              allowed(t), bins, guardGainGaps) match {
               case Right(s) => Some(s.copy(node = node))
               case Left(leaf) => leaves(t) += node -> leaf; None
             }
@@ -536,11 +537,204 @@ object Trees {
       .orderBy("leaf")
   }
 
+  /** The whole 5-tree forest induction of [[rf01]] replayed in SQL
+    * (r10): dt01's level replay, parameterized per tree, PLUS the
+    * deterministic Poisson(1) bootstrap weights re-derived by a chained
+    * XXH64 replay — hashLong(l_orderkey, 42) → hashInt(l_linenumber) →
+    * hashLong(l_partkey) → hashInt(t), exactly Spark's multi-argument
+    * `xxhash64` fold ([[graft.functions.DuckXxhash]] arithmetic:
+    * HUGEINT modular multiplies, exact rotations) — then pmod-1000
+    * Poisson buckets, per-tree feature subsets, weighted Gini cubes
+    * (one shared cells chain per level with a tree column), weighted-
+    * majority leaves, and the plurality vote (ties to the smallest
+    * class) folded over the bounded (label, p0..p4) combinations.
+    *
+    * Chained CTEs are `MATERIALIZED`: DuckDB inlines single-reference
+    * CTEs, and a ~40-deep modular-arithmetic chain inlines into an
+    * exponentially large expression tree (measured: minutes/17 GB
+    * unmaterialized → 16 s at sf0.01 materialized).
+    *
+    * Exactness rests on the same two measured assumptions as dt01,
+    * both guarded: gain gaps ≫ 2e-12 (TreesSpec runs the forest with
+    * `guardGainGaps` on the real table) and integer weighted counts. */
+  private def rf01OracleSql: String = {
+    import graft.functions.DuckXxhash.{M64, P1, P2, P3, P4, P5, u, mul64c, rot, xor}
+    val keep = "b0, b1, b2, b3, label"
+    val nTrees = 5
+    val allowed = (0 until nTrees).map(t => featureSubset(t, 4, 2))
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    // fused three-step fmix over columns x0..x{n-1} -> h0..h{n-1}
+    def fmix(n: Int, src: String, keepCols: String, tag: String): String = {
+      val c1 = (0 until n).map(j =>
+        s"${mul64c(xor(s"x$j", s"x$j//${graft.functions.DuckXxhash.pow2(33)}"), P2)} AS y$j")
+        .mkString(", ")
+      ctes += s"${tag}1 AS MATERIALIZED (SELECT $keepCols, $c1 FROM $src)"
+      val c2 = (0 until n).map(j =>
+        s"${mul64c(xor(s"y$j", s"y$j//${graft.functions.DuckXxhash.pow2(29)}"), P3)} AS z$j")
+        .mkString(", ")
+      ctes += s"${tag}2 AS MATERIALIZED (SELECT $keepCols, $c2 FROM ${tag}1)"
+      val c3 = (0 until n).map(j =>
+        s"${xor(s"z$j", s"z$j//${graft.functions.DuckXxhash.pow2(32)}")} AS h$j")
+        .mkString(", ")
+      ctes += s"${tag}3 AS MATERIALIZED (SELECT $keepCols, $c3 FROM ${tag}2)"
+      s"${tag}3"
+    }
+    val head =
+      s"""WITH raw AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         CAST(l_quantity AS DOUBLE) AS x0, CAST(l_discount AS DOUBLE) AS x1,
+        |         CAST(l_tax AS DOUBLE) AS x2, CAST(year(l_shipdate) AS DOUBLE) AS x3,
+        |         l_returnflag AS label
+        |  FROM lineitem),
+        |mm AS (
+        |  SELECT min(x0) AS lo0, max(x0) AS hi0, min(x1) AS lo1, max(x1) AS hi1,
+        |         min(x2) AS lo2, max(x2) AS hi2, min(x3) AS lo3, max(x3) AS hi3
+        |  FROM raw),
+        |binned AS MATERIALIZED (
+        |  SELECT
+        |    CASE WHEN hi0=lo0 THEN 0 ELSE least(CAST(floor((x0-lo0)/((hi0-lo0)/32)) AS INT), 31) END AS b0,
+        |    CASE WHEN hi1=lo1 THEN 0 ELSE least(CAST(floor((x1-lo1)/((hi1-lo1)/32)) AS INT), 31) END AS b1,
+        |    CASE WHEN hi2=lo2 THEN 0 ELSE least(CAST(floor((x2-lo2)/((hi2-lo2)/32)) AS INT), 31) END AS b2,
+        |    CASE WHEN hi3=lo3 THEN 0 ELSE least(CAST(floor((x3-lo3)/((hi3-lo3)/32)) AS INT), 31) END AS b3,
+        |    label,
+        |    (CASE WHEN l_orderkey < 0 THEN l_orderkey::HUGEINT + $M64 ELSE l_orderkey::HUGEINT END) AS uok,
+        |    (CASE WHEN l_linenumber < 0 THEN l_linenumber::HUGEINT + 4294967296 ELSE l_linenumber::HUGEINT END) AS uln,
+        |    (CASE WHEN l_partkey < 0 THEN l_partkey::HUGEINT + $M64 ELSE l_partkey::HUGEINT END) AS upk
+        |  FROM raw, mm)""".stripMargin
+    // hashLong(uok, seed 42)
+    ctes += s"""ha AS MATERIALIZED (SELECT $keep, uln, upk,
+      |  ${xor(u(42L + P5 + 8L), mul64c(rot(mul64c("uok", P2), 31), P1))} AS s FROM binned)""".stripMargin
+    ctes += s"""hb AS MATERIALIZED (SELECT $keep, uln, upk,
+      |  (${mul64c(rot("s", 27), P1)} + ${u(P4)}) % $M64 AS x0 FROM ha)""".stripMargin
+    var src = fmix(1, "hb", s"$keep, uln, upk", "hc")
+    // hashInt(uln, h0)
+    ctes += s"""hd AS MATERIALIZED (SELECT $keep, upk,
+      |  ${xor(s"(h0 + ${u(P5 + 4L)}) % $M64", s"(uln * ${u(P1)}) % $M64")} AS s FROM $src)""".stripMargin
+    ctes += s"""he AS MATERIALIZED (SELECT $keep, upk,
+      |  (${mul64c(rot("s", 23), P2)} + ${u(P3)}) % $M64 AS x0 FROM hd)""".stripMargin
+    src = fmix(1, "he", s"$keep, upk", "hf")
+    // hashLong(upk, h0)
+    ctes += s"""hg AS MATERIALIZED (SELECT $keep, h0 AS hseed,
+      |  ${mul64c(rot(mul64c("upk", P2), 31), P1)} AS r FROM $src)""".stripMargin
+    ctes += s"""hh AS MATERIALIZED (SELECT $keep,
+      |  (${mul64c(rot(xor(s"(hseed + ${u(P5 + 8L)}) % $M64", "r"), 27), P1)} + ${u(P4)}) % $M64 AS x0
+      |  FROM hg)""".stripMargin
+    src = fmix(1, "hh", keep, "hi")
+    // per-tree hashInt(t, H), fused across the nTrees columns
+    val perTree = (0 until nTrees).map(t =>
+      s"(${mul64c(rot(xor(s"(h0 + ${u(P5 + 4L)}) % $M64", s"(${t.toLong} * ${u(P1)}) % $M64"), 23), P2)} + ${u(P3)}) % $M64 AS x$t")
+      .mkString(", ")
+    ctes += s"hj AS MATERIALIZED (SELECT $keep, $perTree FROM $src)"
+    src = fmix(nTrees, "hj", keep, "hk")
+    // pmod-1000 Poisson buckets
+    def pm(t: Int) =
+      s"((((CASE WHEN h$t >= ${graft.functions.DuckXxhash.pow2(63)} THEN (h$t - $M64)::BIGINT ELSE h$t::BIGINT END) % 1000) + 1000) % 1000)"
+    val wc = (0 until nTrees).map(t =>
+      s"(CASE WHEN ${pm(t)} < 368 THEN 0::BIGINT WHEN ${pm(t)} < 736 THEN 1 " +
+        s"WHEN ${pm(t)} < 920 THEN 2 WHEN ${pm(t)} < 981 THEN 3 ELSE 4 END) AS w$t")
+      .mkString(", ")
+    ctes += s"routed0 AS MATERIALIZED (SELECT $keep, $wc, " +
+      (0 until nTrees).map(t => s"0 AS n$t").mkString(", ") + s" FROM $src)"
+
+    val nodeCase = "CASE tr.t " +
+      (0 until nTrees).map(t => s"WHEN $t THEN n$t").mkString(" ") + " END"
+    val wCase = "CASE tr.t " +
+      (0 until nTrees).map(t => s"WHEN $t THEN w$t").mkString(" ") + " END"
+    val treeVals = (0 until nTrees).map(t => s"($t)").mkString(",")
+    val allowPred = (0 until nTrees).map(t =>
+      s"(l.tree = $t AND l.f IN (${allowed(t).toSeq.sorted.mkString(", ")}))")
+      .mkString(" OR ")
+    for (i <- 1 to 3) {
+      val prev = s"routed${i - 1}"
+      ctes += s"""cells$i AS MATERIALIZED (
+        |  SELECT tr.t AS tree, $nodeCase AS node, fv.f AS f,
+        |         CASE fv.f WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bin,
+        |         label, sum($wCase) AS c
+        |  FROM $prev, (VALUES $treeVals) tr(t), (VALUES (0),(1),(2),(3)) fv(f)
+        |  GROUP BY tree, node, f, bin, label)""".stripMargin
+      ctes += s"""tot$i AS (
+        |  SELECT tree, node,
+        |    sum(CASE WHEN label='A' THEN c ELSE 0 END) AS tA,
+        |    sum(CASE WHEN label='N' THEN c ELSE 0 END) AS tN,
+        |    sum(CASE WHEN label='R' THEN c ELSE 0 END) AS tR
+        |  FROM cells$i WHERE f = 0 GROUP BY tree, node)""".stripMargin
+      ctes += s"""lefts$i AS (
+        |  SELECT c.tree, c.node, c.f, t.t AS t,
+        |    sum(CASE WHEN c.label='A' THEN c.c ELSE 0 END) AS lA,
+        |    sum(CASE WHEN c.label='N' THEN c.c ELSE 0 END) AS lN,
+        |    sum(CASE WHEN c.label='R' THEN c.c ELSE 0 END) AS lR
+        |  FROM cells$i c JOIN range(0, 31) t(t) ON c.bin <= t.t
+        |  GROUP BY c.tree, c.node, c.f, t.t)""".stripMargin
+      ctes += s"""gains$i AS (
+        |  SELECT l.tree, l.node, l.f, l.t,
+        |    (1.0 - (pow(tA/(tA+tN+tR),2) + pow(tN/(tA+tN+tR),2) + pow(tR/(tA+tN+tR),2)))
+        |    - ((lA+lN+lR)*1.0/(tA+tN+tR)) *
+        |      (1.0 - (pow(lA/(lA+lN+lR),2) + pow(lN/(lA+lN+lR),2) + pow(lR/(lA+lN+lR),2)))
+        |    - ((tA+tN+tR-lA-lN-lR)*1.0/(tA+tN+tR)) *
+        |      (1.0 - (pow((tA-lA)/(tA+tN+tR-lA-lN-lR),2)
+        |            + pow((tN-lN)/(tA+tN+tR-lA-lN-lR),2)
+        |            + pow((tR-lR)/(tA+tN+tR-lA-lN-lR),2))) AS g
+        |  FROM lefts$i l JOIN tot$i USING (tree, node)
+        |  WHERE (lA+lN+lR) > 0 AND (lA+lN+lR) < (tA+tN+tR) AND ($allowPred))""".stripMargin
+      ctes += s"""best$i AS MATERIALIZED (
+        |  SELECT tree, node, f, t FROM (
+        |    SELECT tree, node, f, t, g, max(g) OVER (PARTITION BY tree, node) AS mg
+        |    FROM gains$i WHERE g > 1e-12) q
+        |  WHERE g >= mg - 1e-12
+        |  QUALIFY row_number() OVER (PARTITION BY tree, node ORDER BY f, t) = 1)""".stripMargin
+      val routes = (0 until nTrees).map(t =>
+        s"""CASE WHEN bt$t.node IS NULL THEN r.n$t
+          |         ELSE r.n$t*2 + 1 + CASE WHEN (CASE bt$t.f WHEN 0 THEN r.b0 WHEN 1 THEN r.b1
+          |                                        WHEN 2 THEN r.b2 ELSE r.b3 END) > bt$t.t
+          |                             THEN 1 ELSE 0 END END AS n$t""".stripMargin)
+        .mkString(",\n    ")
+      val joins = (0 until nTrees).map(t =>
+        s"LEFT JOIN best$i bt$t ON bt$t.tree = $t AND r.n$t = bt$t.node")
+        .mkString("\n  ")
+      ctes += s"""routed$i AS MATERIALIZED (
+        |  SELECT r.b0, r.b1, r.b2, r.b3, r.label, ${(0 until nTrees).map(t => s"r.w$t").mkString(", ")},
+        |    $routes
+        |  FROM $prev r
+        |  $joins)""".stripMargin
+    }
+    val leafSel = (0 until nTrees).map(t =>
+      s"SELECT $t AS tree, n$t AS leaf, label, w$t AS w FROM routed3")
+      .mkString(" UNION ALL ")
+    ctes += s"""leafc AS MATERIALIZED (
+      |  SELECT tree, leaf, label, sum(w) AS c FROM ($leafSel) GROUP BY tree, leaf, label)""".stripMargin
+    ctes += """preds AS MATERIALIZED (
+      |  SELECT tree, leaf, label AS p FROM (
+      |    SELECT tree, leaf, label, c,
+      |      row_number() OVER (PARTITION BY tree, leaf ORDER BY c DESC, label) AS rn
+      |    FROM leafc) q WHERE rn = 1)""".stripMargin
+    val predJoins = (0 until nTrees).map(t =>
+      s"JOIN preds p$t ON p$t.tree = $t AND r.n$t = p$t.leaf").mkString("\n  ")
+    ctes += s"""combos AS (
+      |  SELECT r.label AS actual, ${(0 until nTrees).map(t => s"p$t.p AS c$t").mkString(", ")},
+      |         count(*) AS cnt
+      |  FROM routed3 r
+      |  $predJoins
+      |  GROUP BY ALL)""".stripMargin
+    def cnt(lab: String) = (0 until nTrees)
+      .map(t => s"(CASE WHEN c$t = '$lab' THEN 1 ELSE 0 END)").mkString(" + ")
+    ctes += s"""voted AS (
+      |  SELECT actual, cnt,
+      |    (CASE WHEN (${cnt("A")}) >= (${cnt("N")})
+      |           AND (${cnt("A")}) >= (${cnt("R")}) THEN 'A'
+      |          WHEN (${cnt("N")}) >= (${cnt("R")}) THEN 'N'
+      |          ELSE 'R' END) AS pred
+      |  FROM combos)""".stripMargin
+    head + ",\n" + ctes.mkString(",\n") + "\n" +
+      """SELECT actual, pred, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM voted GROUP BY actual, pred ORDER BY actual, pred""".stripMargin
+  }
+
   /** Registered pass: 5-tree random forest on dt01's task — the
-    * bounded confusion matrix (actual, pred, n). Rows-only; TreesSpec
-    * pins planted recovery through bagging noise, determinism, and the
-    * majority floor. */
-  val rf01 = Q.rowsOnly("rf01_random_forest") { (s, dir) =>
+    * bounded confusion matrix (actual, pred, n). FULL value oracle via
+    * [[rf01OracleSql]] (the induction replayed in SQL); TreesSpec pins
+    * planted recovery through bagging noise, determinism, the majority
+    * floor, and the forest gain-gap exactness guard. */
+  val rf01 = Q.sql("rf01_random_forest", rf01OracleSql) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
       year(col("l_shipdate")))

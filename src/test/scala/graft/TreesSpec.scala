@@ -116,6 +116,23 @@ class TreesSpec extends SparkTestBase {
         col("l_returnflag"), depth = 3, bins = 32, guardGainGaps = true)
   }
 
+  test("rf01 oracle assumption: no near-tied gains in any tree's weighted cubes") {
+    // same exactness condition as dt01's, but over the forest's
+    // weighted (tree, node) cubes and per-tree feature subsets — the
+    // r10 full SQL replay of the induction is exact only while it
+    // holds; asserted at the spec corpus AND the driver's oracle SF
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01"))
+      Trees.forest(
+        Tables.lineitem(spark, dir),
+        Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+          year(col("l_shipdate"))),
+        col("l_returnflag"),
+        idCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        depth = 3, bins = 32, nTrees = 5, featuresPerTree = 2,
+        guardGainGaps = true)
+  }
+
   test("rf01 on the real table: bounded confusion matrix covering the table") {
     val out = Trees.rf01.run(spark, sfDir).collect()
     assert(out.length <= 9 && out.nonEmpty)
