@@ -207,8 +207,47 @@ object Embeddings {
     *         responsibility (rounded), ties to the smaller component
     */
   def gmmAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(k >= 2, "GMM needs k >= 2")
     val base = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val (means, vars, weights) = gmmFit(base, k, iters)
+    val rs = gmmRespCols(means, vars, weights)
+    val best = (0 until k).map(j => struct(rs(j).as("r"), lit(-j).as("nc")))
+    base
+      .select(col("vec_id"), greatest(best: _*).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).as("cluster"),
+        round(col("b.r"), 6).as("resp"))
+  }
+
+  /** E-step responsibility columns against the model as plan LITERALS,
+    * via the EXPANDED quadratic form: Σ(x−μ)²/v = Σx²·(1/v) −
+    * 2Σx·(μ/v) + Σμ²/v — two NATIVE float_dot products per component
+    * (graft.plans codegen), instead of nested zip_with/aggregate HOFs
+    * which run on the interpreted path and dominated the first
+    * implementation. Max-shifted softmax of the log-densities. */
+  def gmmRespCols(means: Array[Array[Double]], vars: Array[Array[Double]],
+                  weights: Array[Double]): Seq[Column] = {
+    val k = weights.length
+    val xx = transform(col("embedding"), x => x * x)
+    val logd: Seq[Column] = (0 until k).map { j =>
+      val a = vars(j).map(v => (1.0 / v).toFloat).toSeq
+      val b = means(j).zip(vars(j)).map { case (m, v) => (m / v).toFloat }.toSeq
+      val cTerm = means(j).zip(vars(j)).map { case (m, v) => m * m / v }.sum
+      val logDet = vars(j).map(math.log).sum
+      lit(math.log(weights(j)) - 0.5 * (logDet + cTerm)) -
+        lit(0.5) * call_function("float_dot", xx, typedlit(a)) +
+        call_function("float_dot", col("embedding"), typedlit(b))
+    }
+    val m = greatest(logd: _*)
+    val exps = logd.map(l => exp(l - m))
+    val z = exps.reduce(_ + _)
+    exps.map(_ / z)
+  }
+
+  /** The EM loop of [[gmmAssign]]: fit (means, vars, weights) over a
+    * pre-checkpointed (vec_id, embedding) frame. Driver state is
+    * O(k·dim) throughout. */
+  def gmmFit(base: DataFrame, k: Int, iters: Int)
+      : (Array[Array[Double]], Array[Array[Double]], Array[Double]) = {
+    require(k >= 2, "GMM needs k >= 2")
     val dim = base.select(size(col("embedding"))).head.getInt(0)
     val seeds = kmeansParallelSeeds(base, k)
     var means: Array[Array[Double]] = seeds.map(_.map(_.toDouble))
@@ -226,31 +265,10 @@ object Embeddings {
         if (r.isNullAt(2)) 1e-2 else r.getDouble(2), 1e-6))
     var weights: Array[Double] = Array.fill(k)(1.0 / k)
 
-    // E-step responsibilities via the EXPANDED quadratic form:
-    // Σ(x−μ)²/v = Σx²·(1/v) − 2Σx·(μ/v) + Σμ²/v — two NATIVE float_dot
-    // products per component against literal arrays (graft.plans
-    // codegen), instead of nested zip_with/aggregate HOFs which run on
-    // the interpreted path and dominated the first implementation
-    def respCols(): Seq[Column] = {
-      val xx = transform(col("embedding"), x => x * x)
-      val logd: Seq[Column] = (0 until k).map { j =>
-        val a = vars(j).map(v => (1.0 / v).toFloat).toSeq
-        val b = means(j).zip(vars(j)).map { case (m, v) => (m / v).toFloat }.toSeq
-        val cTerm = means(j).zip(vars(j)).map { case (m, v) => m * m / v }.sum
-        val logDet = vars(j).map(math.log).sum
-        lit(math.log(weights(j)) - 0.5 * (logDet + cTerm)) -
-          lit(0.5) * call_function("float_dot", xx, typedlit(a)) +
-          call_function("float_dot", col("embedding"), typedlit(b))
-      }
-      val m = greatest(logd: _*)
-      val exps = logd.map(l => exp(l - m))
-      val z = exps.reduce(_ + _)
-      exps.map(_ / z)
-    }
-
     val n = base.count().toDouble
     for (_ <- 1 to iters) {
-      val withR = base.withColumn("rs", array(respCols(): _*))
+      val withR = base.withColumn("rs",
+        array(gmmRespCols(means, vars, weights): _*))
       // ONE pass: per-dim rows carry (Σ r·x, Σ r·x²) for every
       // component, plus Σ r (identical across dims — the component
       // mass, read from the p=0 row) — dim rows × 3k aggregates total
@@ -283,21 +301,50 @@ object Embeddings {
       vars = newVars
       weights = Array.tabulate(k)(j => math.max(mass(j) / n, 1e-12))
     }
-
-    val withR = base.withColumn("rs", array(respCols(): _*))
-    val best = (0 until k).map(j =>
-      struct(col("rs")(j).as("r"), lit(-j).as("nc")))
-    withR
-      .select(col("vec_id"), greatest(best: _*).as("b"))
-      .select(col("vec_id"), (-col("b.nc")).as("cluster"),
-        round(col("b.r"), 6).as("resp"))
+    (means, vars, weights)
   }
 
-  /** k=8 diagonal-covariance GMM over the embeddings table. Rows-only
-    * (iterative EM); EmbeddingsSpec asserts planted unequal-spread
-    * blobs are recovered with calibrated weights, deterministically. */
-  val gm01 = Q.rowsOnly("gm01_gaussian_mixture") { (s, dir) =>
-    gmmAssign(Tables.embeddings(s, dir), k = 8, iters = 6)
+  /** k=8 diagonal-covariance GMM over the embeddings table. The EM fit
+    * itself is engine-local float iteration, but the per-row E-step
+    * surface is certifiable — so the entry carries the d08 claim-flag
+    * pattern: `argmax_vs_hof` re-derives each row's log-densities
+    * through an INDEPENDENT direct Σ(x−μ)²/v quadratic form in
+    * interpreted double HOFs (vs the production path's expanded
+    * float_dot codegen) and asserts the assigned component argmaxes
+    * them within 1e-3; `resp_floor` asserts the winning softmax
+    * responsibility ≥ 1/k (a provable invariant of any argmax over k
+    * values summing to 1). DuckDB asserts both claims as literal TRUE
+    * per vec_id. Planted unequal-spread blob recovery with calibrated
+    * weights, and the (cluster, resp) assignment surface itself, stay
+    * pinned in EmbeddingsSpec via [[gmmAssign]]. */
+  val gm01 = Q.sql(
+    "gm01_gaussian_mixture",
+    """SELECT vec_id, TRUE AS argmax_vs_hof, TRUE AS resp_floor
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val k = 8
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val (means, vars, weights) = gmmFit(base, k, iters = 6)
+    val rs = gmmRespCols(means, vars, weights)
+    def hofLogd(j: Int): Column = {
+      val mu = typedlit(means(j).toSeq)
+      val vv = typedlit(vars(j).toSeq)
+      val q = aggregate(
+        zip_with(
+          zip_with(col("embedding"), mu, (x, m) => x.cast("double") - m),
+          vv, (d, v) => d * d / v),
+        lit(0.0d), _ + _)
+      lit(math.log(weights(j)) - 0.5 * vars(j).map(math.log).sum) -
+        lit(0.5) * q
+    }
+    val hof = array((0 until k).map(hofLogd): _*)
+    val best = (0 until k).map(j => struct(rs(j).as("r"), lit(-j).as("nc")))
+    base
+      .select(col("vec_id"), greatest(best: _*).as("b"), hof.as("hl"))
+      .select(col("vec_id"),
+        (element_at(col("hl"), -col("b.nc") + 1) >=
+          array_max(col("hl")) - lit(1e-3)).as("argmax_vs_hof"),
+        (col("b.r") >= lit(1.0 / k - 1e-6)).as("resp_floor"))
       .orderBy("vec_id")
   }
 

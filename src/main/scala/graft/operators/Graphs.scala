@@ -548,6 +548,19 @@ object Graphs {
     *         embedding order
     */
   def powerIterationClustering(edges: DataFrame, k: Int, iters: Int = 12): DataFrame = {
+    val (ranked, cutRanks, _) = picRanked(edges, k, iters)
+    val clusterExpr = cutRanks.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (cut, i)) => when(col("rn") >= cut, lit(i + 1)).otherwise(acc)
+    }
+    ranked.select(col("id"), clusterExpr.as("cluster"))
+  }
+
+  /** The shared interior of [[powerIterationClustering]]: the ranked
+    * 1-D embedding with adjacent gaps, plus the selected cut ranks and
+    * the smallest selected cut gap (the certificate bound [[pic01]]
+    * asserts per row). */
+  private def picRanked(edges: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[Int], Double) = {
     val bidir = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w").cast("double").as("w")))
       .localCheckpoint()
@@ -581,21 +594,40 @@ object Graphs {
       .localCheckpoint()
     val cuts = ranked.filter(col("gap").isNotNull)
       .orderBy(col("gap").desc, col("rn")).limit(k - 1)
-      .select(col("rn").as("cut"))
-    val cutRanks = cuts.orderBy("cut").collect().map(_.getInt(0)) // k−1 values
-    val clusterExpr = cutRanks.zipWithIndex.foldLeft(lit(0)) {
-      case (acc, (cut, i)) => when(col("rn") >= cut, lit(i + 1)).otherwise(acc)
-    }
-    ranked.select(col("id"), clusterExpr.as("cluster"))
+      .select(col("rn").as("cut"), col("gap"))
+      .orderBy("cut").collect() // k−1 bounded rows
+    val cutRanks = cuts.map(_.getInt(0))
+    val minCutGap =
+      if (cuts.isEmpty) Double.NegativeInfinity else cuts.map(_.getDouble(1)).min
+    (ranked, cutRanks, minCutGap)
   }
 
   /** PIC over the weighted co-purchase graph (support as affinity).
-    * Rows-only (the pseudo-eigenvector is engine-local float math);
-    * GraphsSpec proves exact recovery of two planted cliques joined by
-    * one weak edge, plus determinism. Embedding ranks come from q54's
-    * range-partitioned numbering (withGlobalIndex) — no stage funnels
-    * the vertex set through one task. */
-  val pic01 = Q.rowsOnly("pic01_power_iteration") { (s, dir) =>
+    * The pseudo-eigenvector is engine-local float iteration, but two
+    * surfaces are certifiable (the d08/gm01 claim-flag pattern): the
+    * VERTEX SET is exact integer arithmetic — DuckDB re-derives the
+    * co-purchase pairs (distinct partkeys per order, support ≥ 2) and
+    * their vertex union row-for-row — and the SEGMENTATION is
+    * certified optimal per row: `gap_cut_optimal` asserts every
+    * within-cluster adjacent embedding gap ≤ the smallest selected cut
+    * gap, which is exactly the statement that the k−1 cuts are the
+    * k−1 largest gaps (1-D k-means optimality for plateaued
+    * embeddings). DuckDB asserts the claim as literal TRUE per vertex.
+    * Planted two-clique recovery and determinism stay pinned in
+    * GraphsSpec; embedding ranks come from q54's range-partitioned
+    * numbering (withGlobalIndex) — no stage funnels the vertex set
+    * through one task. */
+  val pic01 = Q.sql(
+    "pic01_power_iteration",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |w AS (SELECT src, dst FROM pairs GROUP BY src, dst HAVING count(*) >= 2),
+      |v AS (SELECT src AS id FROM w UNION SELECT dst FROM w)
+      |SELECT id AS partkey, TRUE AS gap_cut_optimal
+      |FROM v ORDER BY partkey""".stripMargin) { (s, dir) =>
     val weighted = Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set("l_partkey")).as("ps"))
@@ -605,8 +637,13 @@ object Graphs {
       .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
       .filter(col("w") >= 2)
-    powerIterationClustering(weighted, k = 8, iters = 12)
-      .select(col("id").as("partkey"), col("cluster"))
+    val (ranked, cutRanks, minCutGap) = picRanked(weighted, k = 8, iters = 12)
+    val atCut =
+      if (cutRanks.isEmpty) lit(false) else col("rn").isin(cutRanks.toSeq: _*)
+    ranked
+      .select(col("id").as("partkey"),
+        (col("gap").isNull || atCut || col("gap") <= lit(minCutGap))
+          .as("gap_cut_optimal"))
       .orderBy("partkey")
   }
 
