@@ -285,12 +285,18 @@ class StreamingSpec extends SparkTestBase {
     val q = Pipelines.startToMemory(stream.toDF(), "asof_test", "append")
 
     // batch 1: user 1 clicks before/after their purchase; user 2 never buys
+    // each append coalesces to ONE part file: the continuously-firing
+    // file source can list the directory mid-job-commit and pick up a
+    // subset of a multi-file write as its own micro-batch, which would
+    // split the equal-ts purchase/click pair across batches (observed
+    // as a flake under CPU contention); one file = one atomic rename =
+    // one deterministic batch boundary
     Seq(
       TaggedEvent(1L, t(10), is_purchase = true, 1L, 5.0),
       TaggedEvent(1L, t(5), is_purchase = false, 100L, 0.0),
       TaggedEvent(1L, t(15), is_purchase = false, 101L, 0.0),
       TaggedEvent(2L, t(10), is_purchase = false, 200L, 0.0))
-      .toDS().write.mode("append").parquet(src)
+      .toDS().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     // batch 2: state from batch 1 serves the early click; an equal-ts
     // purchase wins over the click at the same instant (<= semantics)
@@ -298,7 +304,7 @@ class StreamingSpec extends SparkTestBase {
       TaggedEvent(1L, t(18), is_purchase = false, 103L, 0.0),
       TaggedEvent(1L, t(20), is_purchase = true, 2L, 7.0),
       TaggedEvent(1L, t(20), is_purchase = false, 102L, 0.0))
-      .toDS().write.mode("append").parquet(src)
+      .toDS().coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
 
