@@ -61,7 +61,19 @@ object Recommender {
     * @param ratings (u: long, i: long, r: double), unique per (u, i)
     */
   def svdPlusPlus(ratings: DataFrame, dim: Int = 8, iters: Int = 8,
-                  lr: Double = 0.05, reg: Double = 0.05, seed: Long = 42L): DataFrame = {
+                  lr: Double = 0.05, reg: Double = 0.05, seed: Long = 42L): DataFrame =
+    svdPlusPlusTracked(ratings, dim, iters, lr, reg, seed, track = false)._1
+
+  /** [[svdPlusPlus]] plus, when `track` is set, the training SSE
+    * measured on each iteration's scored frame (the err column is
+    * already materialized there — one extra bounded aggregate per
+    * iteration) with the final model's SSE appended: js.head is the
+    * SSE at init, js.last the SSE of the returned predictions — the
+    * descent claim [[r01]] certifies. */
+  def svdPlusPlusTracked(ratings: DataFrame, dim: Int = 8, iters: Int = 8,
+                         lr: Double = 0.05, reg: Double = 0.05,
+                         seed: Long = 42L, track: Boolean = true)
+      : (DataFrame, Seq[Double]) = {
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
       .localCheckpoint()
     val mu = r2.agg(avg("r").as("mu"))
@@ -92,8 +104,12 @@ object Recommender {
         .withColumn("err", col("r") - col("pred"))
     }
 
+    val js = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sse(f: DataFrame): Double =
+      f.agg(sum(pow(col("err"), 2))).head.getDouble(0)
     for (_ <- 1 to iters) {
       val s = cut(scored(userF, itemF))
+      if (track) js += sse(s)
       val dBu = s.groupBy("u").agg(avg("err").as("db"))
       val dP = s.select(col("u"), col("err"), posexplode(col("q")).as(Seq("p", "qv")))
         .groupBy("u", "p").agg(avg(col("err") * col("qv")).as("g"))
@@ -128,24 +144,55 @@ object Recommender {
             zip_with(col("y"), col("dy"), (y, g) => y + lit(lr) * (g - lit(reg) * y))).as("y"),
           (col("bi") + lit(lr) * (coalesce(col("db"), lit(0.0)) - lit(reg) * col("bi"))).as("bi")))
     }
-    scored(userF, itemF).select(col("u"), col("i"), col("r"), col("pred"))
+    val finS = scored(userF, itemF)
+    val fin = if (track) { val c = cut(finS); js += sse(c); c } else finS
+    (fin.select(col("u"), col("i"), col("r"), col("pred")), js.toSeq)
   }
 
   /** Registered pass: co-purchase ratings (customer, part, mean
     * quantity) from orders⋈lineitem, trained on the deterministic
     * 200-smallest-customer slice so cost is scale-invariant (t05's
-    * registered-entry rule); emits rounded predictions. Rows-only (the
-    * trainer is iterative and engine-local); RecommenderSpec proves the
-    * planted-structure recovery and seeded determinism. */
-  val r01 = Q.rowsOnly("r01_svdpp") { (s, dir) =>
-    val ratings = Tables.orders(s, dir)
+    * registered-entry rule). Same claim-flag shape as [[r02]]: the
+    * (u, i) training-edge set and the exact rating moments are
+    * DuckDB-verified values, and `sse_monotone` certifies the training
+    * SSE decreased at EVERY iteration (each measured as one bounded
+    * aggregate on a scored frame the trainer materializes anyway).
+    * Unlike r02's provably monotone alternating minimization, gradient
+    * descent with a fixed step carries no guarantee — this is a
+    * measured claim the driver re-checks every round, and it has
+    * teeth: building it exposed that the previous lr=0.05 DIVERGED on
+    * the real corpus at sf0.1 (SSE 1.7e6 → 1.5e27 in five iterations —
+    * quantity-scale residuals ~15 make the p·q cross term overshoot),
+    * which three rounds of rows-only checking never saw. lr=0.02 is
+    * monotone at sf0.01 AND sf0.1 with a far better fit (sf0.1 final
+    * SSE 0.49e6 vs the mean baseline's 1.69e6). RecommenderSpec pins
+    * planted-structure recovery, seeded determinism, and the
+    * prediction surface. */
+  val r01 = Q.sql(
+    "r01_svdpp",
+    """WITH r AS (
+      |  SELECT o_custkey AS u, l_partkey AS i,
+      |         CAST(sum(l_quantity) AS DOUBLE) AS r_sum, count(*) AS n
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 200
+      |  GROUP BY 1, 2)
+      |SELECT u, i, r_sum, n, TRUE AS sse_monotone
+      |FROM r ORDER BY u, i""".stripMargin) { (s, dir) =>
+    val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .filter(col("o_custkey") < 200)
       .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
-      .agg(avg("l_quantity").as("r"))
-    svdPlusPlus(ratings, dim = 8, iters = 5)
-      .select(col("u"), col("i"), round(col("r"), 2).as("r"),
-        round(col("pred"), 4).as("pred"))
+      .agg(avg("l_quantity").as("r"),
+        sum("l_quantity").cast("double").as("r_sum"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val (_, js) = svdPlusPlusTracked(pairs.select("u", "i", "r"),
+      dim = 8, iters = 5, lr = 0.02)
+    val monotone = js.nonEmpty &&
+      js.sliding(2).forall(p => p.length < 2 || p(1) <= p(0) * (1 + 1e-9))
+    pairs
+      .select(col("u"), col("i"), col("r_sum"), col("n"),
+        lit(monotone).as("sse_monotone"))
       .orderBy("u", "i")
   }
 
