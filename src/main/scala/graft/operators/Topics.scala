@@ -108,11 +108,31 @@ object Topics {
       .orderBy("topic", "rk")
   }
 
-  /** k=4 topics over the documents table, top-5 terms each. Rows-only
-    * (EM is iterative and seeded-engine-local); TopicsSpec proves
-    * planted two-vocabulary recovery and determinism. */
-  val lda01 = Q.rowsOnly("lda01_topics") { (s, dir) =>
-    ldaTopics(Tables.documents(s, dir), k = 4, iters = 10)
+  /** k=4 topics over the documents table, top-5 terms each. The EM fit
+    * is seeded-engine-local, but three surfaces are certifiable (the
+    * d08 claim-flag pattern): the ROW SET is exactly k×topWords (right
+    * topic count, exactly topWords ranked terms each — DuckDB
+    * enumerates it); `phi_in_unit` asserts every emitted φ ∈ (0, 1]
+    * (provable: (t_j+β)/(mass_j+Vβ) with t_j ≤ mass_j); and
+    * `term_in_vocab` asserts each top term is a real corpus token,
+    * checked by an INDEPENDENT semi-join against the tokenized corpus
+    * rather than by construction. TopicsSpec keeps pinning planted
+    * two-vocabulary recovery and determinism via [[ldaTopics]]. */
+  val lda01 = Q.sql(
+    "lda01_topics",
+    """SELECT t.topic, r.rk, TRUE AS phi_in_unit, TRUE AS term_in_vocab
+      |FROM range(0, 4) t(topic) CROSS JOIN range(1, 6) r(rk)
+      |ORDER BY topic, rk""".stripMargin) { (s, dir) =>
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(s, dir)
+    val vocab = docs.select(explode(tokens(col("text"))).as("term")).distinct()
+      .withColumn("in_vocab", lit(true))
+    ldaTopics(docs, k = 4, iters = 10)
+      .join(vocab, Seq("term"), "left")
+      .select(col("topic").cast("long").as("topic"), col("rk").cast("long").as("rk"),
+        (col("phi6") > 0.0 && col("phi6") <= 1.0).as("phi_in_unit"),
+        coalesce(col("in_vocab"), lit(false)).as("term_in_vocab"))
+      .orderBy("topic", "rk")
   }
 
   val all: Seq[Q] = Seq(lda01)

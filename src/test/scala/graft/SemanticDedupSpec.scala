@@ -112,10 +112,21 @@ class SemanticDedupSpec extends SparkTestBase {
       assert(out.find(_._1 == r * 100 + j).get._2 == r * 100)
   }
 
-  test("d09 runs on the embeddings table and keep-flags partition the corpus") {
+  test("d09 covers the embeddings table with both structure certificates true") {
     val out = SemanticDedup.d09.run(spark, sfDir).cache()
     val n = Tables.embeddings(spark, sfDir).count()
     assert(out.count() == n)
+    // the certificates carry the old partition assertions: label_le_id
+    // (min-label contract) and one_keeper (exactly one survivor per
+    // component, independently recounted in-plan)
+    assert(out.filter(!col("label_le_id") || !col("one_keeper")).count() == 0)
+  }
+
+  test("semanticDedup keep-flags partition the corpus (pipeline surface)") {
+    val out = SemanticDedup.semanticDedup(
+      Tables.embeddings(spark, sfDir),
+      k = 8, iters = 5, nPlanes = 16, nTables = 4, tau = 0.99,
+      targetOccupancy = 64).cache()
     // every component's survivor is its own cluster_id
     assert(out.filter(col("keep") === 1 && col("cluster_id") =!= col("vec_id")).count() == 0)
     // every non-survivor points at a surviving cluster_id
