@@ -246,10 +246,12 @@ object Recommender {
 
   /** [[als]] plus, when `track` is set, the ALS-WR regularized
     * objective J = Σ_ratings [(r − p·q)² + reg·(‖p_u‖² + ‖q_i‖²)]
-    * measured after every half-round — ONE bounded join+agg each.
-    * Alternating EXACT minimization (each half-round solves its side's
-    * normal equations exactly) makes the sequence provably
-    * non-increasing — the claim [[r02]] certifies. */
+    * measured after every FULL round — ONE bounded join+agg each
+    * (per-half-round measurement doubled the job count for the same
+    * guarantee: each half-round is an exact normal-equations solve, so
+    * J is non-increasing at every half-step and therefore across any
+    * composition of them). The sequence is provably non-increasing —
+    * the claim [[r02]] certifies. */
   def alsTracked(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
                  reg: Double = 0.1, seed: Long = 42L,
                  track: Boolean = true): (DataFrame, Seq[Double]) = {
@@ -302,7 +304,6 @@ object Recommender {
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
       userF = cut(halfRound(itemF, "i", "u", "f"))
-      if (track) js += objective(userF, itemF)
       itemF = cut(halfRound(userF, "u", "i", "f"))
       if (track) js += objective(userF, itemF)
     }
