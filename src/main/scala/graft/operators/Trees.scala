@@ -350,6 +350,13 @@ object Trees {
 
     val splits = Array.fill(nTrees)(Map.empty[Int, Split])
     val leaves = Array.fill(nTrees)(Map.empty[Int, String])
+    // only a tree's ALLOWED features ever compete in chooseSplit (whose
+    // weight-carrier is allowed.min, also in the set), so the level cube
+    // drops the others before the shuffle: nTrees×featuresPerTree rows
+    // per input row instead of nTrees×d
+    val allowedPair = (0 until nTrees).map(t =>
+      col("t") === t && col("f").isin(allowed(t).toSeq.sorted.map(Int.box): _*))
+      .reduce(_ || _)
     for (_ <- 0 until depth) {
       val cube = df
         .select(col("b"), col("label"), col("w"), col("node"),
@@ -357,6 +364,7 @@ object Trees {
         .select(col("t"), element_at(col("node"), col("t") + 1).as("node"),
           element_at(col("w"), col("t") + 1).as("wt"), col("label"),
           posexplode(col("b")).as(Seq("f", "bin")))
+        .filter(allowedPair)
         .groupBy("t", "node", "f", "bin", "label").agg(sum("wt").as("c"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
