@@ -311,7 +311,10 @@ object Embeddings {
     * through an INDEPENDENT direct Σ(x−μ)²/v quadratic form in
     * interpreted double HOFs (vs the production path's expanded
     * float_dot codegen) and asserts the assigned component argmaxes
-    * them within 1e-3; `resp_floor` asserts the winning softmax
+    * them within 1e-3 + 1e-6·|max| (magnitude-scaled: the float path's
+    * absolute error grows with the quadratic form, so a fixed band
+    * would flip on legitimately huge densities); `resp_floor` asserts
+    * the winning softmax
     * responsibility ≥ 1/k (a provable invariant of any argmax over k
     * values summing to 1). DuckDB asserts both claims as literal TRUE
     * per vec_id. Planted unequal-spread blob recovery with calibrated
@@ -342,8 +345,16 @@ object Embeddings {
     base
       .select(col("vec_id"), greatest(best: _*).as("b"), hof.as("hl"))
       .select(col("vec_id"),
+        // tolerance scales with the log-density magnitude: the float
+        // path's absolute error is relative to the quadratic-form terms
+        // (up to ~1e-7·|logd| when a variance sits at its 1e-6 floor),
+        // so a fixed 1e-3 band would flip on legitimately huge
+        // densities while a disagreement beyond 1e-3 + 1e-6·|max|
+        // is a genuine argmax bug
         (element_at(col("hl"), -col("b.nc") + 1) >=
-          array_max(col("hl")) - lit(1e-3)).as("argmax_vs_hof"),
+          array_max(col("hl")) -
+            (lit(1e-3) + lit(1e-6) * abs(array_max(col("hl")))))
+          .as("argmax_vs_hof"),
         (col("b.r") >= lit(1.0 / k - 1e-6)).as("resp_floor"))
       .orderBy("vec_id")
   }

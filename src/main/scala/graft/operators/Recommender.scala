@@ -319,9 +319,12 @@ object Recommender {
     * carries the claim-flag pattern: the (u, i) training-edge set and
     * the exact rating moments (Σ l_quantity, count) are values DuckDB
     * re-derives row-for-row, and `monotone_obj` certifies the ALS-WR
-    * regularized objective measured after every half-round never
+    * regularized objective measured after every FULL round never
     * increased — PROVABLE, since each half-round solves its side's
-    * normal equations exactly (alternating exact minimization).
+    * normal equations exactly (alternating exact minimization; J is
+    * non-increasing at every half-step, so any composition of them is
+    * too — measuring per round halves the job count for the same
+    * guarantee).
     * RecommenderSpec pins planted exact-low-rank recovery, that ALS
     * out-fits r01's gradient trainer on its own objective, seeded
     * determinism, and the prediction surface. */

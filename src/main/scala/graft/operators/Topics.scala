@@ -112,8 +112,11 @@ object Topics {
     * is seeded-engine-local, but three surfaces are certifiable (the
     * d08 claim-flag pattern): the ROW SET is exactly k×topWords (right
     * topic count, exactly topWords ranked terms each — DuckDB
-    * enumerates it); `phi_in_unit` asserts every emitted φ ∈ (0, 1]
-    * (provable: (t_j+β)/(mass_j+Vβ) with t_j ≤ mass_j); and
+    * enumerates it); `phi_in_unit` asserts every emitted 6dp-rounded φ
+    * ∈ [0, 1] (the raw φ = (t_j+β)/(mass_j+Vβ) with t_j ≤ mass_j is
+    * provably in (0, 1], so its rounding is provably in [0, 1] — the
+    * flag bounds the ROUNDED value because a legitimate φ < 5e-7
+    * rounds to 0); and
     * `term_in_vocab` asserts each top term is a real corpus token,
     * checked by an INDEPENDENT semi-join against the tokenized corpus
     * rather than by construction. TopicsSpec keeps pinning planted
@@ -130,7 +133,7 @@ object Topics {
     ldaTopics(docs, k = 4, iters = 10)
       .join(vocab, Seq("term"), "left")
       .select(col("topic").cast("long").as("topic"), col("rk").cast("long").as("rk"),
-        (col("phi6") > 0.0 && col("phi6") <= 1.0).as("phi_in_unit"),
+        (col("phi6") >= 0.0 && col("phi6") <= 1.0).as("phi_in_unit"),
         coalesce(col("in_vocab"), lit(false)).as("term_in_vocab"))
       .orderBy("topic", "rk")
   }

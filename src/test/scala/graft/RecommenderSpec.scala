@@ -97,7 +97,7 @@ class RecommenderSpec extends SparkTestBase {
     assert(out.count() > 0)
     // the certificate is the provable claim: each ALS-WR half-round is
     // an exact normal-equations solve, so the regularized objective the
-    // entry measured after every half-round never increased (finite
+    // entry measured after every full round never increased (finite
     // predictions are pinned by the planted ALS tests above)
     assert(out.filter(!col("monotone_obj")).count() == 0)
     assert(out.groupBy("u", "i").count().filter(col("count") > 1).count() == 0)
