@@ -25,7 +25,7 @@ object SparkEntry {
       operators.SemanticDedup.all ++
       operators.Graphs.all ++
       operators.Multimodal.all ++ operators.Stats.all ++
-      operators.Evaluation.all
+      operators.Evaluation.all ++ sources.RandomData.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -120,4 +120,47 @@ object DuckXxhash {
         "ELSE a4::BIGINT END", prev)
     (out.mkString(",\n"), prev)
   }
+
+  /** XXH64 of one 8-byte long — Spark's `XxHash64Function.hashLong`
+    * (the per-field step of the multi-argument `xxhash64` fold),
+    * replicated from the public XXH64 spec for deriving fold constants
+    * driver-side (e.g. the accumulated seed after hashing a literal). */
+  def hashLong(v: Long, seed: Long): Long = {
+    var hash = seed + P5 + 8L
+    val k1 = java.lang.Long.rotateLeft(v * P2, 31) * P1
+    hash ^= k1
+    hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
+    hash ^= hash >>> 33
+    hash *= P2
+    hash ^= hash >>> 29
+    hash *= P3
+    hash ^= hash >>> 32
+    hash
+  }
+
+  /** CTE chain computing `hashLong(v, seed)` in DuckDB for an input CTE
+    * `inp` carrying an unsigned-HUGEINT column `v` (other columns ride
+    * along via SELECT *). Returns (fragment, finalCteName); the final
+    * CTE has column `h`, the unsigned 64-bit hash. Every step is
+    * MATERIALIZED: mul64c quadruples its operand expression, so an
+    * inlined chain grows exponentially (the rf01 lesson). */
+  def hashLongCtes(inp: String, seed: Long, prefix: String = "rh")
+      : (String, String) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def add(name: String, col: String, expr: String, src: String): String = {
+      out += s"$name AS MATERIALIZED (SELECT *, $expr AS $col FROM $src)"
+      name
+    }
+    var prev = add(s"${prefix}a", s"${prefix}_s",
+      xor(u(seed + P5 + 8L), mul64c(rot(mul64c("v", P2), 31), P1)), inp)
+    prev = add(s"${prefix}b", s"${prefix}_f0",
+      s"(${mul64c(rot(s"${prefix}_s", 27), P1)} + ${u(P4)}) % $M64", prev)
+    prev = add(s"${prefix}c", s"${prefix}_f1",
+      mul64c(xor(s"${prefix}_f0", s"${prefix}_f0//${pow2(33)}"), P2), prev)
+    prev = add(s"${prefix}d", s"${prefix}_f2",
+      mul64c(xor(s"${prefix}_f1", s"${prefix}_f1//${pow2(29)}"), P3), prev)
+    prev = add(s"${prefix}e", "h",
+      xor(s"${prefix}_f2", s"${prefix}_f2//${pow2(32)}"), prev)
+    (out.mkString(",\n"), prev)
+  }
 }

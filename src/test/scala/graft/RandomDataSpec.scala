@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.RandomData
+
+/** Distribution + reproducibility contract of the hash-based generators
+  * (reference mllib/random/RandomRDDs.scala semantics, partition-
+  * invariant by construction here). Tolerances are ~5 standard errors
+  * at the sampled n — deterministic generators, so these never flake:
+  * the draws are fixed by (seed, id). */
+class RandomDataSpec extends SparkTestBase {
+
+  private val n = 20000L
+
+  test("uniform: bounds, mean, variance, and partition-count invariance") {
+    val u = RandomData.uniform(spark, n, parts = 8, seed = 11L).cache()
+    assert(u.count() == n)
+    assert(u.filter(col("u") < 0.0 || col("u") >= 1.0).count() == 0)
+    val r = u.agg(avg("u"), var_samp("u")).head
+    assert(math.abs(r.getDouble(0) - 0.5) < 0.011, s"mean ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0 / 12) < 0.005, s"var ${r.getDouble(1)}")
+    // THE design property: values are a function of (seed, id), so a
+    // different partitioning yields the identical table
+    val u1 = RandomData.uniform(spark, n, parts = 3, seed = 11L)
+    assert(u.except(u1).count() == 0 && u1.except(u).count() == 0)
+  }
+
+  test("normal and logNormal: moments match") {
+    val z = RandomData.normal(spark, n, parts = 8, seed = 5L)
+      .agg(avg("z"), var_samp("z")).head
+    assert(math.abs(z.getDouble(0)) < 0.04, s"mean ${z.getDouble(0)}")
+    assert(math.abs(z.getDouble(1) - 1.0) < 0.06, s"var ${z.getDouble(1)}")
+    val ln = RandomData.logNormal(spark, n, parts = 8, mu = 0.0, sigma = 0.5, seed = 5L)
+      .agg(avg("x")).head.getDouble(0)
+    assert(math.abs(ln - math.exp(0.125)) < 0.03, s"logNormal mean $ln")
+  }
+
+  test("poisson and exponential and gamma: means match the parameters") {
+    val lam = 4.0
+    val k = RandomData.poisson(spark, n, parts = 8, lambda = lam, seed = 3L)
+      .agg(avg("k"), min("k")).head
+    assert(math.abs(k.getDouble(0) - lam) < 0.08, s"poisson mean ${k.getDouble(0)}")
+    assert(k.getLong(1) >= 0L)
+    val e = RandomData.exponential(spark, n, parts = 8, mean = 2.5, seed = 3L)
+      .agg(avg("x"), min("x")).head
+    assert(math.abs(e.getDouble(0) - 2.5) < 0.1, s"exp mean ${e.getDouble(0)}")
+    assert(e.getDouble(1) >= 0.0)
+    // Gamma(3, 2): mean 6, var 12
+    val g = RandomData.gamma(spark, n, parts = 8, shape = 3, scale = 2.0, seed = 3L)
+      .agg(avg("x"), var_samp("x")).head
+    assert(math.abs(g.getDouble(0) - 6.0) < 0.15, s"gamma mean ${g.getDouble(0)}")
+    assert(math.abs(g.getDouble(1) - 12.0) < 1.2, s"gamma var ${g.getDouble(1)}")
+  }
+
+  test("vector variants: dim, per-dimension stream independence") {
+    val dim = 8
+    val uv = RandomData.uniformVectors(spark, 5000L, parts = 4, dim = dim, seed = 9L).cache()
+    assert(uv.select(size(col("v"))).distinct().head.getInt(0) == dim)
+    // distinct dimensions draw from distinct streams: correlation ~ 0
+    val c = uv.select(corr(col("v")(0), col("v")(1))).head.getDouble(0)
+    assert(math.abs(c) < 0.05, s"cross-dim corr $c")
+    val nv = RandomData.normalVectors(spark, 5000L, parts = 4, dim = dim, seed = 9L)
+    val m = nv.select(explode(col("v")).as("z")).agg(avg("z"), var_samp("z")).head
+    assert(math.abs(m.getDouble(0)) < 0.03 && math.abs(m.getDouble(1) - 1.0) < 0.06)
+  }
+
+  test("rd01 registered entry: 10k rows, in [0,1), deterministic") {
+    val a = RandomData.rd01.run(spark, sfDir).cache()
+    assert(a.count() == 10000)
+    assert(a.filter(col("u") < 0.0 || col("u") >= 1.0).count() == 0)
+    val b = RandomData.rd01.run(spark, sfDir)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}
