@@ -145,6 +145,15 @@ object DuckXxhash {
     * MATERIALIZED: mul64c quadruples its operand expression, so an
     * inlined chain grows exponentially (the rf01 lesson). */
   def hashLongCtes(inp: String, seed: Long, prefix: String = "rh")
+      : (String, String) =
+    hashLongCtesExpr(inp, u(seed), prefix)
+
+  /** [[hashLongCtes]] with a VARIABLE seed: `seedExpr` is any unsigned-
+    * HUGEINT SQL expression over `inp`'s columns (typically the `h` of a
+    * previous chain, renamed) — the per-field accumulation of Spark's
+    * multi-argument `xxhash64` fold, where each field's hash seeds the
+    * next field's. */
+  def hashLongCtesExpr(inp: String, seedExpr: String, prefix: String = "rh")
       : (String, String) = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     def add(name: String, col: String, expr: String, src: String): String = {
@@ -152,7 +161,8 @@ object DuckXxhash {
       name
     }
     var prev = add(s"${prefix}a", s"${prefix}_s",
-      xor(u(seed + P5 + 8L), mul64c(rot(mul64c("v", P2), 31), P1)), inp)
+      xor(s"((($seedExpr) + ${u(P5 + 8L)}) % $M64)",
+        mul64c(rot(mul64c("v", P2), 31), P1)), inp)
     prev = add(s"${prefix}b", s"${prefix}_f0",
       s"(${mul64c(rot(s"${prefix}_s", 27), P1)} + ${u(P4)}) % $M64", prev)
     prev = add(s"${prefix}c", s"${prefix}_f1",

@@ -170,14 +170,44 @@ object Stats {
       .orderBy("l_returnflag")
   }
 
-  /** Seeded Bernoulli sample — reproducible across runs (same seed, same
-    * rows) but engine-specific RNG, so rows-only; StatsSpec asserts
-    * determinism and the sampling fraction. */
-  val q38 = Q.rowsOnly("q38_sample") { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
-      .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+  /** Seeded Bernoulli sample, deterministic BY CONSTRUCTION (r11): the
+    * engine-RNG `df.sample` (placement-dependent membership) is replaced
+    * with [[Sampling.sample]]'s pure column predicate
+    * u = (xxhash64(42, l_orderkey, l_linenumber) >>> 11)·2⁻⁵³ < 0.1 —
+    * partition-, retry-, and engine-invariant, so the entry gets a FULL
+    * VALUE oracle: DuckDB replays the two-field xxhash64 fold through the
+    * chained hashLong CTEs (constant fold seed hashLong(42, 42), then the
+    * variable-seed second field — exactly Spark's multi-argument
+    * accumulation) and derives the identical membership bit per row.
+    * Rate/determinism/partition-invariance stay spec'd in StatsSpec. */
+  val q38: Q = {
+    import graft.functions.DuckXxhash
+    val foldSeed = DuckXxhash.hashLong(42L, 42L)
+    val (c1, f1) = DuckXxhash.hashLongCtes("inp", foldSeed, "s1")
+    val (c2, f2) = DuckXxhash.hashLongCtesExpr("mid", "hseed", "s2")
+    Q.sql(
+      "q38_sample",
+      s"""WITH inp AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    (CASE WHEN l_orderkey < 0 THEN l_orderkey::HUGEINT + ${DuckXxhash.M64}
+        |          ELSE l_orderkey::HUGEINT END) AS v,
+        |    (CASE WHEN l_linenumber < 0 THEN l_linenumber::HUGEINT + ${DuckXxhash.M64}
+        |          ELSE l_linenumber::HUGEINT END) AS vb
+        |  FROM lineitem),
+        |$c1,
+        |mid AS MATERIALIZED (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, vb AS v, h AS hseed
+        |  FROM $f1),
+        |$c2
+        |SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM $f2
+        |WHERE CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 < CAST(0.1 AS DOUBLE)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Sampling.sample(Tables.lineitem(s, dir), fraction = 0.1, seed = 42L,
+          col("l_orderkey"), col("l_linenumber").cast("long"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }
   }
 
   /** Native per-key top-k via the custom LogicalPlan/Strategy/SparkPlan
@@ -201,17 +231,40 @@ object Stats {
 
   /** Stratified sampling (DataFrameStatFunctions.sampleBy, the
     * PairRDDFunctions.sampleByKey surface): per-stratum Bernoulli
-    * fractions in one distributed pass — the training-data move for
-    * rebalancing a language/domain mix without a shuffle (sampling is a
-    * map-side filter; no groupBy anywhere). Engine-specific RNG, so
-    * rows-only; StatsSpec asserts determinism, per-stratum rates and
-    * that unlisted strata drop out. */
-  val q52 = Q.rowsOnly("q52_sample_by") { (s, dir) =>
-    graft.Tables.documents(s, dir)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1), seed = 42L)
-      .select("doc_id", "lang")
-      .orderBy("doc_id")
+    * fractions in one map-side pass — the training-data move for
+    * rebalancing a language/domain mix without a shuffle. Deterministic
+    * by construction since r11 ([[Sampling.sampleBy]]'s hash predicate on
+    * doc_id), so the entry gets a FULL VALUE oracle: DuckDB replays
+    * xxhash64(42, doc_id) through one constant-seed hashLong chain and
+    * applies the identical per-stratum threshold; unlisted strata drop
+    * out on both engines (null fraction ⇒ null predicate). Per-stratum
+    * rates, determinism and partition invariance stay spec'd. */
+  val q52: Q = {
+    import graft.functions.DuckXxhash
+    val foldSeed = DuckXxhash.hashLong(42L, 42L)
+    val (c1, f1) = DuckXxhash.hashLongCtes("inp", foldSeed, "s1")
+    Q.sql(
+      "q52_sample_by",
+      s"""WITH inp AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + ${DuckXxhash.M64}
+        |          ELSE doc_id::HUGEINT END) AS v
+        |  FROM documents),
+        |$c1
+        |SELECT doc_id, lang
+        |FROM $f1
+        |WHERE CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 <
+        |  CASE lang WHEN 'en' THEN CAST(0.8 AS DOUBLE)
+        |            WHEN 'de' THEN CAST(0.5 AS DOUBLE)
+        |            WHEN 'fr' THEN CAST(0.25 AS DOUBLE)
+        |            WHEN 'es' THEN CAST(0.1 AS DOUBLE) END
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.sampleBy(graft.Tables.documents(s, dir), "lang",
+          Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1),
+          seed = 42L, col("doc_id"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
   }
 
   /** Per-distinct-value average Spearman ranks of column `c` — the

@@ -14,6 +14,24 @@ class StatsSpec extends SparkTestBase {
     assert(frac > 0.05 && frac < 0.15, s"fraction $frac far from 0.1")
   }
 
+  test("hash sampling membership is partition-count invariant") {
+    import graft.operators.Sampling
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sample(df, 0.1, 42L,
+          col("l_orderkey"), col("l_linenumber").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val one = keys(li.repartition(1))
+    val many = keys(li.repartition(17))
+    assert(one == many, "sample membership must not depend on placement")
+    // a different seed draws a genuinely different subset
+    val other = Sampling.sample(li, 0.1, 43L,
+        col("l_orderkey"), col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(other != one, "distinct seeds must give distinct samples")
+  }
+
   test("q37 weighted average equals the algebraic identity") {
     val got = Stats.q37.run(spark, sfDir)
     val want = Tables.lineitem(spark, sfDir)
@@ -57,6 +75,13 @@ class StatsSpec extends SparkTestBase {
     val again = Stats.q52.run(spark, sfDir)
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty,
       "same seed must reproduce the same sample")
+    // partition invariance: the same doc_ids survive at any parallelism
+    import graft.operators.Sampling
+    val oneP = Sampling.sampleBy(docs.repartition(1), "lang", fractions, 42L,
+        col("doc_id")).select("doc_id")
+    assert(oneP.exceptAll(got.select("doc_id")).isEmpty &&
+      got.select("doc_id").exceptAll(oneP).isEmpty,
+      "stratified sample membership must not depend on placement")
     got.unpersist()
   }
 
