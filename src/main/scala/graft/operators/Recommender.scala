@@ -58,10 +58,18 @@ object Recommender {
 
   /** Train and return (u, i, r, pred) over the training edges.
     *
+    * The default lr=0.02 is the MEASURED-STABLE step on quantity-scale
+    * ratings (residuals ~15): r01's sse_monotone certificate proved the
+    * former default 0.05 diverges (SSE 1.7e6 → 1.5e27 over five
+    * iterations at sf0.1), so a bare call now gets the configuration
+    * the certificate validates; RecommenderSpec pins the diverging-lr
+    * regression (tracked SSE at lr=0.05 breaks monotonicity — the
+    * exact failure the certificate catches).
+    *
     * @param ratings (u: long, i: long, r: double), unique per (u, i)
     */
   def svdPlusPlus(ratings: DataFrame, dim: Int = 8, iters: Int = 8,
-                  lr: Double = 0.05, reg: Double = 0.05, seed: Long = 42L): DataFrame =
+                  lr: Double = 0.02, reg: Double = 0.05, seed: Long = 42L): DataFrame =
     svdPlusPlusTracked(ratings, dim, iters, lr, reg, seed, track = false)._1
 
   /** [[svdPlusPlus]] plus, when `track` is set, the training SSE
@@ -71,7 +79,7 @@ object Recommender {
     * SSE at init, js.last the SSE of the returned predictions — the
     * descent claim [[r01]] certifies. */
   def svdPlusPlusTracked(ratings: DataFrame, dim: Int = 8, iters: Int = 8,
-                         lr: Double = 0.05, reg: Double = 0.05,
+                         lr: Double = 0.02, reg: Double = 0.05,
                          seed: Long = 42L, track: Boolean = true)
       : (DataFrame, Seq[Double]) = {
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))

@@ -218,7 +218,10 @@ object Similarity {
       |inp AS (SELECT DISTINCT s FROM grams),
       |$xxh,
       |gramh AS (
-      |  SELECT g.doc_id, ((x.hash % $P) + $P) % $P AS hp
+      |  -- COALESCE poisons the >=32-byte NULL contract loudly (r11): a
+      |  -- corpus-guard regression must error, not shrink the signature
+      |  SELECT g.doc_id,
+      |    ((COALESCE(x.hash, error('xxh64 oracle: gram >= 32 bytes')) % $P) + $P) % $P AS hp
       |  FROM grams g JOIN $fin x ON x.s = g.s),
       |sigs AS (
       |  SELECT d.doc_id,
@@ -305,8 +308,11 @@ object Similarity {
       |inp AS (SELECT DISTINCT tok AS s FROM toks),
       |$xxh,
       |toksh AS (
+      |  -- COALESCE poisons the >=32-byte NULL contract loudly (r11): a
+      |  -- corpus-guard regression must error, not vote -1 on every bit
       |  SELECT t.doc_id,
-      |    (CASE WHEN x.hash < 0 THEN x.hash::HUGEINT + $M64
+      |    (CASE WHEN COALESCE(x.hash, error('xxh64 oracle: token >= 32 bytes')) < 0
+      |          THEN x.hash::HUGEINT + $M64
       |          ELSE x.hash::HUGEINT END) AS uh
       |  FROM toks t JOIN $fin x ON x.s = t.tok),
       |votes AS (

@@ -535,7 +535,12 @@ object Trees {
       li,
       Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
         year(col("l_shipdate"))),
-      col("l_returnflag"), depth = 3, bins = 32)
+      col("l_returnflag"), depth = 3, bins = 32,
+      // free driver-side assert over the already-collected candidate
+      // gains (r11 advice): the SQL replay's exactness rests on gains
+      // sitting >2e-12 apart — guard it in the REGISTERED run at the
+      // driver's SF, not only in TreesSpec's corpora
+      guardGainGaps = true)
     val leafPred = model.leafClass.toSeq.toDF("node", "pred")
     assigned.groupBy("node", "label").agg(count(lit(1)).as("c"))
       .join(broadcast(leafPred), Seq("node"))
@@ -748,7 +753,10 @@ object Trees {
       year(col("l_shipdate")))
     val (models, frame) = forest(li, fts, col("l_returnflag"),
       idCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
-      depth = 3, bins = 32, nTrees = 5, featuresPerTree = 2)
+      depth = 3, bins = 32, nTrees = 5, featuresPerTree = 2,
+      // same near-tie guard as dt01's registered run (r11): a corpus
+      // drift shows as this targeted assert, not an opaque hash mismatch
+      guardGainGaps = true)
     // vote over the trainer's own binned frame (r10): no second min/max
     // pass, no re-scan of lineitem
     frame.select(col("label").as("actual"), voteExpr(models, col("b")).as("pred"))

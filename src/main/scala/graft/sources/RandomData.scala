@@ -29,6 +29,24 @@ import graft.Q
   */
 object RandomData {
 
+  /** Disjoint per-family salt namespaces (r11, advice item): every
+    * distribution family draws its uniforms from its OWN 1e6-wide salt
+    * block, so generators COMPOSE at the same (seed, id) without hidden
+    * dependence — previously gamma term 0 reused exponential's salt and
+    * normal's salts collided with gamma terms 0-1, so the scaladoc's own
+    * "compose gamma with normal" advice produced correlated components.
+    * (Plain `uniform` hashes (seed, id) with no salt — a different
+    * xxhash64 arity, hence already an independent stream.)
+    * RandomDataSpec asserts cross-family independence of the composed
+    * draws. */
+  private val NormalBase = 1000000L
+  private val ExpBase = 2000000L
+  private val PoissonBase = 3000000L
+  private val GammaBase = 4000000L
+  private val UniformVecBase = 5000000L
+  private val NormalVecBase = 6000000L
+  private val FamilyWidth = 1000000L
+
   /** 53-bit uniform in [0, 1) from the row hash; extra `salt` columns
     * derive independent streams from the same id. */
   private def u01(seed: Long, salt: Column*): Column =
@@ -45,8 +63,8 @@ object RandomData {
   /** Standard normal via Box-Muller on two per-id streams (1−u₁ keeps
     * the log argument in (0, 1]). */
   private def z01(seed: Long, id: Column, stream: Int): Column =
-    sqrt(lit(-2.0) * log(lit(1.0) - u01(seed, id, lit(2 * stream)))) *
-      cos(lit(2.0 * math.Pi) * u01(seed, id, lit(2 * stream + 1)))
+    sqrt(lit(-2.0) * log(lit(1.0) - u01(seed, id, lit(NormalBase + 2 * stream)))) *
+      cos(lit(2.0 * math.Pi) * u01(seed, id, lit(NormalBase + 2 * stream + 1)))
 
   /** (id, z) with z ~ N(0, 1). */
   def normal(spark: SparkSession, n: Long, parts: Int, seed: Long): DataFrame =
@@ -62,7 +80,7 @@ object RandomData {
   def exponential(spark: SparkSession, n: Long, parts: Int,
                   mean: Double, seed: Long): DataFrame =
     ids(spark, n, parts).select(col("id"),
-      (lit(-mean) * log(lit(1.0) - u01(seed, col("id"), lit(0)))).as("x"))
+      (lit(-mean) * log(lit(1.0) - u01(seed, col("id"), lit(ExpBase)))).as("x"))
 
   /** (id, k) with k ~ Poisson(lambda) by exact inverse-CDF over a
     * bounded literal table (terms until the tail mass < 1e-12, cap
@@ -81,7 +99,7 @@ object RandomData {
     }
     val cdfLit = typedlit(cdf.toSeq)
     ids(spark, n, parts).select(col("id"),
-      size(filter(cdfLit, e => e <= u01(seed, col("id"), lit(0))))
+      size(filter(cdfLit, e => e <= u01(seed, col("id"), lit(PoissonBase))))
         .cast("long").as("k"))
   }
 
@@ -89,9 +107,9 @@ object RandomData {
     * of `shape` independent exponentials (see the scaladoc delta). */
   def gamma(spark: SparkSession, n: Long, parts: Int,
             shape: Int, scale: Double, seed: Long): DataFrame = {
-    require(shape >= 1, "gamma: integer shape >= 1")
+    require(shape >= 1 && shape < FamilyWidth, "gamma: integer shape >= 1")
     val terms = (0 until shape).map(j =>
-      lit(-scale) * log(lit(1.0) - u01(seed, col("id"), lit(j))))
+      lit(-scale) * log(lit(1.0) - u01(seed, col("id"), lit(GammaBase + j))))
     ids(spark, n, parts).select(col("id"),
       terms.reduce(_ + _).as("x"))
   }
@@ -99,20 +117,24 @@ object RandomData {
   /** (id, v: array<double> of dim) — per-dimension independent uniform
     * streams from (seed, id, dim index). */
   def uniformVectors(spark: SparkSession, n: Long, parts: Int,
-                     dim: Int, seed: Long): DataFrame =
+                     dim: Int, seed: Long): DataFrame = {
+    require(dim >= 1 && dim < FamilyWidth, "uniformVectors: dim in [1, 1e6)")
     ids(spark, n, parts).select(col("id"),
       transform(sequence(lit(0), lit(dim - 1)),
-        j => u01(seed, col("id"), lit(1000) + j)).as("v"))
+        j => u01(seed, col("id"), lit(UniformVecBase) + j)).as("v"))
+  }
 
   /** (id, v) with v ~ N(0, I_dim). */
   def normalVectors(spark: SparkSession, n: Long, parts: Int,
-                    dim: Int, seed: Long): DataFrame =
+                    dim: Int, seed: Long): DataFrame = {
+    require(dim >= 1 && dim * 2 < FamilyWidth, "normalVectors: dim in [1, 5e5)")
     ids(spark, n, parts).select(col("id"),
       transform(sequence(lit(0), lit(dim - 1)), j =>
         sqrt(lit(-2.0) * log(lit(1.0) -
-          u01(seed, col("id"), lit(2000) + j * 2))) *
+          u01(seed, col("id"), lit(NormalVecBase) + j * 2))) *
           cos(lit(2.0 * math.Pi) *
-            u01(seed, col("id"), lit(2001) + j * 2))).as("v"))
+            u01(seed, col("id"), lit(NormalVecBase + 1) + j * 2))).as("v"))
+  }
 
   /** Registered pass: 10,000 uniform draws at seed 7 — with a FULL
     * VALUE oracle: the generator is pure hash arithmetic, so DuckDB

@@ -52,6 +52,30 @@ class RandomDataSpec extends SparkTestBase {
     assert(math.abs(g.getDouble(1) - 12.0) < 1.2, s"gamma var ${g.getDouble(1)}")
   }
 
+  test("families compose independently at the same (seed, id) — disjoint salt namespaces") {
+    // the r10 advice item: gamma's terms formerly reused the salts that
+    // drive normal/exponential, so the scaladoc's recommended
+    // gamma-compose-with-normal produced correlated components. With
+    // per-family salt blocks every cross-family pair at the SAME seed
+    // and id must be uncorrelated.
+    val seed = 11L
+    val g = RandomData.gamma(spark, n, parts = 8, shape = 3, scale = 2.0, seed = seed)
+      .withColumnRenamed("x", "g")
+    val z = RandomData.normal(spark, n, parts = 8, seed = seed)
+    val e = RandomData.exponential(spark, n, parts = 8, mean = 1.0, seed = seed)
+      .withColumnRenamed("x", "e")
+    val u = RandomData.uniform(spark, n, parts = 8, seed = seed)
+    val j = g.join(z, "id").join(e, "id").join(u, "id")
+    val r = j.select(
+      corr(col("g"), col("z")), corr(col("g"), col("e")),
+      corr(col("z"), col("e")), corr(col("u"), col("z")),
+      corr(col("u"), col("g"))).head
+    (0 until 5).foreach { i =>
+      assert(math.abs(r.getDouble(i)) < 0.05,
+        s"cross-family corr ${r.getDouble(i)} at slot $i — salt namespaces collide")
+    }
+  }
+
   test("vector variants: dim, per-dimension stream independence") {
     val dim = 8
     val uv = RandomData.uniformVectors(spark, 5000L, parts = 4, dim = dim, seed = 9L).cache()

@@ -42,6 +42,25 @@ class RecommenderSpec extends SparkTestBase {
     assert(bad == 0, s"$bad users predict disliked >= liked")
   }
 
+  test("SVD++ diverges at the old lr=0.05 on quantity-scale ratings and sse_monotone catches it") {
+    // the r10 certificate's finding, pinned as a regression: residuals of
+    // ~15 (quantity scale) make the p·q cross term overshoot at lr=0.05 —
+    // the shipped default until r11. 10× the planted ratings reproduces
+    // the failure mode at spec scale.
+    val big = planted().withColumn("r", col("r") * 10.0)
+    val (_, diverging) = Recommender.svdPlusPlusTracked(
+      big, dim = 8, iters = 5, lr = 0.05)
+    val monotone = diverging.sliding(2)
+      .forall(p => p.length < 2 || p(1) <= p(0) * (1 + 1e-9))
+    assert(!monotone,
+      s"lr=0.05 unexpectedly stable on quantity-scale ratings: $diverging")
+    // the measured-stable default holds the descent claim on the same data
+    val (_, stable) = Recommender.svdPlusPlusTracked(
+      big, dim = 8, iters = 5)
+    assert(stable.sliding(2).forall(p => p.length < 2 || p(1) <= p(0) * (1 + 1e-9)),
+      s"default lr not monotone on quantity-scale ratings: $stable")
+  }
+
   test("SVD++ training is seeded-deterministic") {
     val ratings = planted()
     def run() = Recommender.svdPlusPlus(ratings, dim = 4, iters = 3)

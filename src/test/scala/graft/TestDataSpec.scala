@@ -97,6 +97,18 @@ class TestDataSpec extends SparkTestBase {
     assert(oddWs == 0L, s"$oddWs documents have tabs/newlines/edge/double spaces")
   }
 
+  test("l_quantity is integral (r01/r02's CAST-sum oracles rest on exact double sums)") {
+    // r01/r02 compare CAST(sum(l_quantity) AS DOUBLE) against Spark's
+    // double sum; double summation is order-dependent, so bit-equality
+    // holds only while every l_quantity is integral (< 2^53 — exact in
+    // any summation order). A regenerated corpus with fractional
+    // quantities must fail HERE, not as a flaky r01/r02 hash mismatch.
+    import org.apache.spark.sql.functions._
+    val nonIntegral = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") =!= floor(col("l_quantity"))).count()
+    assert(nonIntegral == 0L, s"$nonIntegral lineitem rows have fractional l_quantity")
+  }
+
   test("embeddings are exactly 64-dim (d13's oracle hardcodes range(1,65))") {
     import org.apache.spark.sql.functions._
     val offDim = Tables.embeddings(spark, sfDir)
