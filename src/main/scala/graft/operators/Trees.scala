@@ -40,6 +40,27 @@ object Trees {
     if (n == 0) 0.0 else 1.0 - counts.map(c => (c / n) * (c / n)).sum
   }
 
+  /** Shannon entropy in bits (reference mllib/src/main/scala/org/apache/
+    * spark/mllib/tree/impurity/Entropy.scala:1 — −Σ p·log₂p). */
+  private def entropy(counts: Seq[Long]): Double = {
+    val n = counts.sum.toDouble
+    if (n == 0) 0.0
+    else -counts.filter(_ > 0).map { c =>
+      val p = c / n; p * math.log(p)
+    }.sum / math.log(2.0)
+  }
+
+  /** Resolve an impurity name (the reference's `Impurities.fromString`,
+    * mllib/tree/impurity/Impurities.scala:1): classification trees take
+    * "gini" (default) or "entropy"; regression uses weighted variance
+    * (trainRegressionBinned's SSE), as the reference does. */
+  private def impurityFn(name: String): Seq[Long] => Double = name match {
+    case "gini"    => gini
+    case "entropy" => entropy
+    case other => throw new IllegalArgumentException(
+      s"impurity '$other' (supported: gini, entropy)")
+  }
+
   /** Fixed-width bin columns from ONE global min/max aggregate —
     * deterministic, unlike sampled quantiles. */
   private def binColumns(raw: DataFrame, d: Int, bins: Int): Seq[Column] = {
@@ -97,7 +118,9 @@ object Trees {
   def train(data: DataFrame, fts: Seq[Column], labelCol: Column,
             depth: Int, bins: Int, weight: Column = lit(1L),
             features: Option[Set[Int]] = None,
-            guardGainGaps: Boolean = false): (DataFrame, Model) = {
+            guardGainGaps: Boolean = false,
+            impurity: String = "gini"): (DataFrame, Model) = {
+    val imp = impurityFn(impurity)
     val d = fts.length
     val allowed = features.getOrElse((0 until d).toSet)
     require(allowed.nonEmpty && allowed.forall(f => f >= 0 && f < d))
@@ -118,7 +141,7 @@ object Trees {
       val levelSplits = byNode.toSeq.sortBy(_._1).flatMap { case (node, rows) =>
         if (splits.contains(node) || leaves.contains(node)) None
         else chooseSplit(rows.toSeq.map(r => (r._2, r._3, r._4, r._5)),
-          allowed, bins, guardGainGaps) match {
+          allowed, bins, guardGainGaps, imp) match {
           case Right(s) => Some(s.copy(node = node))
           case Left(leaf) => leaves += node -> leaf; None
         }
@@ -247,14 +270,15 @@ object Trees {
     * table with dt01's exact configuration). */
   private def chooseSplit(rows: Seq[(Int, Int, String, Long)],
                           allowed: Set[Int], bins: Int,
-                          guardGaps: Boolean = false): Either[String, Split] = {
+                          guardGaps: Boolean = false,
+                          imp: Seq[Long] => Double = gini): Either[String, Split] = {
     val f0 = allowed.min
     val labels = rows.groupBy(_._3).map { case (l, rs) =>
       // feature f0 cells carry each row's weight exactly once
       l -> rs.filter(_._1 == f0).map(_._4).sum
     }
     val total = labels.values.sum
-    val parentG = gini(labels.values.toSeq)
+    val parentG = imp(labels.values.toSeq)
     val majority = labels.toSeq.minBy { case (l, c) => (-c, l) }._1
     if (labels.count(_._2 > 0) <= 1) Left(majority)
     else {
@@ -272,8 +296,8 @@ object Trees {
           if (nL > 0 && nL < total) {
             val right = labelsSeq.zip(left).map { case (l, c) => labels(l) - c }
             val g = parentG -
-              (nL.toDouble / total) * gini(left) -
-              ((total - nL).toDouble / total) * gini(right)
+              (nL.toDouble / total) * imp(left) -
+              ((total - nL).toDouble / total) * imp(right)
             candidates += ((g, f, t))
           }
         }
@@ -333,7 +357,9 @@ object Trees {
   def forest(data: DataFrame, fts: Seq[Column], labelCol: Column,
              idCols: Seq[Column], depth: Int, bins: Int, nTrees: Int,
              featuresPerTree: Int,
-             guardGainGaps: Boolean = false): (Seq[Model], DataFrame) = {
+             guardGainGaps: Boolean = false,
+             impurity: String = "gini"): (Seq[Model], DataFrame) = {
+    val imp = impurityFn(impurity)
     val d = fts.length
     val allowed = (0 until nTrees).map(t => featureSubset(t, d, featuresPerTree))
     // deterministic Poisson(1) weights: P(0)=.368 P(1)=.368 P(2)=.184 ...
@@ -375,7 +401,7 @@ object Trees {
           case (node, rows) =>
             if (splits(t).contains(node) || leaves(t).contains(node)) None
             else chooseSplit(rows.toSeq.map(r => (r._3, r._4, r._5, r._6)),
-              allowed(t), bins, guardGainGaps) match {
+              allowed(t), bins, guardGainGaps, imp) match {
               case Right(s) => Some(s.copy(node = node))
               case Left(leaf) => leaves(t) += node -> leaf; None
             }

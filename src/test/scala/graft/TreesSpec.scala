@@ -25,6 +25,41 @@ class TreesSpec extends SparkTestBase {
       s"want 3 splits + 4 leaves, got ${model.splits.size}/${model.leafClass.size}")
   }
 
+  test("entropy and gini pick different splits on the planted disagreement corpus") {
+    import TestSpark.spark.implicits._
+    // label counts engineered so the two impurities genuinely disagree
+    // (gain margins >= 0.03, far above the 1e-12 epsilon):
+    //   parent (4 A, 21 B)
+    //   f0: left (2A, 0B) | right (2A, 21B)  -> Gini's argmax
+    //   f1: left (4A, 5B) | right (0A, 16B)  -> entropy's argmax
+    // (Gini gains 0.1227 vs 0.0910; entropy gains 0.2422 vs 0.2775.)
+    val rows =
+      Seq.fill(2)((0.0, 0.0, "A")) ++ Seq.fill(2)((1.0, 0.0, "A")) ++
+        Seq.fill(5)((1.0, 0.0, "B")) ++ Seq.fill(16)((1.0, 1.0, "B"))
+    val df = rows.toDF("x0", "x1", "label")
+    val fts = Seq(col("x0"), col("x1"))
+    val gm = Trees.train(df, fts, col("label"), depth = 1, bins = 32,
+      guardGainGaps = true)._2
+    val em = Trees.train(df, fts, col("label"), depth = 1, bins = 32,
+      guardGainGaps = true, impurity = "entropy")._2
+    assert(gm.splits(0).feature == 0, s"gini split ${gm.splits(0)}")
+    assert(em.splits(0).feature == 1, s"entropy split ${em.splits(0)}")
+    // both trees' leaves carry the correct majority classes
+    assert(gm.leafClass == Map(1 -> "A", 2 -> "B"), s"gini leaves ${gm.leafClass}")
+    assert(em.leafClass == Map(1 -> "B", 2 -> "B"), s"entropy leaves ${em.leafClass}")
+    // forest plumbing takes the same parameter (both features allowed,
+    // 1 tree, deterministic weights — argmax must match the entropy tree
+    // up to bootstrap reweighting being nonzero)
+    val (fm, _) = Trees.forest(df, fts, col("label"),
+      idCols = Seq(col("x0") * 2 + col("x1")), depth = 1, bins = 32,
+      nTrees = 1, featuresPerTree = 2, impurity = "entropy")
+    assert(fm.head.splits.get(0).forall(_.feature >= 0)) // trains without error
+    // unknown impurity fails loudly
+    intercept[IllegalArgumentException] {
+      Trees.train(df, fts, col("label"), depth = 1, bins = 32, impurity = "mse")
+    }
+  }
+
   test("training is deterministic across runs") {
     import TestSpark.spark.implicits._
     val df = (0 until 500).map { i =>
