@@ -41,6 +41,13 @@ object Embeddings {
     base.withColumn("cluster", greatest(scored: _*).getField("c"))
   }
 
+  /** Assign rows to FIXED centers (e.g. loaded back via
+    * [[graft.ml.ModelIO.loadKMeans]]): (vec_id, cluster) — the same
+    * codegen argmax the trainer's final pass uses, map-only. */
+  def assignToCenters(emb: DataFrame, centers: Array[Array[Float]]): DataFrame =
+    withCluster(emb.select(col("vec_id"), col("embedding")), centers)
+      .select(col("vec_id"), col("cluster"))
+
   private def maxSim(centers: Array[Array[Float]]): Column = {
     val sims = centers.toIndexedSeq.map(c =>
       call_function("float_cosine", col("embedding"), typedlit(c.toSeq)))

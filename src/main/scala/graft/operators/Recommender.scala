@@ -82,6 +82,45 @@ object Recommender {
                          lr: Double = 0.02, reg: Double = 0.05,
                          seed: Long = 42L, track: Boolean = true)
       : (DataFrame, Seq[Double]) = {
+    val m = svdPlusPlusModel(ratings, dim, iters, lr, reg, seed, track)
+    (m.preds, m.sse)
+  }
+
+  /** The trained SVD++ SERVING state: user table (u, x, bu) with
+    * x = p_u + w_u·Σ_{j∈N(u)} y_j already folded (the per-user implicit
+    * profile is a training-set property, so serving needs no edge join),
+    * item table (i, q, bi), and the 1-row global-mean frame. Prediction
+    * is [[Recommender.svdPlusPlusPredict]]'s pure join + dot; the tables
+    * are the persistence surface [[graft.ml.ModelIO.saveSvdpp]] writes.
+    * All three frames are LAZY plans over the trainer's checkpointed
+    * state — callers that only read `preds`/`sse` (r01) never pay for
+    * them. */
+  final case class SvdppModel(preds: DataFrame, sse: Seq[Double],
+                              userX: DataFrame, itemQ: DataFrame, mu: DataFrame)
+
+  /** Score (u, i, ...) pairs against a trained/loaded SVD++ model:
+    * pred = μ + b_u + b_i + q_i·x_u. Inner joins — users/items unseen in
+    * training drop out (cold-start is the caller's policy). */
+  def svdPlusPlusPredict(pairs: DataFrame, userX: DataFrame,
+                         itemQ: DataFrame, mu: DataFrame): DataFrame =
+    pairs.join(userX, "u").join(itemQ, "i").crossJoin(broadcast(mu))
+      .withColumn("pred",
+        col("mu") + col("bu") + col("bi") + dot(col("q"), col("x")))
+      .drop("x", "bu", "q", "bi", "mu")
+
+  /** Per-user implicit profile w_u·Σ_{j∈N(u)} y_j (user-level table). */
+  private def impProfile(r2: DataFrame, nu: DataFrame, iF: DataFrame): DataFrame =
+    r2.join(iF.select(col("i"), col("y")), "i")
+      .select(col("u"), posexplode(col("y")).as(Seq("p", "v")))
+      .groupBy("u", "p").agg(sum("v").as("v"))
+      .groupBy("u").agg(asArr("v").as("imp0"))
+      .join(nu, "u")
+      .select(col("u"), transform(col("imp0"), v => v * col("w")).as("imp"))
+
+  /** [[svdPlusPlusTracked]] returning the full [[SvdppModel]]. */
+  def svdPlusPlusModel(ratings: DataFrame, dim: Int = 8, iters: Int = 8,
+                       lr: Double = 0.02, reg: Double = 0.05,
+                       seed: Long = 42L, track: Boolean = true): SvdppModel = {
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
       .localCheckpoint()
     val mu = r2.agg(avg("r").as("mu"))
@@ -97,13 +136,7 @@ object Recommender {
       .localCheckpoint()
 
     def scored(uF: DataFrame, iF: DataFrame): DataFrame = {
-      // implicit profile per user: w_u * Σ_{j∈N(u)} y_j
-      val imp = r2.join(iF.select(col("i"), col("y")), "i")
-        .select(col("u"), posexplode(col("y")).as(Seq("p", "v")))
-        .groupBy("u", "p").agg(sum("v").as("v"))
-        .groupBy("u").agg(asArr("v").as("imp0"))
-        .join(nu, "u")
-        .select(col("u"), transform(col("imp0"), v => v * col("w")).as("imp"))
+      val imp = impProfile(r2, nu, iF)
       r2.join(uF, "u").join(iF, "i").join(imp, "u").join(nu, "u")
         .crossJoin(broadcast(mu))
         .withColumn("x", zip_with(col("p"), col("imp"), (a, b) => a + b))
@@ -154,7 +187,14 @@ object Recommender {
     }
     val finS = scored(userF, itemF)
     val fin = if (track) { val c = cut(finS); js += sse(c); c } else finS
-    (fin.select(col("u"), col("i"), col("r"), col("pred")), js.toSeq)
+    // serving factors (lazy plans — only evaluated if the caller uses them)
+    val userX = userF.join(impProfile(r2, nu, itemF), Seq("u"), "left")
+      .select(col("u"),
+        when(col("imp").isNull, col("p"))
+          .otherwise(zip_with(col("p"), col("imp"), (a, b) => a + b)).as("x"),
+        col("bu"))
+    SvdppModel(fin.select(col("u"), col("i"), col("r"), col("pred")), js.toSeq,
+      userX, itemF.select(col("i"), col("q"), col("bi")), mu)
   }
 
   /** Registered pass: co-purchase ratings (customer, part, mean
@@ -263,6 +303,30 @@ object Recommender {
   def alsTracked(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
                  reg: Double = 0.1, seed: Long = 42L,
                  track: Boolean = true): (DataFrame, Seq[Double]) = {
+    val (userF, itemF, js) = alsFactors(ratings, dim, iters, reg, seed, track)
+    val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
+    val preds = alsPredict(r2, userF, itemF)
+      .select(col("u"), col("i"), col("r"), col("pred"))
+    (preds, js)
+  }
+
+  /** Score (u, i, ...) pairs against ALS factor tables (u, f) / (i, f):
+    * pred = p·q — a pure join + codegen dot, the serving path for
+    * factors loaded back via [[graft.ml.ModelIO]]. */
+  def alsPredict(pairs: DataFrame, userF: DataFrame, itemF: DataFrame): DataFrame =
+    pairs.join(userF.select(col("u"), col("f").as("p")), "u")
+      .join(itemF.select(col("i"), col("f").as("q")), "i")
+      .withColumn("pred", dot(col("p"), col("q")))
+      .drop("p", "q")
+
+  /** [[als]]'s trainer, returning the distributed FACTOR TABLES
+    * (u, f: array<double>) / (i, f) — the reference
+    * MatrixFactorizationModel's state (mllib/recommendation/
+    * MatrixFactorizationModel.scala:1) and the persistence surface
+    * [[graft.ml.ModelIO.saveAlsFactors]] writes. */
+  def alsFactors(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
+                 reg: Double = 0.1, seed: Long = 42L,
+                 track: Boolean = false): (DataFrame, DataFrame, Seq[Double]) = {
     val spark = ratings.sparkSession
     import spark.implicits._
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
@@ -315,10 +379,7 @@ object Recommender {
       itemF = cut(halfRound(userF, "u", "i", "f"))
       if (track) js += objective(userF, itemF)
     }
-    val preds = r2.join(userF.select(col("u"), col("f").as("p")), "u")
-      .join(itemF.select(col("i"), col("f").as("q")), "i")
-      .select(col("u"), col("i"), col("r"), dot(col("p"), col("q")).as("pred"))
-    (preds, js.toSeq)
+    (userF, itemF, js.toSeq)
   }
 
   /** Registered ALS pass over the same deterministic 200-customer
