@@ -98,6 +98,54 @@ object Sources {
     driver.fold(w)(d => w.option("driver", d)).save()
   }
 
+  // ---- libsvm sparse-vector text source (reference: mllib/src/main/
+  // scala/org/apache/spark/mllib/util/MLUtils.scala:1 loadLibSVMFile /
+  // saveAsLibSVMFile) ----
+
+  /** Read LIBSVM-format text (`label idx:val idx:val ...`, 1-based
+    * ascending indices) into (label: double, indices: array<int>,
+    * values: array<double>) with 0-based indices — the reference's
+    * LabeledPoint-with-SparseVector shape as columns. The parse is pure
+    * codegen'd column transforms over `spark.read.text` (split + slice +
+    * transform) — no per-line closures, embarrassingly parallel at any
+    * file count. Blank lines are dropped (the reference does the same).
+    *
+    * @param numFeatures fixed dimensionality; -1 (default) infers
+    *                    max(index)+1 with one bounded aggregate, exactly
+    *                    MLUtils' computeNumFeatures pass. The value is
+    *                    pinned on every row as `num_features` so
+    *                    downstream densification never re-scans.
+    */
+  def libsvm(spark: SparkSession, path: String, numFeatures: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parsed = spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("t"))
+      .filter(size(col("t")) > 0 && col("t")(0) =!= "")
+      .select(
+        col("t")(0).cast("double").as("label"),
+        expr("transform(slice(t, 2, greatest(size(t) - 1, 0)), " +
+          "s -> cast(split(s, ':')[0] AS INT) - 1)").as("indices"),
+        expr("transform(slice(t, 2, greatest(size(t) - 1, 0)), " +
+          "s -> cast(split(s, ':')[1] AS DOUBLE))").as("values"))
+    val d =
+      if (numFeatures > 0) numFeatures
+      else parsed.agg(coalesce(max(array_max(col("indices"))) + 1, lit(0)))
+        .head.getInt(0)
+    parsed.withColumn("num_features", lit(d))
+  }
+
+  /** Write (label, indices, values) back out as LIBSVM text (1-based
+    * indices, `saveAsLibSVMFile` parity). */
+  def writeLibsvm(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    df.select(concat_ws(" ",
+        col("label").cast("string"),
+        concat_ws(" ", zip_with(col("indices"), col("values"),
+          (i, v) => concat(i + 1, lit(":"), v.cast("string")))))
+      .as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   // ---- streaming file sources (reference: streaming/src/main/scala/org/
   // apache/spark/streaming/StreamingContext.scala:280 socketTextStream,
   // :396 textFileStream) ----

@@ -21,6 +21,44 @@ class SourcesSpec extends SparkTestBase {
       backJson.agg(sum("o_totalprice")).head.getDouble(0))
   }
 
+  test("libsvm reader parses a planted file and round-trips through writeLibsvm") {
+    val dir = Files.createTempDirectory("graft-libsvm").toString
+    // planted file: known labels, 1-based ascending indices, a
+    // label-only line, and a blank line to drop
+    val lines = Seq(
+      "1.0 1:0.5 3:1.25 7:-2.0",
+      "0.0 2:3.0",
+      "2.5",
+      "",
+      "-1.0 1:1.0 7:7.5")
+    Files.write(java.nio.file.Paths.get(dir, "part.txt"),
+      lines.mkString("\n").getBytes)
+
+    val df = Sources.libsvm(spark, s"$dir/part.txt").cache()
+    assert(df.count() == 4, "blank line must be dropped")
+    // 0-based conversion + inferred num_features = max 1-based index
+    assert(df.select("num_features").distinct().head.getInt(0) == 7)
+    val r = df.filter(col("label") === 1.0).head
+    assert(r.getSeq[Int](1) == Seq(0, 2, 6))
+    assert(r.getSeq[Double](2) == Seq(0.5, 1.25, -2.0))
+    val only = df.filter(col("label") === 2.5).head
+    assert(only.getSeq[Int](1).isEmpty && only.getSeq[Double](2).isEmpty,
+      "label-only line parses to empty sparse vector")
+    // explicit numFeatures overrides inference
+    assert(Sources.libsvm(spark, s"$dir/part.txt", numFeatures = 100)
+      .select("num_features").head.getInt(0) == 100)
+
+    // round-trip: write back out, re-read, identical triples
+    Sources.writeLibsvm(df.select("label", "indices", "values"), s"$dir/out")
+    val back = Sources.libsvm(spark, s"$dir/out")
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("label", "indices", "values").collect()
+        .map(x => (x.getDouble(0), x.getSeq[Int](1), x.getSeq[Double](2)))
+        .sortBy(_._1)
+    assert(key(df).sameElements(key(back)), "libsvm round-trip must be lossless")
+    df.unpersist()
+  }
+
   test("partitioned write enables partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sfDir)
