@@ -47,6 +47,30 @@ object Sampling {
     df.filter(hashU(seed, keys: _*) < lit(fraction))
   }
 
+  /** Fold id in [0, k) as a pure function of (seed, keys): exact integer
+    * arithmetic (pmod of the row hash), no float edge cases, bit-portable
+    * across engines. */
+  def foldId(seed: Long, k: Int, keys: Column*): Column =
+    pmod(xxhash64(lit(seed) +: keys: _*), lit(k.toLong))
+
+  /** k-fold cross-validation splits (reference mllib/src/main/scala/org/
+    * apache/spark/mllib/util/MLUtils.scala:1 `kFold`): (train, validation)
+    * for fold `fold` of `k`. The reference assigns folds with a
+    * BernoulliCellSampler over a per-partition RNG — placement-dependent,
+    * so a repartition reshuffles every fold. Here fold membership is
+    * [[foldId]]'s pure column function of the row's own key: the SAME row
+    * lands in the SAME fold on any partition count, any retry, any
+    * engine, and the k validation sets partition the input exactly (each
+    * row in precisely one), which the reference's independent Bernoulli
+    * draws only guarantee in expectation. */
+  def kFold(df: DataFrame, k: Int, fold: Int, seed: Long, keys: Column*)
+      : (DataFrame, DataFrame) = {
+    require(k >= 2, s"kFold needs k >= 2, got $k")
+    require(fold >= 0 && fold < k, s"fold $fold outside [0, $k)")
+    val f = foldId(seed, k, keys: _*)
+    (df.filter(f =!= fold), df.filter(f === fold))
+  }
+
   /** Stratified sample: per-stratum Bernoulli fractions in the same single
     * map-side pass (`stat.sampleBy` / `sampleByKey` surface) — the
     * language/domain-mix rebalancing move. Strata without a listed fraction

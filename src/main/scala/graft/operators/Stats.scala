@@ -314,5 +314,48 @@ object Stats {
         round(corr("rk_l_quantity", "rk_l_discount"), 6).as("s_qty_disc"))
   }
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52, q59)
+  /** k-fold assignment surface (MLUtils.kFold parity, r11 — see
+    * [[Sampling.kFold]]): the ENTIRE fold assignment is emitted and
+    * oracle-verified — fold = pmod(xxhash64(42, l_orderkey,
+    * l_linenumber), 5), exact integer arithmetic replayed through the
+    * same chained hashLong CTEs as q38, so the k validation sets are
+    * proven to partition the table identically on both engines (the
+    * reference's per-partition Bernoulli fold sampler is
+    * placement-dependent and only partitions in expectation).
+    * Train/validation complementarity, determinism and placement
+    * invariance are spec'd (StatsSpec). */
+  val kf01: Q = {
+    import graft.functions.DuckXxhash
+    val foldSeed = DuckXxhash.hashLong(42L, 42L)
+    val (c1, f1) = DuckXxhash.hashLongCtes("inp", foldSeed, "s1")
+    val (c2, f2) = DuckXxhash.hashLongCtesExpr("mid", "hseed", "s2")
+    Q.sql(
+      "kf01_kfold",
+      s"""WITH inp AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (CASE WHEN l_orderkey < 0 THEN l_orderkey::HUGEINT + ${DuckXxhash.M64}
+        |          ELSE l_orderkey::HUGEINT END) AS v,
+        |    (CASE WHEN l_linenumber < 0 THEN l_linenumber::HUGEINT + ${DuckXxhash.M64}
+        |          ELSE l_linenumber::HUGEINT END) AS vb
+        |  FROM lineitem),
+        |$c1,
+        |mid AS MATERIALIZED (
+        |  SELECT l_orderkey, l_linenumber, vb AS v, h AS hseed
+        |  FROM $f1),
+        |$c2
+        |SELECT l_orderkey, l_linenumber,
+        |  ((((CASE WHEN h >= ${DuckXxhash.pow2(63)} THEN (h - ${DuckXxhash.M64})::BIGINT
+        |           ELSE h::BIGINT END) % 5) + 5) % 5) AS fold
+        |FROM $f2
+        |ORDER BY l_orderkey, l_linenumber, fold""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Sampling.foldId(42L, 5,
+            col("l_orderkey"), col("l_linenumber").cast("long")).as("fold"))
+        .orderBy("l_orderkey", "l_linenumber", "fold")
+    }
+  }
+
+  val all: Seq[Q] =
+    Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52, q59, kf01)
 }

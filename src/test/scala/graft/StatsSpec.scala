@@ -14,6 +14,28 @@ class StatsSpec extends SparkTestBase {
     assert(frac > 0.05 && frac < 0.15, s"fraction $frac far from 0.1")
   }
 
+  test("kFold splits partition the table, complement each other, and ignore placement") {
+    import graft.operators.Sampling
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val n = li.count()
+    val keys = Seq(col("l_orderkey"), col("l_linenumber").cast("long"))
+    val sizes = (0 until 4).map { f =>
+      val (train, valid) = Sampling.kFold(li, 4, f, 42L, keys: _*)
+      assert(train.count() + valid.count() == n, s"fold $f must partition the table")
+      assert(train.intersect(valid).isEmpty, s"fold $f train/validation overlap")
+      valid.count()
+    }
+    assert(sizes.sum == n, "the k validation sets must cover every row exactly once")
+    sizes.foreach(s =>
+      assert(math.abs(s - n / 4.0) < 4 * math.sqrt(n * 0.25 * 0.75),
+        s"fold size $s far from n/k = ${n / 4.0}"))
+    // placement invariance: fold of a given key never depends on partitioning
+    val a = Sampling.kFold(li.repartition(1), 4, 0, 42L, keys: _*)._2
+    val b = Sampling.kFold(li.repartition(13), 4, 0, 42L, keys: _*)._2
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("hash sampling membership is partition-count invariant") {
     import graft.operators.Sampling
     val li = Tables.lineitem(spark, sfDir)
