@@ -119,7 +119,8 @@ object Trees {
             depth: Int, bins: Int, weight: Column = lit(1L),
             features: Option[Set[Int]] = None,
             guardGainGaps: Boolean = false,
-            impurity: String = "gini"): (DataFrame, Model) = {
+            impurity: String = "gini",
+            gainGapWidth: Double = 2e-12): (DataFrame, Model) = {
     val imp = impurityFn(impurity)
     val d = fts.length
     val allowed = features.getOrElse((0 until d).toSet)
@@ -141,7 +142,7 @@ object Trees {
       val levelSplits = byNode.toSeq.sortBy(_._1).flatMap { case (node, rows) =>
         if (splits.contains(node) || leaves.contains(node)) None
         else chooseSplit(rows.toSeq.map(r => (r._2, r._3, r._4, r._5)),
-          allowed, bins, guardGainGaps, imp) match {
+          allowed, bins, guardGainGaps, imp, gainGapWidth) match {
           case Right(s) => Some(s.copy(node = node))
           case Left(leaf) => leaves += node -> leaf; None
         }
@@ -271,7 +272,8 @@ object Trees {
   private def chooseSplit(rows: Seq[(Int, Int, String, Long)],
                           allowed: Set[Int], bins: Int,
                           guardGaps: Boolean = false,
-                          imp: Seq[Long] => Double = gini): Either[String, Split] = {
+                          imp: Seq[Long] => Double = gini,
+                          gapWidth: Double = 2e-12): Either[String, Split] = {
     val f0 = allowed.min
     val labels = rows.groupBy(_._3).map { case (l, rs) =>
       // feature f0 cells carry each row's weight exactly once
@@ -309,10 +311,37 @@ object Trees {
         // argmax formulations collapse to the same (f, t); exact ties
         // are safe (both tie-breaks pick the smallest (f, t))
         val distinctGains = candidates.map(_._1).distinct.sorted
-        distinctGains.zip(distinctGains.drop(1)).foreach { case (a, b) =>
-          assert(b - a > 2e-12,
-            f"two distinct split gains within 2e-12 ($a%.15g vs $b%.15g): " +
-              "the dt01 oracle's epsilon argmax is no longer exact on this corpus")
+        if (gapWidth <= 1e-10) {
+          // exact-value replays (gini: rational arithmetic, bit-identical
+          // across engines): the all-pairs sufficient condition
+          distinctGains.zip(distinctGains.drop(1)).foreach { case (a, b) =>
+            assert(b - a > gapWidth,
+              f"two distinct split gains within $gapWidth%g ($a%.15g vs $b%.15g): " +
+                "the oracle's epsilon argmax is no longer exact on this corpus")
+          }
+        } else if (distinctGains.nonEmpty) {
+          // widened-band replays (entropy: cross-engine log noise up to
+          // ~1e-13) need only the conditions the argmax actually uses:
+          // (1) the runner-up distinct gain sits > gapWidth below the
+          // max, so the replay's band around ITS max holds exactly the
+          // exact-tie group; (2) positivity thresholds agree — a
+          // splitting max must clear the replay's g > band filter too
+          // (a non-splitting node has all gains <= 1e-12, which stays
+          // below the band on any engine). Gaps far below the max are
+          // irrelevant — only the top of the ladder decides the split.
+          val mg = distinctGains.last
+          if (mg > 1e-12) {
+            assert(mg > gapWidth,
+              f"max split gain $mg%.15g inside the ambiguous positivity " +
+                f"window (1e-12, $gapWidth%g]: split/leaf decision is not " +
+                "engine-portable on this corpus")
+            distinctGains.dropRight(1).lastOption.foreach { runnerUp =>
+              assert(mg - runnerUp > gapWidth,
+                f"runner-up split gain within $gapWidth%g of the max " +
+                  f"($runnerUp%.15g vs $mg%.15g): the widened-band argmax " +
+                  "is no longer exact on this corpus")
+            }
+          }
         }
       }
       var best: Option[(Double, Int, Int)] = None
@@ -460,7 +489,35 @@ object Trees {
     * Gains are arithmetic on integer counts, so distinct split
     * configurations sit ≫1e-12 apart and the epsilon rule picks the
     * identical split on both engines. */
-  private val dt01OracleSql: String = {
+  /** The dt01/dt02 induction replay, parameterized on the impurity.
+    *
+    * Gini gains are rational arithmetic on integer counts — bit-identical
+    * across engines — so the replay's argmax band is the trainer's own
+    * 1e-12 epsilon. Entropy gains contain p·log₂p, and log is NOT
+    * correctly-rounded-portable across libms (DuckDB's log2 vs the JVM's
+    * Math.log/ln2 differ in final ULPs, ~1e-15 absolute on these gains),
+    * so the dt02 replay widens the band to 1e-9 and the trainer asserts
+    * distinct gains sit > 2e-9 apart (`gainGapWidth`): within the band
+    * both engines see exactly the max-tied group (identical count
+    * configurations are exact ties on BOTH engines — same rational
+    * inputs, same expression), and the shared (f, t) argmin picks the
+    * same split. The epsilon-exactness argument is dt01's, with the
+    * cross-engine log noise absorbed by the widened, guarded gap. */
+  private def dtOracleSql(impurity: String): String = {
+    val eps = if (impurity == "entropy") "1e-9" else "1e-12"
+    // impurity of (a, b, c) label counts over denominator expression den
+    def imp(a: String, b: String, c: String, den: String): String =
+      impurity match {
+        case "entropy" =>
+          def term(x: String) =
+            s"(CASE WHEN $x > 0 THEN -($x/($den))*log2($x/($den)) ELSE 0 END)"
+          s"(${term(a)} + ${term(b)} + ${term(c)})"
+        case _ =>
+          s"(1.0 - (pow($a/($den),2) + pow($b/($den),2) + pow($c/($den),2)))"
+      }
+    val parent = imp("tA", "tN", "tR", "tA+tN+tR")
+    val left = imp("lA", "lN", "lR", "lA+lN+lR")
+    val right = imp("(tA-lA)", "(tN-lN)", "(tR-lR)", "tA+tN+tR-lA-lN-lR")
     val prefix =
       """WITH raw AS (
         |  SELECT CAST(l_quantity AS DOUBLE) AS x0, CAST(l_discount AS DOUBLE) AS x1,
@@ -504,20 +561,16 @@ object Trees {
         |  GROUP BY c.node, c.f, t.t),
         |gains$i AS (
         |  SELECT l.node, l.f, l.t,
-        |    (1.0 - (pow(tA/(tA+tN+tR),2) + pow(tN/(tA+tN+tR),2) + pow(tR/(tA+tN+tR),2)))
-        |    - ((lA+lN+lR)*1.0/(tA+tN+tR)) *
-        |      (1.0 - (pow(lA/(lA+lN+lR),2) + pow(lN/(lA+lN+lR),2) + pow(lR/(lA+lN+lR),2)))
-        |    - ((tA+tN+tR-lA-lN-lR)*1.0/(tA+tN+tR)) *
-        |      (1.0 - (pow((tA-lA)/(tA+tN+tR-lA-lN-lR),2)
-        |            + pow((tN-lN)/(tA+tN+tR-lA-lN-lR),2)
-        |            + pow((tR-lR)/(tA+tN+tR-lA-lN-lR),2))) AS g
+        |    $parent
+        |    - ((lA+lN+lR)*1.0/(tA+tN+tR)) * $left
+        |    - ((tA+tN+tR-lA-lN-lR)*1.0/(tA+tN+tR)) * $right AS g
         |  FROM lefts$i l JOIN tot$i USING (node)
         |  WHERE (lA+lN+lR) > 0 AND (lA+lN+lR) < (tA+tN+tR)),
         |best$i AS (
         |  SELECT node, f, t FROM (
         |    SELECT node, f, t, g, max(g) OVER (PARTITION BY node) AS mg
-        |    FROM gains$i WHERE g > 1e-12) q
-        |  WHERE g >= mg - 1e-12
+        |    FROM gains$i WHERE g > $eps) q
+        |  WHERE g >= mg - $eps
         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY f, t) = 1),
         |routed$i AS (
         |  SELECT r.b0, r.b1, r.b2, r.b3, r.label,
@@ -551,10 +604,10 @@ object Trees {
     * training-accuracy ≥ majority-class invariant (which holds by
     * construction for majority-vote leaves; the synthetic returnflag is
     * uniform noise, so accuracy sits AT the majority floor).
-    * FULL value oracle: [[dt01OracleSql]] replays the whole induction —
+    * FULL value oracle: [[dtOracleSql]] (gini) replays the whole induction —
     * binning, level-order Gini split selection, routing, majority
     * leaves — in DuckDB. */
-  val dt01 = Q.sql("dt01_decision_tree", dt01OracleSql) { (s, dir) =>
+  val dt01 = Q.sql("dt01_decision_tree", dtOracleSql("gini")) { (s, dir) =>
     import s.implicits._
     val li = Tables.lineitem(s, dir)
     val (assigned, model) = train(
@@ -860,5 +913,32 @@ object Trees {
       .orderBy("round")
   }
 
-  val all: Seq[Q] = Seq(dt01, rf01, gbt01)
+  /** Registered pass (r11): dt01's configuration trained with ENTROPY
+    * impurity — the same level-cube machinery, the entropy gain
+    * function, and a FULL value oracle via the parameterized
+    * [[dtOracleSql]] replay. Cross-engine soundness is the widened
+    * 1e-9 band + the 2e-9 gain-gap AND positivity-window guards
+    * asserted IN this registered run (log2 is not bit-portable across
+    * libms; see [[dtOracleSql]]); TreesSpec separately proves the two
+    * impurities genuinely differ on a planted corpus, so this is not
+    * dt01 re-labeled. */
+  val dt02 = Q.sql("dt02_entropy_tree", dtOracleSql("entropy")) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val (assigned, model) = train(
+      li,
+      Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+        year(col("l_shipdate"))),
+      col("l_returnflag"), depth = 3, bins = 32,
+      guardGainGaps = true, impurity = "entropy", gainGapWidth = 2e-9)
+    val leafPred = model.leafClass.toSeq.toDF("node", "pred")
+    assigned.groupBy("node", "label").agg(count(lit(1)).as("c"))
+      .join(broadcast(leafPred), Seq("node"))
+      .groupBy(col("node").as("leaf"), col("pred"))
+      .agg(sum("c").as("n"),
+        sum(when(col("label") === col("pred"), col("c")).otherwise(0L)).as("n_correct"))
+      .orderBy("leaf")
+  }
+
+  val all: Seq[Q] = Seq(dt01, dt02, rf01, gbt01)
 }
