@@ -164,5 +164,61 @@ object Matrices {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(bm01)
+  /** Exact pairwise cosine similarity between the embedding matrix's
+    * COLUMNS (reference RowMatrix.scala:1 `columnSimilarities` /
+    * `computeColumnSimilarities`, r11). One distributed pass builds the
+    * uncentered upper-triangle Gramian with EXACT decimal accumulation
+    * (d14's rule — order-independent, bit-identical at any parallelism),
+    * then cos(i,j) = s_ij / (√s_ii·√s_jj) derives from the bounded
+    * dim²/2 entries with identical scalar IEEE ops on both engines
+    * (sqrt is correctly rounded, so it IS bit-portable — unlike log).
+    *
+    * Scale: the shuffle carries only dim²/2 partial sums per partition
+    * regardless of row count — at 100 TB this is one map-side-combined
+    * pass. The reference's DIMSUM sampling exists for matrices with
+    * MILLIONS of columns (quadratic in columns, not rows); at
+    * embedding-width columns the exact Gramian is both cheaper and
+    * deterministic, so that is the registered path. */
+  val cs01: Q = Q.sql(
+    "cs01_column_similarities",
+    """WITH x AS (
+      |  SELECT e.vec_id, i AS p, CAST(e.embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings e, unnest(range(1, 65)) t(i)),
+      |g AS (
+      |  SELECT a.p AS i, b.p AS j,
+      |    CAST(sum(CAST(a.x * b.x AS DECIMAL(18,12))) AS DOUBLE) AS s
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.p >= a.p
+      |  GROUP BY 1, 2),
+      |d AS (SELECT i AS p, sqrt(s) AS nrm FROM g WHERE i = j)
+      |SELECT (g.i - 1) AS i, (g.j - 1) AS j,
+      |  round(g.s / (da.nrm * db.nrm), 6) + 0.0 AS cos_sim
+      |FROM g JOIN d da ON g.i = da.p JOIN d db ON g.j = db.p
+      |WHERE g.i < g.j
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val x = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), col("p"), col("xf").cast("double").as("x"))
+    val g = x.as("a")
+      .join(x.as("b"), col("a.vec_id") === col("b.vec_id") && col("b.p") >= col("a.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
+      .agg(sum((col("a.x") * col("b.x")).cast("decimal(18,12)"))
+        .cast("double").as("s"))
+      // bounded collect: dim(dim+1)/2 = 2080 cells, corpus-size-invariant
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val dim = 64
+    val nrm = Array.tabulate(dim)(i => math.sqrt(g((i, i))))
+    // 6dp aggregate rounding + signed-zero normalization (d14's rule):
+    // the double->decimal product cast rounds HALF_UP on Spark and
+    // half-even in DuckDB; a halfway product at sf0.1 shifts the exact
+    // sum ~1e-13 - far below the emit precision. Spark-side decimal
+    // HALF_UP rounding replicated driver-side via BigDecimal.
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    (for { i <- 0 until dim; j <- i + 1 until dim }
+      yield (i, j, r6(g((i, j)) / (nrm(i) * nrm(j)))))
+      .toDF("i", "j", "cos_sim").orderBy("i", "j")
+  }
+
+  val all: Seq[Q] = Seq(bm01, cs01)
 }

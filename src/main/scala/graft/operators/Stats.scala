@@ -356,6 +356,55 @@ object Stats {
     }
   }
 
+  /** Per-dimension summary statistics of the embedding matrix
+    * (reference mllib/stat/Statistics.scala:1 `colStats` over
+    * MultivariateOnlineSummarizer.scala:1 — count/mean/variance/
+    * numNonzeros/max/min per column, r11). ONE partial-aggregated pass:
+    * each dimension's sums accumulate in EXACT decimal (d14's rule —
+    * decimal addition is order-independent, so the aggregate is
+    * bit-identical across engines, partition layouts and core counts;
+    * the reference's pairwise-merged double summarizer is order-
+    * DEPENDENT), and mean/variance derive from the two exact sums with
+    * identical scalar IEEE ops on both engines. Output is dim rows —
+    * bounded, corpus-size-invariant. */
+  val st01: Q = Q.sql(
+    "st01_colstats",
+    """WITH x AS (
+      |  SELECT i AS p, CAST(e.embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings e, unnest(range(1, 65)) t(i)),
+      |s AS (
+      |  SELECT p, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(18,12))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS sxx,
+      |    CAST(count(*) FILTER (WHERE x <> 0) AS BIGINT) AS nnz,
+      |    max(x) AS max_x, min(x) AS min_x
+      |  FROM x GROUP BY p)
+      |SELECT (p - 1) AS p, n, round(sx / n, 6) + 0.0 AS mean,
+      |  round((sxx - sx * (sx / n)) / (n - 1), 6) + 0.0 AS variance,
+      |  nnz, max_x, min_x
+      |FROM s ORDER BY p""".stripMargin) { (s, dir) =>
+    graft.Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("p"), col("xf").cast("double").as("x"))
+      .groupBy("p")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,12)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(18,12)")).cast("double").as("sxx"),
+        count(when(col("x") =!= 0.0, 1)).as("nnz"),
+        max("x").as("max_x"), min("x").as("min_x"))
+      .select(col("p"), col("n"),
+        // 6dp aggregate rounding + signed-zero normalization (d14's
+        // rule): the float->decimal cast rounds HALF_UP on Spark and
+        // half-even in DuckDB, so the exact sums differ at ~1e-12 over
+        // 32k terms - far below the 6dp emit precision
+        (round(col("sx") / col("n"), 6) + 0.0).as("mean"),
+        (round((col("sxx") - col("sx") * (col("sx") / col("n"))) / (col("n") - 1), 6) + 0.0)
+          .as("variance"),
+        col("nnz"), col("max_x"), col("min_x"))
+      .orderBy("p")
+  }
+
   val all: Seq[Q] =
-    Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52, q59, kf01)
+    Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52, q59, kf01, st01)
 }

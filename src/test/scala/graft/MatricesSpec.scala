@@ -71,4 +71,29 @@ class MatricesSpec extends SparkTestBase {
     val b = Matrices.bm01.run(spark, sfDir).collect().map(_.toSeq).toSeq
     assert(a == b, "projection must be deterministic")
   }
+
+  test("cs01 column similarities match a brute-force computation") {
+    import org.apache.spark.sql.functions._
+    val got = Matrices.cs01.run(spark, sfDir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.size == 64 * 63 / 2, s"want 2016 pairs, got ${got.size}")
+    assert(got.values.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9),
+      "cosines must lie in [-1, 1]")
+    // brute-force a handful of pairs from the raw vectors
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    def bf(i: Int, j: Int): Double = {
+      var sij = 0.0; var sii = 0.0; var sjj = 0.0
+      rows.foreach { v =>
+        sij += v(i).toDouble * v(j).toDouble
+        sii += v(i).toDouble * v(i).toDouble
+        sjj += v(j).toDouble * v(j).toDouble
+      }
+      sij / (math.sqrt(sii) * math.sqrt(sjj))
+    }
+    Seq((0, 1), (5, 17), (30, 63), (62, 63)).foreach { case (i, j) =>
+      assert(math.abs(got((i, j)) - bf(i, j)) < 1e-6,
+        s"cos($i,$j) ${got((i, j))} vs brute ${bf(i, j)}")
+    }
+  }
 }

@@ -36,6 +36,29 @@ class StatsSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("st01 colStats agrees with the built-in aggregates") {
+    import graft.operators.Stats
+    val got = Stats.st01.run(spark, sfDir).collect()
+    assert(got.length == 64)
+    val want = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("p")
+      .agg(avg(col("x").cast("double")).as("m"),
+        var_samp(col("x").cast("double")).as("v"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    got.foreach { r =>
+      val p = r.getInt(0)
+      val (m, v, n) = want(p)
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - m) < 1e-5, s"dim $p mean")
+      assert(math.abs(r.getDouble(3) - v) < 1e-5, s"dim $p variance")
+      assert(r.getLong(4) <= n, "nnz <= n")
+      assert(r.getDouble(5) >= r.getDouble(2) && r.getDouble(6) <= r.getDouble(2),
+        s"dim $p: mean outside [min, max]")
+    }
+  }
+
   test("hash sampling membership is partition-count invariant") {
     import graft.operators.Sampling
     val li = Tables.lineitem(spark, sfDir)
