@@ -196,17 +196,21 @@ object Matrices {
       |WHERE g.i < g.j
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val x = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
-      .select(col("vec_id"), col("p"), col("xf").cast("double").as("x"))
-    val g = x.as("a")
-      .join(x.as("b"), col("a.vec_id") === col("b.vec_id") && col("b.p") >= col("a.p"))
-      .groupBy(col("a.p").as("i"), col("b.p").as("j"))
-      .agg(sum((col("a.x") * col("b.x")).cast("decimal(18,12)"))
+    val dim = 64
+    // join-free Gramian: each row expands to its own dim(dim+1)/2 upper-
+    // triangle products via nested posexplode (covarianceUpper's shape) —
+    // one map + partial agg, no shuffle of the exploded table
+    val g = Tables.embeddings(s, dir)
+      .select(transform(col("embedding"), v => v.cast("double")).as("x"))
+      .select(col("x"), posexplode(col("x")).as(Seq("pi", "xi")))
+      .select(col("pi"), col("xi"),
+        posexplode(slice(col("x"), col("pi") + 1, lit(dim))).as(Seq("pj", "xj")))
+      .groupBy(col("pi").cast("int").as("i"),
+        (col("pi") + col("pj")).cast("int").as("j"))
+      .agg(sum((col("xi") * col("xj")).cast("decimal(18,12)"))
         .cast("double").as("s"))
       // bounded collect: dim(dim+1)/2 = 2080 cells, corpus-size-invariant
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    val dim = 64
     val nrm = Array.tabulate(dim)(i => math.sqrt(g((i, i))))
     // 6dp aggregate rounding + signed-zero normalization (d14's rule):
     // the double->decimal product cast rounds HALF_UP on Spark and
