@@ -136,6 +136,74 @@ object RandomData {
             u01(seed, col("id"), lit(NormalVecBase + 1) + j * 2))).as("v"))
   }
 
+  // ---- labeled-dataset generators (reference mllib/src/main/scala/org/
+  // apache/spark/mllib/util/LinearDataGenerator.scala:1,
+  // LogisticRegressionDataGenerator.scala:1, KMeansDataGenerator.scala:1,
+  // SVMDataGenerator.scala:1) — compositions of the hash-based
+  // primitives above, so the same (seed, id) always generates the same
+  // example at any parallelism ----
+
+  /** Linear-regression data (LinearDataGenerator parity):
+    * x ~ U[-1,1]^d (the [[uniformVectors]] streams, so feature j of row
+    * id is bit-identical to `uniformVectors(...).v[j]` mapped to
+    * [-1,1]), label = w·x + intercept + epsScale·N(0,1). Columns
+    * (id, x0..x{d-1}, label). */
+  def linearData(spark: SparkSession, n: Long, parts: Int,
+                 weights: Seq[Double], intercept: Double,
+                 epsScale: Double, seed: Long): DataFrame = {
+    val d = weights.length
+    require(d >= 1 && d < FamilyWidth, "linearData: 1 <= d < 1e6")
+    val xs = (0 until d).map(j =>
+      (u01(seed, col("id"), lit(UniformVecBase) + lit(j)) * 2.0 - 1.0).as(s"x$j"))
+    val withX = ids(spark, n, parts).select(col("id") +: xs: _*)
+    val margin = (0 until d).map(j => col(s"x$j") * weights(j)).reduce(_ + _)
+    withX.withColumn("label",
+      margin + lit(intercept) + z01(seed, col("id"), 0) * epsScale)
+  }
+
+  /** Binary-classification data (LogisticRegressionDataGenerator
+    * parity): label = id mod 2, x_j = N(0,1) + label·sep — two gaussian
+    * clouds separated by `sep` along every axis. */
+  def logisticData(spark: SparkSession, n: Long, parts: Int, d: Int,
+                   sep: Double, seed: Long): DataFrame = {
+    require(d >= 1 && d * 2 < FamilyWidth, "logisticData: 1 <= d < 5e5")
+    val label = (col("id") % 2).cast("double").as("label")
+    val xs = (0 until d).map(j =>
+      (sqrt(lit(-2.0) * log(lit(1.0) -
+        u01(seed, col("id"), lit(NormalVecBase) + lit(j * 2)))) *
+        cos(lit(2.0 * math.Pi) *
+          u01(seed, col("id"), lit(NormalVecBase) + lit(j * 2 + 1))) +
+        col("label") * sep).as(s"x$j"))
+    ids(spark, n, parts).select(col("id"), label)
+      .select(col("id") +: col("label") +: xs: _*)
+  }
+
+  /** Clustered data (KMeansDataGenerator parity): k centers drawn
+    * uniform in [-scale, scale]^d from (seed, center id), each point =
+    * its (id mod k) center + N(0, I). Columns (id, cluster, v). */
+  def kmeansData(spark: SparkSession, n: Long, parts: Int, k: Int, dim: Int,
+                 scale: Double, seed: Long): DataFrame = {
+    require(k >= 1 && dim >= 1 && dim * 2 < FamilyWidth)
+    // centers from the driver with the same hash construction (k·dim
+    // bounded): center c dim j uses the uniformVectors stream of id=-(c+1)
+    val centers = Array.tabulate(k, dim) { (c, j) =>
+      val h = graft.functions.DuckXxhash.hashLong(UniformVecBase + j,
+        graft.functions.DuckXxhash.hashLong(-(c + 1).toLong,
+          graft.functions.DuckXxhash.hashLong(seed, 42L)))
+      ((h >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0) * scale
+    }
+    val cl = (col("id") % k).cast("int").as("cluster")
+    val ctr = typedlit(centers.map(_.toSeq).toSeq)
+    ids(spark, n, parts).select(col("id"), cl)
+      .select(col("id"), col("cluster"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          element_at(element_at(ctr, col("cluster") + 1), j + 1) +
+            sqrt(lit(-2.0) * log(lit(1.0) -
+              u01(seed, col("id"), lit(NormalVecBase) + j * 2))) *
+              cos(lit(2.0 * math.Pi) *
+                u01(seed, col("id"), lit(NormalVecBase + 1) + j * 2))).as("v"))
+  }
+
   /** Registered pass: 10,000 uniform draws at seed 7 — with a FULL
     * VALUE oracle: the generator is pure hash arithmetic, so DuckDB
     * replays xxhash64(7, id) through [[graft.functions.DuckXxhash]]'s
@@ -165,5 +233,59 @@ object RandomData {
     }
   }
 
-  val all: Seq[Q] = Seq(rd01)
+  /** Registered pass for the generator family: 20,000 linear-regression
+    * examples (d=4, w=(0.5,−1.25,2,0.75), b=0.1, ε=0.1, seed 7) in the
+    * q30/q41 claim split: the FEATURES are full oracle VALUES — each
+    * x_j = u·2−1 with u replayed bit-exactly through the three-stage
+    * xxhash64 fold (constant fold seed → variable id → constant
+    * per-feature salt, the [[uniformVectors]] streams) — while the
+    * label's gaussian noise is engine-local (Box-Muller's log/cos are
+    * not bit-portable across libms), so the label is certified by
+    * IN-PLAN flags instead of emitted: per-row |label−w·x−b| ≤ 6ε and
+    * global noise moments (mean within 5ε/√n, variance within 10% of
+    * ε²) — deterministic booleans the oracle asserts as literal TRUE.
+    * Distribution quality is additionally spec'd in RandomDataSpec. */
+  val gen01: Q = {
+    import graft.functions.DuckXxhash
+    val n = 20000L
+    val w = Seq(0.5, -1.25, 2.0, 0.75)
+    val foldSeed = DuckXxhash.hashLong(7L, 42L)
+    val (c1, f1) = DuckXxhash.hashLongCtes("inp", foldSeed, "g1")
+    val perJ = (0 until 4).map { j =>
+      val salt = 5000000L + j // UniformVecBase + j
+      val src = if (j == 0) "base" else s"pout${j - 1}"
+      val keep = "id" + (0 until j).map(k => s", x$k").mkString
+      val (cj, fj) = DuckXxhash.hashLongCtesExpr(s"pin$j", "hid", s"gj$j")
+      Seq(
+        s"pin$j AS MATERIALIZED (SELECT $keep, hid, ${salt}::HUGEINT AS v FROM $src)",
+        cj,
+        s"pout$j AS MATERIALIZED (SELECT $keep, hid, " +
+          s"(CAST(h // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 AS x$j FROM $fj)")
+        .mkString(",\n")
+    }.mkString(",\n")
+    Q.sql(
+      "gen01_linear_data",
+      s"""WITH inp AS (
+        |  SELECT range AS id, range::HUGEINT AS v FROM range(0, $n)),
+        |$c1,
+        |base AS MATERIALIZED (SELECT id, h AS hid FROM $f1),
+        |$perJ
+        |SELECT id, x0, x1, x2, x3,
+        |  TRUE AS resid_bounded, TRUE AS mean_ok, TRUE AS var_ok
+        |FROM pout3 ORDER BY id""".stripMargin) { (s, _) =>
+      val df = linearData(s, n, parts = 8, weights = w,
+        intercept = 0.1, epsScale = 0.1, seed = 7L)
+      val margin = (0 until 4).map(j => col(s"x$j") * w(j)).reduce(_ + _)
+      val flagged = df.withColumn("resid", col("label") - margin - lit(0.1))
+      val m = flagged.agg(avg("resid").as("mr"), var_samp("resid").as("vr"))
+      flagged.crossJoin(broadcast(m))
+        .select(col("id"), col("x0"), col("x1"), col("x2"), col("x3"),
+          (abs(col("resid")) <= lit(0.6)).as("resid_bounded"),
+          (abs(col("mr")) < lit(5 * 0.1 / math.sqrt(n.toDouble))).as("mean_ok"),
+          (abs(col("vr") / 0.01 - 1.0) < lit(0.1)).as("var_ok"))
+        .orderBy("id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(rd01, gen01)
 }

@@ -88,6 +88,53 @@ class RandomDataSpec extends SparkTestBase {
     assert(math.abs(m.getDouble(0)) < 0.03 && math.abs(m.getDouble(1) - 1.0) < 0.06)
   }
 
+  test("labeled-dataset generators: linear residuals, logistic separation, kmeans centers") {
+    // linearData: features ARE the uniformVectors streams mapped to [-1,1]
+    val w = Seq(0.5, -1.25, 2.0, 0.75)
+    val lin = RandomData.linearData(spark, 4000L, 8, w, 0.1, 0.1, 7L).cache()
+    val uv = RandomData.uniformVectors(spark, 4000L, 8, dim = 4, seed = 7L)
+    val mismatch = lin.join(uv, "id")
+      .filter((0 until 4).map(j =>
+        col(s"x$j") =!= (col("v")(j) * 2.0 - 1.0)).reduce(_ || _))
+      .count()
+    assert(mismatch == 0L, "linearData features must be the uniformVectors streams")
+    val margin = (0 until 4).map(j => col(s"x$j") * w(j)).reduce(_ + _)
+    val r = lin.select((col("label") - margin - 0.1).as("resid"))
+      .agg(avg("resid"), var_samp("resid"), max(abs(col("resid")))).head
+    assert(math.abs(r.getDouble(0)) < 0.01, s"resid mean ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 0.01) < 0.002, s"resid var ${r.getDouble(1)}")
+    assert(r.getDouble(2) < 0.6, s"resid max ${r.getDouble(2)}")
+    lin.unpersist()
+
+    // logisticData: the two classes sit `sep` apart along every axis
+    val log = RandomData.logisticData(spark, 4000L, 8, d = 3, sep = 2.0, seed = 9L)
+    val cm = log.groupBy("label")
+      .agg(avg("x0").as("m0"), avg("x1").as("m1"), avg("x2").as("m2"))
+      .collect().map(rr => rr.getDouble(0) -> (rr.getDouble(1), rr.getDouble(2), rr.getDouble(3)))
+      .toMap
+    Seq(cm(1.0)._1 - cm(0.0)._1, cm(1.0)._2 - cm(0.0)._2, cm(1.0)._3 - cm(0.0)._3)
+      .foreach(dd => assert(math.abs(dd - 2.0) < 0.15, s"class separation $dd vs 2.0"))
+
+    // kmeansData: per-cluster empirical mean recovers its center
+    val km = RandomData.kmeansData(spark, 6000L, 8, k = 3, dim = 4,
+      scale = 10.0, seed = 11L)
+    assert(km.select("cluster").distinct().count() == 3)
+    val gotMeans = km
+      .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cluster", "p").agg(avg("x").as("m")).collect()
+      .map(rr => (rr.getInt(0), rr.getInt(1)) -> rr.getDouble(2)).toMap
+    // centers are far apart (scale 10) vs unit noise: every per-cluster
+    // mean must sit within 0.2 of SOME deterministic center and the
+    // three recovered centers must be distinct
+    val centers = (0 until 3).map(c => (0 until 4).map(p => gotMeans((c, p))))
+    assert(centers.distinct.size == 3, "clusters must have distinct centers")
+    val within = km
+      .select(col("cluster"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cluster", "p").agg(var_samp("x").as("v")).collect()
+    within.foreach(rr => assert(math.abs(rr.getDouble(2) - 1.0) < 0.15,
+      s"within-cluster variance ${rr.getDouble(2)} vs 1.0"))
+  }
+
   test("rd01 registered entry: 10k rows, in [0,1), deterministic") {
     val a = RandomData.rd01.run(spark, sfDir).cache()
     assert(a.count() == 10000)
