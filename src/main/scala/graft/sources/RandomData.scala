@@ -233,6 +233,51 @@ object RandomData {
     }
   }
 
+  /** SVM data (SVMDataGenerator parity): x ~ U[-1,1]^d, label =
+    * sign(w·x + 0.1·N(0,1)) ∈ {0, 1} for a fixed true weight vector —
+    * the reference's uniform-features-plus-noisy-margin construction.
+    * Reuses [[linearData]]'s streams: same (seed, id) → same features. */
+  def svmData(spark: SparkSession, n: Long, parts: Int,
+              weights: Seq[Double], seed: Long): DataFrame = {
+    val d = weights.length
+    val lin = linearData(spark, n, parts, weights, intercept = 0.0,
+      epsScale = 0.1, seed = seed)
+    lin.withColumn("label", (col("label") > 0).cast("double"))
+      .select((col("id") +: (0 until d).map(j => col(s"x$j"))) :+ col("label"): _*)
+  }
+
+  /** Low-rank matrix data (MFDataGenerator parity): the sampled entries
+    * of A = z·U·Vᵀ with U, V gaussian and z = rank^(−1/4) (the
+    * reference's scaling, so entries are O(1)), plus optional
+    * N(0, sigma) noise; `fraction` of the m×n cells survive via the
+    * hash predicate (placement-invariant sampling — the training-set
+    * split a factorization benchmark needs to be reproducible).
+    * Columns (u, i, r). Entry (u, i)'s factor rows derive from
+    * (seed, u) / (seed, −1−i) streams, so any cell is recomputable in
+    * isolation. */
+  def mfData(spark: SparkSession, n_users: Long, n_items: Long, rank: Int,
+             fraction: Double, sigma: Double, seed: Long): DataFrame = {
+    require(rank >= 1 && rank * 2 < FamilyWidth)
+    val z = 1.0 / math.sqrt(math.sqrt(rank.toDouble))
+    def factor(id: Column) =
+      transform(sequence(lit(0), lit(rank - 1)), j =>
+        sqrt(lit(-2.0) * log(lit(1.0) -
+          u01(seed, id, lit(NormalVecBase) + j * 2))) *
+          cos(lit(2.0 * math.Pi) *
+            u01(seed, id, lit(NormalVecBase + 1) + j * 2)))
+    val cells = ids(spark, n_users * n_items, 32)
+      .select((col("id") % n_items).as("i"),
+        (col("id") / n_items).cast("long").as("u"))
+      .filter(graft.operators.Sampling.hashU(seed + 1, col("u"), col("i"))
+        < lit(fraction))
+    val noise =
+      if (sigma == 0.0) lit(0.0)
+      else z01(seed + 2, col("u") * n_items + col("i"), 0) * sigma
+    cells.select(col("u"), col("i"),
+      (aggregate(zip_with(factor(col("u")), factor(lit(-1L) - col("i")),
+        (a, b) => a * b), lit(0.0), (acc, p) => acc + p) * z + noise).as("r"))
+  }
+
   /** Registered pass for the generator family: 20,000 linear-regression
     * examples (d=4, w=(0.5,−1.25,2,0.75), b=0.1, ε=0.1, seed 7) in the
     * q30/q41 claim split: the FEATURES are full oracle VALUES — each

@@ -135,6 +135,36 @@ class RandomDataSpec extends SparkTestBase {
       s"within-cluster variance ${rr.getDouble(2)} vs 1.0"))
   }
 
+  test("svmData labels follow the noisy margin; mfData entries are low-rank") {
+    val w = Seq(1.0, -2.0, 0.5)
+    val svm = RandomData.svmData(spark, 4000L, 8, w, seed = 13L).cache()
+    assert(svm.select("label").distinct().count() == 2)
+    val margin = (0 until 3).map(j => col(s"x$j") * w(j)).reduce(_ + _)
+    val agree = svm
+      .select((col("label") === (margin > 0).cast("double")).cast("double").as("a"))
+      .agg(avg("a")).head.getDouble(0)
+    assert(agree > 0.9, s"label/margin agreement $agree (noise only flips near the boundary)")
+    svm.unpersist()
+
+    // rank-1, noise-free matrix: all 2x2 minors vanish -> cross-ratio = 1
+    val mf = RandomData.mfData(spark, n_users = 20L, n_items = 15L, rank = 1,
+      fraction = 1.0, sigma = 0.0, seed = 17L)
+    val m = mf.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m.size == 300)
+    for (u <- 0L until 3L; i <- 0L until 3L)
+      assert(math.abs(m((u, i)) * m((u + 1, i + 1)) -
+        m((u, i + 1)) * m((u + 1, i))) < 1e-12,
+        s"2x2 minor at ($u,$i) nonzero: rank-1 structure broken")
+    // sampling is the hash predicate: deterministic and placement-free
+    val half = RandomData.mfData(spark, 20L, 15L, 1, fraction = 0.5,
+      sigma = 0.1, seed = 17L)
+    val again = RandomData.mfData(spark, 20L, 15L, 1, fraction = 0.5,
+      sigma = 0.1, seed = 17L)
+    assert(half.exceptAll(again).isEmpty && again.exceptAll(half).isEmpty)
+    val cnt = half.count()
+    assert(math.abs(cnt - 150.0) < 4 * math.sqrt(300 * 0.25), s"sampled $cnt of ~150")
+  }
+
   test("rd01 registered entry: 10k rows, in [0,1), deterministic") {
     val a = RandomData.rd01.run(spark, sfDir).cache()
     assert(a.count() == 10000)
