@@ -843,6 +843,44 @@ object Trees {
       .orderBy("actual", "pred")
   }
 
+  /** Gradient-boosted regression (GradientBoostedTrees.scala:1 parity,
+    * squared loss): F(x) = f0 + shrink·Σ_m tree_m(x), each round fitting
+    * a regression tree to the current residual column (updated in-plan,
+    * so round m is one bounded level-training on a frame that never
+    * leaves the cluster). Returns (f0, shrink, trees, perRoundMse) —
+    * the [[graft.ml.ModelIO.saveGbt]] persistence shape plus the
+    * measured per-round training MSEs (provably non-increasing for
+    * squared loss with mean leaves; see [[gbt01]]).
+    *
+    * Predict on a frame binned with the SAME bin edges via
+    * [[gbtPredictExpr]]. */
+  def trainGbt(data: DataFrame, fts: Seq[Column], yCol: Column,
+               rounds: Int, depth: Int, bins: Int, shrink: Double)
+      : (Double, Double, Seq[RModel], Seq[Double]) = {
+    var frame = binForRegression(data, fts, yCol, bins)
+    val f0 = frame.agg(avg("y")).head.getDouble(0)
+    frame = frame.withColumn("y", col("y") - f0).localCheckpoint()
+    val trees = scala.collection.mutable.ArrayBuffer.empty[RModel]
+    val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to rounds) {
+      val tree = trainRegressionBinned(frame, d = fts.length, depth, bins)
+      trees += tree
+      frame = frame
+        .select(col("b"),
+          (col("y") - lit(shrink) * regressExpr(tree, col("b"))).as("y"),
+          col("w"), lit(0).as("node"))
+        .localCheckpoint()
+      mses += frame.agg(avg(col("y") * col("y"))).head.getDouble(0)
+    }
+    (f0, shrink, trees.toSeq, mses.toSeq)
+  }
+
+  /** Ensemble prediction over a binned feature column: the whole model
+    * lives in the plan (a when-chain per tree), map-only application. */
+  def gbtPredictExpr(f0: Double, shrink: Double, trees: Seq[RModel],
+                     b: Column): Column =
+    trees.foldLeft(lit(f0))((acc, t) => acc + lit(shrink) * regressExpr(t, b))
+
   /** Registered pass: 4-round depth-2 gradient-boosted regression of the
     * scaled extended price (GradientBoostedTrees.scala:1 parity,
     * squared loss: each round fits a regression tree to the CURRENT

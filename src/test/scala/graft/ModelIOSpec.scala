@@ -63,10 +63,23 @@ class ModelIOSpec extends SparkTestBase {
     ModelIO.saveRegressionTree(spark, p3, rmodel)
     assert(ModelIO.loadRegressionTree(spark, p3) == rmodel)
 
+    // a REAL trained GBT: train -> save -> load -> bit-identical predictions
+    val (tf0, tshrink, ttrees, tmses) =
+      Trees.trainGbt(df, fts, col("y"), rounds = 3, depth = 2, bins = 20, shrink = 0.5)
+    assert(tmses.zip(tmses.drop(1)).forall { case (a, b) => b <= a * (1 + 1e-9) },
+      "squared-loss GBT training MSE must be non-increasing")
     val p4 = tmp("gbt")
-    ModelIO.saveGbt(spark, p4, f0 = 2.5000000001, shrink = 0.5, trees = Seq(rmodel, rmodel))
+    ModelIO.saveGbt(spark, p4, tf0, tshrink, ttrees)
     val (f0, shrink, trees) = ModelIO.loadGbt(spark, p4)
-    assert(f0 == 2.5000000001 && shrink == 0.5 && trees == Seq(rmodel, rmodel))
+    assert(f0 == tf0 && shrink == tshrink && trees == ttrees)
+    val predBefore = binned
+      .select(Trees.gbtPredictExpr(tf0, tshrink, ttrees, col("b")).as("p"))
+      .collect().map(_.getDouble(0)).sorted
+    val predAfter = binned
+      .select(Trees.gbtPredictExpr(f0, shrink, trees, col("b")).as("p"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(predBefore.sameElements(predAfter),
+      "loaded GBT must predict bit-identically")
 
     // wrong-class load fails loudly with the stored class name
     val e = intercept[IllegalArgumentException](ModelIO.loadTree(spark, p4))
