@@ -143,6 +143,39 @@ class PlanSpec extends SparkTestBase {
       s"NOT IN fell back to the nested-loop plan:\n$p")
   }
 
+  test("q38/q52/kf01 hash sampling stays a map-side filter - no shuffle before the sort") {
+    // the predicate/projection is pure codegen'd column arithmetic; the
+    // only exchange allowed is the final orderBy's range partitioning
+    Seq(graft.operators.Stats.q38, graft.operators.Stats.q52,
+      graft.operators.Stats.kf01).foreach { q =>
+      val p = plan(q.run(spark, sfDir))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"${q.name}: sampling shuffled: ${p.take(1200)}")
+      assert(!p.contains("Join"), s"${q.name}: unexpected join")
+    }
+  }
+
+  test("st01 partial-aggregates before its single shuffle; cs01 localizes the bounded Gramian") {
+    val p = plan(graft.operators.Stats.st01.run(spark, sfDir))
+    assert(p.contains("partial_"), s"st01: no map-side combine: ${p.take(1200)}")
+    assert(!p.contains("Join"), "st01: colstats must not join")
+    // cs01's distributed Gramian pass runs inside the entry and collects
+    // only 2080 cells; the RETURNED frame is that bounded local table -
+    // consuming it costs zero distributed work (the covariance-cache
+    // class), and there is no join anywhere
+    val pc = plan(graft.operators.Matrices.cs01.run(spark, sfDir))
+    assert(pc.contains("LocalTableScan") && !pc.contains("Join") &&
+      !pc.contains("FileScan"),
+      s"cs01: returned frame should be the localized cells: ${pc.take(1200)}")
+  }
+
+  test("gen01's generator plan has no scan, no join, one bounded moment aggregate") {
+    val p = plan(graft.sources.RandomData.gen01.run(spark, sfDir))
+    assert(!p.contains("FileScan"), s"generator read a table: ${p.take(800)}")
+    assert(p.contains("BroadcastExchange"),
+      s"moment flags must broadcast the 1-row aggregate: ${p.take(1200)}")
+  }
+
   test("whole-stage codegen is active on the scan-agg path") {
     // AQE finalizes the physical plan only on execution; run the query
     // first, then the adaptive plan shows its codegen stages as "*(n)"
