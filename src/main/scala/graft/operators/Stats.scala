@@ -405,6 +405,49 @@ object Stats {
       .orderBy("p")
   }
 
+  /** Even-width histogram (reference core/src/main/scala/org/apache/
+    * spark/rdd/DoubleRDDFunctions.scala:1 `histogram(bucketCount)`,
+    * r11): the reference's two-pass shape — one bounded min/max
+    * aggregate, then one groupBy over the bucket expression
+    * least(floor((x−lo)/w), n−1) with the max value closing the last
+    * bucket, empty buckets densified (the reference returns a dense
+    * array). All double arithmetic is the identical IEEE ops on the
+    * identical (lo, hi) aggregates on both engines, so bucket ids,
+    * edges and integer counts carry a FULL exact oracle. Two bounded
+    * passes at any scale; counts shuffle as one n_buckets-row partial
+    * aggregate. */
+  val hist01: Q = Q.sql(
+    "hist01_histogram",
+    """WITH mm AS (
+      |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+      |    (max(l_extendedprice) - min(l_extendedprice)) / 20.0 AS w
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT least(CAST(floor((l_extendedprice - lo) / w) AS INT), 19) AS bucket,
+      |    count(*) AS n
+      |  FROM lineitem, mm GROUP BY 1)
+      |SELECT r.bucket, mm.lo + r.bucket * mm.w AS lo_edge,
+      |  mm.lo + (r.bucket + 1) * mm.w AS hi_edge,
+      |  CAST(coalesce(b.n, 0) AS BIGINT) AS n
+      |FROM (SELECT CAST(range AS INT) AS bucket FROM range(0, 20)) r
+      |CROSS JOIN mm
+      |LEFT JOIN b ON b.bucket = r.bucket
+      |ORDER BY r.bucket""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val mm = li.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi")).head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val w = (hi - lo) / 20.0
+    val counts = li
+      .groupBy(least(floor((col("l_extendedprice") - lo) / w).cast("int"), lit(19))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 20).map(b => (b, lo + b * w, lo + (b + 1) * w, counts.getOrElse(b, 0L)))
+      .toDF("bucket", "lo_edge", "hi_edge", "n")
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] =
-    Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52, q59, kf01, st01)
+    Seq(q31, q32, q33, q34, q35, q36, q37, q38, q39, q52, q59, kf01, st01, hist01)
 }
