@@ -59,6 +59,24 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("hist01 buckets partition the value range and sum to the row count") {
+    import graft.operators.Stats
+    val got = Stats.hist01.run(spark, sfDir).collect()
+    assert(got.length == 20)
+    val total = Tables.lineitem(spark, sfDir).count()
+    assert(got.map(_.getLong(3)).sum == total,
+      "bucket counts must sum to the table size (max value included)")
+    // edges tile [lo, hi] contiguously
+    got.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getDouble(2) == w(1).getDouble(1), "edges must tile")
+    }
+    val mm = Tables.lineitem(spark, sfDir)
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head
+    assert(got.head.getDouble(1) == mm.getDouble(0))
+    assert(math.abs(got.last.getDouble(2) - mm.getDouble(1)) < 1e-9)
+  }
+
   test("hash sampling membership is partition-count invariant") {
     import graft.operators.Sampling
     val li = Tables.lineitem(spark, sfDir)
