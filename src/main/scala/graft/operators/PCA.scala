@@ -377,5 +377,47 @@ object PCA {
     entries.toSeq.toDF("i", "j", "cov").orderBy("i", "j")
   }
 
-  val all: Seq[Q] = Seq(d13, d14, d15)
+  /** Pearson correlation MATRIX of the embedding columns (reference
+    * mllib/stat/Statistics.scala:1 `corr(X)` matrix form /
+    * correlation/PearsonCorrelation.scala:1 — q31/q59 are the scalar
+    * pairwise surface, this is the d×d matrix): corr(i,j) =
+    * cov(i,j)/√(cov(i,i)·cov(j,j)), derived entirely from the
+    * session-shared covariance triangle — a FOURTH consumer of that one
+    * distributed pass, so the entry costs zero cluster work after
+    * d13/d14/d15 (the reference recomputes its Gramian per call). The
+    * inputs are the 6dp-rounded covariance cells (identical doubles on
+    * both engines by d14's oracle) and sqrt/divide are correctly
+    * rounded, so the raw quotients carry a FULL bit-exact oracle with
+    * no further rounding. Upper triangle i<j (the diagonal is
+    * identically 1). */
+  val corr01: Q = Q.sql(
+    "corr01_correlation_matrix",
+    """WITH x AS (
+      |  SELECT e.vec_id, i AS dim_idx, CAST(e.embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings e, unnest(range(1, 65)) t(i)),
+      |m AS (SELECT dim_idx, round(avg(x), 6) AS mu FROM x GROUP BY dim_idx),
+      |c AS (SELECT x.vec_id, x.dim_idx, x.x - m.mu AS cx
+      |      FROM x JOIN m ON x.dim_idx = m.dim_idx),
+      |cov AS (
+      |  SELECT a.dim_idx AS i, b.dim_idx AS j,
+      |    round(CAST(sum(CAST(a.cx * b.cx AS DECIMAL(18,12))) AS DOUBLE)
+      |          / (count(*) - 1), 6) + 0.0 AS cov
+      |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.dim_idx >= a.dim_idx
+      |  GROUP BY 1, 2),
+      |d AS (SELECT i, sqrt(cov) AS sd FROM cov WHERE i = j)
+      |SELECT cov.i, cov.j, cov.cov / (da.sd * db.sd) AS corr
+      |FROM cov JOIN d da ON cov.i = da.i JOIN d db ON cov.j = db.i
+      |WHERE cov.i < cov.j
+      |ORDER BY cov.i, cov.j""".stripMargin) { (s, dir) =>
+    val (_, entries) = covarianceShared(s, dir)
+    val cov = entries.map(e => (e._1, e._2) -> e._3).toMap
+    val dims = entries.map(_._1).distinct.sorted
+    val sd = dims.map(i => i -> math.sqrt(cov((i, i)))).toMap
+    import s.implicits._
+    (for { i <- dims; j <- dims if i < j }
+      yield (i, j, cov((i, j)) / (sd(i) * sd(j)))).toSeq
+      .toDF("i", "j", "corr").orderBy("i", "j")
+  }
+
+  val all: Seq[Q] = Seq(d13, d14, d15, corr01)
 }

@@ -155,4 +155,24 @@ class PCASpec extends SparkTestBase {
     assert(math.abs(entries((1L, 1L)) - v) < 1e-4,
       s"cov(1,1) = ${entries((1L, 1L))} must match direct variance $v")
   }
+
+  test("corr01 matrix agrees with the built-in pairwise corr and stays in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.PCA.corr01.run(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.size == 64 * 63 / 2)
+    assert(got.values.forall(v => v >= -1.0 - 1e-6 && v <= 1.0 + 1e-6))
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+    def dim(i: Long) = emb.filter(col("p") === i)
+      .select(col("x").cast("double").as(s"x$i"))
+    Seq((1L, 2L), (5L, 40L), (63L, 64L)).foreach { case (i, j) =>
+      val joined = Tables.embeddings(spark, sfDir).select(
+        col("embedding")(i.toInt - 1).cast("double").as("a"),
+        col("embedding")(j.toInt - 1).cast("double").as("b"))
+      val want = joined.agg(corr("a", "b")).head.getDouble(0)
+      assert(math.abs(got((i, j)) - want) < 1e-3,
+        s"corr($i,$j) ${got((i, j))} vs built-in $want")
+    }
+  }
 }
