@@ -136,9 +136,10 @@ object Bench {
     catch { case _: Throwable => () }
 
     // prime + time the shared covariance stage cold (only when one of
-    // its consumers is in this run): all three consumers' samples are
+    // its consumers is in this run): all four consumers' samples are
     // then uniformly warm, and the cold pass is its own labeled number
-    if (Seq("d13_pca", "d14_covariance", "d15_svd").exists(names.contains)) {
+    if (Seq("d13_pca", "d14_covariance", "d15_svd",
+            "corr01_correlation_matrix").exists(names.contains)) {
       val t0 = System.nanoTime()
       try {
         operators.PCA.covarianceShared(spark, sfDir)

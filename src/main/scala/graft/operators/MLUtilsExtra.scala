@@ -11,15 +11,20 @@ object MLUtilsExtra {
 
   /** DataValidators.binaryLabelValidator parity: true iff every value of
     * `labelCol` is exactly 0.0 or 1.0 — ONE bounded count aggregate, no
-    * collect of rows. */
-  def binaryLabelValid(df: DataFrame, labelCol: String): Boolean =
-    df.filter(col(labelCol) =!= 0.0 && col(labelCol) =!= 1.0).isEmpty
+    * collect of rows. A NULL label is invalid (the reference's validator
+    * runs on non-null doubles, so a null here is a data error — without
+    * the isNull arm the three-valued filter predicate would silently
+    * drop the row and report valid). */
+  def binaryLabelValid(df: DataFrame, labelCol: String): Boolean = {
+    val l = col(labelCol)
+    df.filter(l.isNull || (l =!= 0.0 && l =!= 1.0)).isEmpty
+  }
 
   /** DataValidators.multiLabelValidator(k) parity: true iff every label
-    * is an integer in {0, …, k−1}. */
+    * is an integer in {0, …, k−1}; NULL labels invalid (see above). */
   def multiLabelValid(df: DataFrame, labelCol: String, k: Int): Boolean = {
     val l = col(labelCol)
-    df.filter(l =!= floor(l) || l < 0 || l > k - 1).isEmpty
+    df.filter(l.isNull || l =!= floor(l) || l < 0 || l > k - 1).isEmpty
   }
 
   /** RDDFunctions.sliding(windowSize) parity over an EXPLICIT ordering:

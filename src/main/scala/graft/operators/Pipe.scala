@@ -33,6 +33,33 @@ object Pipe {
         env.foreach { case (k, v) => pb.environment().put(k, v) }
         pb.redirectErrorStream(false)
         val proc = pb.start()
+        // If the downstream consumer abandons the iterator early (e.g. a
+        // limit), kill the subprocess at task end rather than leaking it.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (proc.isAlive) proc.destroyForcibly()
+          })
+        // Drain stderr on a dedicated daemon thread (the reference's
+        // PipedRDD stderr-reader): a command writing more than the OS
+        // pipe buffer (~64 KiB) to stderr would otherwise block on
+        // write while the task thread waits on stdout — task hang.
+        val errDrain = new Thread(() => {
+          val err = new java.io.BufferedReader(new java.io.InputStreamReader(
+            proc.getErrorStream, java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var l = err.readLine(); var n = 0L
+            while (l != null) {
+              // echo a bounded prefix (diagnostics), swallow-but-drain the
+              // rest so a chatty command can't flood the executor log
+              if (n < 100) System.err.println(s"[graft-pipe] $l")
+              n += 1; l = err.readLine()
+            }
+            if (n > 100) System.err.println(
+              s"[graft-pipe] ... ${n - 100} further stderr lines suppressed")
+          } catch { case _: java.io.IOException => () } finally err.close()
+        }, "graft-pipe-stderr")
+        errDrain.setDaemon(true)
+        errDrain.start()
         val writer = new Thread(() => {
           val out = new java.io.PrintWriter(new java.io.BufferedWriter(
             new java.io.OutputStreamWriter(proc.getOutputStream,

@@ -387,7 +387,8 @@ object Trees {
              idCols: Seq[Column], depth: Int, bins: Int, nTrees: Int,
              featuresPerTree: Int,
              guardGainGaps: Boolean = false,
-             impurity: String = "gini"): (Seq[Model], DataFrame) = {
+             impurity: String = "gini",
+             gainGapWidth: Double = 2e-12): (Seq[Model], DataFrame) = {
     val imp = impurityFn(impurity)
     val d = fts.length
     val allowed = (0 until nTrees).map(t => featureSubset(t, d, featuresPerTree))
@@ -430,7 +431,7 @@ object Trees {
           case (node, rows) =>
             if (splits(t).contains(node) || leaves(t).contains(node)) None
             else chooseSplit(rows.toSeq.map(r => (r._3, r._4, r._5, r._6)),
-              allowed(t), bins, guardGainGaps, imp) match {
+              allowed(t), bins, guardGainGaps, imp, gainGapWidth) match {
               case Right(s) => Some(s.copy(node = node))
               case Left(leaf) => leaves(t) += node -> leaf; None
             }

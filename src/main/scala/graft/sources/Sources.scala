@@ -108,7 +108,10 @@ object Sources {
     * LabeledPoint-with-SparseVector shape as columns. The parse is pure
     * codegen'd column transforms over `spark.read.text` (split + slice +
     * transform) — no per-line closures, embarrassingly parallel at any
-    * file count. Blank lines are dropped (the reference does the same).
+    * file count. Blank lines and '#' comment lines are dropped (the
+    * reference filters both), and MLUtils' index contract is enforced
+    * in-plan: a non-positive or non-strictly-ascending index fails the
+    * read loudly (assert_true) instead of silently shifting features.
     *
     * @param numFeatures fixed dimensionality; -1 (default) infers
     *                    max(index)+1 with one bounded aggregate, exactly
@@ -120,13 +123,25 @@ object Sources {
     import org.apache.spark.sql.functions._
     val parsed = spark.read.text(path)
       .select(split(trim(col("value")), "\\s+").as("t"))
-      .filter(size(col("t")) > 0 && col("t")(0) =!= "")
+      .filter(size(col("t")) > 0 && col("t")(0) =!= "" &&
+        !col("t")(0).startsWith("#"))
       .select(
         col("t")(0).cast("double").as("label"),
         expr("transform(slice(t, 2, greatest(size(t) - 1, 0)), " +
           "s -> cast(split(s, ':')[0] AS INT) - 1)").as("indices"),
         expr("transform(slice(t, 2, greatest(size(t) - 1, 0)), " +
           "s -> cast(split(s, ':')[1] AS DOUBLE))").as("values"))
+      // MLUtils.loadLibSVMFile's require: 1-based, strictly ascending.
+      // After the -1 shift: every index >= 0 and index[i] > index[i-1].
+      // The assert lives inside a filter predicate (isnull(assert_true)
+      // is always true when the check passes) so column pruning cannot
+      // drop it from the plan.
+      .filter(expr(
+        "isnull(assert_true(forall(indices, i -> i >= 0) AND " +
+          "(size(indices) <= 1 OR " +
+          "forall(sequence(1, size(indices) - 1), " +
+          "k -> indices[k] > indices[k - 1])), " +
+          "'libsvm: indices must be one-based and strictly ascending'))"))
     val d =
       if (numFeatures > 0) numFeatures
       else parsed.agg(coalesce(max(array_max(col("indices"))) + 1, lit(0)))

@@ -18,6 +18,12 @@ class MLUtilsExtraSpec extends SparkTestBase {
     assert(!MLUtilsExtra.multiLabelValid(bad, "label", k = 2))
     assert(!MLUtilsExtra.multiLabelValid(frac, "label", k = 2))
     assert(!MLUtilsExtra.multiLabelValid(Seq(-1.0, 0.0).toDF("label"), "label", 2))
+    // NULL labels are a data error, not a silently-dropped row: without
+    // the isNull arm the three-valued predicate filters nulls out and
+    // the validator wrongly reports valid
+    val withNull = Seq(Some(0.0), Some(1.0), None).toDF("label")
+    assert(!MLUtilsExtra.binaryLabelValid(withNull, "label"))
+    assert(!MLUtilsExtra.multiLabelValid(withNull, "label", k = 2))
   }
 
   test("sliding matches Scala's sliding over the ordered values, across partitions") {

@@ -24,6 +24,20 @@ class PipeSpec extends SparkTestBase {
     assert(out == 20000)
   }
 
+  test("a stderr-heavy command cannot block on a full stderr pipe") {
+    import TestSpark.spark.implicits._
+    // write ~160 KiB to stderr BEFORE any stdout: without the stderr
+    // drain thread the subprocess blocks once the ~64 KiB OS pipe
+    // buffer fills and the task hangs on stdout readLine forever
+    val ds = (0 until 10).map(_.toString).toDS().coalesce(1)
+    val script = "i=0; while [ $i -lt 3000 ]; do " +
+      "echo 'stderr filler line to overflow the pipe buffer' >&2; " +
+      "i=$((i+1)); done; cat"
+    val out = Pipe.pipe(ds, Seq("sh", "-c", script)).collect().sorted
+    assert(out.toSeq == (0 until 10).map(_.toString).sorted,
+      "stdout must flow even when stderr greatly exceeds the pipe buffer")
+  }
+
   test("a failing command fails the task loudly, not with truncated output") {
     import TestSpark.spark.implicits._
     val ds = (0 until 100).map(_.toString).toDS().coalesce(1)

@@ -59,6 +59,35 @@ class SourcesSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("libsvm reader drops '#' comments and rejects invalid indices loudly") {
+    val dir = Files.createTempDirectory("graft-libsvm-strict").toString
+    // comment lines (MLUtils filters line.startsWith("#")) must vanish,
+    // not become rows with a null label
+    Files.write(java.nio.file.Paths.get(dir, "ok.txt"),
+      Seq("# a header comment", "1.0 1:2.0 4:1.0", "#another", "0.0 2:3.0")
+        .mkString("\n").getBytes)
+    val ok = Sources.libsvm(spark, s"$dir/ok.txt")
+    assert(ok.count() == 2, "comment lines must be dropped")
+    assert(ok.filter(col("label").isNull).isEmpty)
+
+    // a 0 index (invalid: MLUtils requires one-based) fails the read
+    Files.write(java.nio.file.Paths.get(dir, "zero.txt"),
+      "1.0 0:2.0 3:1.0".getBytes)
+    val eZero = intercept[Exception] {
+      Sources.libsvm(spark, s"$dir/zero.txt").collect()
+    }
+    assert(eZero.getMessage.contains("ascending") ||
+      Option(eZero.getCause).exists(_.getMessage.contains("ascending")),
+      s"expected the index-contract assert, got: ${eZero.getMessage}")
+
+    // non-ascending indices fail the read
+    Files.write(java.nio.file.Paths.get(dir, "desc.txt"),
+      "1.0 5:2.0 3:1.0".getBytes)
+    intercept[Exception] {
+      Sources.libsvm(spark, s"$dir/desc.txt").collect()
+    }
+  }
+
   test("partitioned write enables partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.orders(spark, sfDir)
