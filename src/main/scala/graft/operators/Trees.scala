@@ -882,6 +882,136 @@ object Trees {
                      b: Column): Column =
     trees.foldLeft(lit(f0))((acc, t) => acc + lit(shrink) * regressExpr(t, b))
 
+  /** The reference's pseudo-residual −∂loss/∂F as a pure column
+    * (mllib/tree/loss: SquaredError.scala:1, AbsoluteError.scala:1,
+    * LogLoss.scala:1). For "logistic" the target must already be in
+    * {−1,+1} (the Classification remap 2y−1, GradientBoostedTrees
+    * .scala:66, happens in the caller). "absolute" keeps the
+    * reference's tie convention: residual exactly 0 → +1. */
+  private def pseudoResidual(loss: String, y: Column, f: Column): Column =
+    loss match {
+      case "squared"  => y - f
+      case "absolute" => when(y - f < 0, lit(-1.0)).otherwise(lit(1.0))
+      case "logistic" => lit(4.0) * y / (lit(1.0) + exp(lit(2.0) * y * f))
+      case other => throw new IllegalArgumentException(
+        s"loss '$other' (supported: squared, absolute, logistic)")
+    }
+
+  /** Per-row training loss of the current ensemble (Loss.computeError's
+    * integrand; the logistic form is the reference's numerically-stable
+    * 2·log1p(exp(−2yF)) deviance). */
+  private def lossValue(loss: String, y: Column, f: Column): Column =
+    loss match {
+      case "squared"  => (y - f) * (y - f)
+      case "absolute" => abs(y - f)
+      case "logistic" => lit(2.0) * log1p(exp(lit(-2.0) * y * f))
+      case other => throw new IllegalArgumentException(s"loss '$other'")
+    }
+
+  /** Loss-generalized gradient boosting (GradientBoostedTrees.scala:120
+    * `boost` parity): tree 0 is fit on the RAW target with ensemble
+    * weight 1.0 (the reference's firstTreeWeight), every later tree on
+    * the CURRENT ensemble's pseudo-residual with weight `shrink`, and
+    * leaves are mean pseudo-residuals — Stochastic Gradient Boosting,
+    * NOT TreeBoost: the reference documents (GradientBoostedTrees
+    * .scala:40 and the baseLearnerWeights note at :174) that leaf
+    * values are not refit per loss. `loss` ∈ squared | absolute |
+    * logistic (AbsoluteError = LAD regression, LogLoss = binary
+    * classification over ±1 labels; predict the class as sign(F)).
+    *
+    * Scale shape is dt01's: each round = one bounded level-cube
+    * groupBy per tree level plus one map-only residual update, the
+    * driver holds only (trees × nodes) doubles, rows never leave the
+    * cluster. Per-round losses are one avg aggregate each.
+    *
+    * For `logistic` with 0 < shrink ≤ 1 the training deviance is
+    * PROVABLY non-increasing round over round (and below the F=0
+    * prior 2·log 2): the deviance is pointwise 2-smooth in F
+    * (L″ = 8σ(1−σ) ≤ 2), so a leaf stepping its n points by
+    * ν·p̄ (mean pseudo-residual p̄, the leaf's value) changes it by
+    * ΔL ≤ Σᵢ(−pᵢ·ν·p̄) + (2/2)·n·ν²p̄² = −n·ν(1−ν)·p̄² ≤ 0; tree 0's
+    * raw-label fit is the same bound at ν=1 with g(0) = −2y giving
+    * ΔL ≤ −n·μ² ≤ 0. gbt02 turns this theorem into its oracle flags.
+    *
+    * @return (trees paired with their ensemble weights, per-round mean
+    *         training loss, final frame (b, y, F, w) for serving) */
+  def trainGbtLoss(data: DataFrame, fts: Seq[Column], yCol: Column,
+                   rounds: Int, depth: Int, bins: Int, shrink: Double,
+                   loss: String)
+      : (Seq[(RModel, Double)], Seq[Double], DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(shrink > 0 && shrink <= 1, s"shrink must be in (0,1], got $shrink")
+    pseudoResidual(loss, lit(0), lit(0)) // validate the loss name eagerly
+    var frame = binForRegression(data, fts, yCol, bins)
+      .select(col("b"), col("y"), lit(0.0).as("F"), col("w"))
+      .localCheckpoint()
+    val weights = 1.0 +: Seq.fill(rounds - 1)(shrink)
+    val trees = scala.collection.mutable.ArrayBuffer.empty[RModel]
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (m <- 0 until rounds) {
+      val target = if (m == 0) col("y") else pseudoResidual(loss, col("y"), col("F"))
+      val fit = frame.select(col("b"), target.cast("double").as("y"),
+        col("w"), lit(0).as("node"))
+      val tree = trainRegressionBinned(fit, d = fts.length, depth, bins)
+      trees += tree
+      frame = frame.select(col("b"), col("y"),
+          (col("F") + lit(weights(m)) * regressExpr(tree, col("b"))).as("F"),
+          col("w"))
+        .localCheckpoint()
+      losses += frame.agg(avg(lossValue(loss, col("y"), col("F"))))
+        .head.getDouble(0)
+    }
+    (trees.toSeq.zip(weights), losses.toSeq, frame)
+  }
+
+  /** Registered pass (r12): 4-round depth-2 LogLoss classification GBT
+    * (mllib/tree/loss/LogLoss.scala:1 + GradientBoostedTrees.scala:66's
+    * ±1 remap) of "was the line returned-neither-accepted" (l_returnflag
+    * = 'N') from gbt01's feature set.
+    *
+    * FULL oracle via the smoothness theorem proved at [[trainGbtLoss]]:
+    * the training deviance provably never increases (tree 0 included)
+    * and never exceeds the F=0 prior 2·log 2, so the entry emits
+    * per-round `monotone` / `below_prior` flags the oracle asserts as
+    * literal TRUE, anchored by the EXACT class counts n_pos/n_neg
+    * (integers, recomputed by DuckDB from the raw table — they pin that
+    * the remapped target really is the claimed ±1 labeling). The raw
+    * per-round deviances stay engine-local (exp is not bit-portable)
+    * and are pinned in TreesSpec instead (planted separable recovery). */
+  val gbt02 = Q.sql(
+    "gbt02_gbt_logloss",
+    """WITH c AS (
+      |  SELECT CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |         CAST(sum(CASE WHEN l_returnflag <> 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |  FROM lineitem)
+      |SELECT CAST(r AS INT) AS round, n_pos, n_neg,
+      |  TRUE AS monotone, TRUE AS below_prior
+      |FROM c, range(0, 4) t(r)
+      |ORDER BY round""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+      year(col("l_shipdate")))
+    val y = when(col("l_returnflag") === "N", 1.0).otherwise(-1.0)
+    val (_, losses, _) = trainGbtLoss(li, fts, y,
+      rounds = 4, depth = 2, bins = 32, shrink = 0.5, loss = "logistic")
+    val prior = 2.0 * math.log(2.0)
+    // flags from the measured per-round deviances: the theorem is exact
+    // real arithmetic; eps absorbs double-agg summation-order noise
+    val eps = (a: Double) => a * (1 + 1e-9) + 1e-12
+    val flags = losses.zipWithIndex.map { case (l, m) =>
+      val prev = if (m == 0) prior else losses(m - 1)
+      (m, l <= eps(prev), l <= eps(prior))
+    }.toDF("round", "monotone", "below_prior")
+    val counts = li.agg(
+      sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("l_returnflag") =!= "N", 1L).otherwise(0L)).as("n_neg"))
+    flags.crossJoin(counts)
+      .select(col("round"), col("n_pos"), col("n_neg"),
+        col("monotone"), col("below_prior"))
+      .orderBy("round")
+  }
+
   /** Registered pass: 4-round depth-2 gradient-boosted regression of the
     * scaled extended price (GradientBoostedTrees.scala:1 parity,
     * squared loss: each round fits a regression tree to the CURRENT
@@ -979,5 +1109,5 @@ object Trees {
       .orderBy("leaf")
   }
 
-  val all: Seq[Q] = Seq(dt01, dt02, rf01, gbt01)
+  val all: Seq[Q] = Seq(dt01, dt02, rf01, gbt01, gbt02)
 }

@@ -125,6 +125,65 @@ class TreesSpec extends SparkTestBase {
       s"returned-frame vote $accFrame != rebinned vote $acc")
   }
 
+  test("logistic GBT separates a planted ±1 corpus and its deviance is monotone") {
+    import TestSpark.spark.implicits._
+    // separable in x0 with a nuisance feature: sign(F) must recover the
+    // labels and the deviance chain must realize the smoothness theorem
+    val df = (0 until 800).map { i =>
+      val x0 = (i % 40) / 40.0
+      val x1 = ((i * 13) % 40) / 40.0
+      (x0, x1, if (x0 < 0.5) -1.0 else 1.0)
+    }.toDF("x0", "x1", "y")
+    val fts = Seq(col("x0"), col("x1"))
+    val (trees, losses, frame) = Trees.trainGbtLoss(df, fts, col("y"),
+      rounds = 4, depth = 2, bins = 40, shrink = 0.5, loss = "logistic")
+    assert(trees.length == 4 && trees.head._2 == 1.0 &&
+      trees.tail.forall(_._2 == 0.5), "tree0 weight 1.0, later trees shrink")
+    val prior = 2.0 * math.log(2.0)
+    val chain = prior +: losses
+    chain.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9) + 1e-12, s"deviance rose: $chain") }
+    val acc = frame
+      .select(avg((signum(col("F")) === col("y")).cast("double")))
+      .head.getDouble(0)
+    assert(acc == 1.0, s"separable corpus must classify perfectly, acc $acc")
+  }
+
+  test("LAD GBT pulls toward the planted medians despite gross outliers") {
+    import TestSpark.spark.implicits._
+    // two plateaus at 1 and 9 with 5% gross (+1000) outliers: absolute
+    // loss must keep chasing the plateau (sign residuals bound each
+    // round's pull to ±shrink) while squared loss chases the outliers
+    val df = (0 until 800).map { i =>
+      val x0 = (i % 40) / 40.0
+      val base = if (x0 < 0.5) 1.0 else 9.0
+      val y = if (i % 20 == 0) base + 1000.0 else base
+      (x0, ((i * 13) % 40) / 40.0, y)
+    }.toDF("x0", "x1", "y")
+    val fts = Seq(col("x0"), col("x1"))
+    val (_, maes, frame) = Trees.trainGbtLoss(df, fts, col("y"),
+      rounds = 6, depth = 2, bins = 40, shrink = 0.5, loss = "absolute")
+    // tree0 is a raw-label mean fit (outlier-shifted); the LAD rounds
+    // then step by at most ±shrink each, monotonically shrinking MAE
+    assert(maes.last < maes.head,
+      s"LAD rounds must reduce MAE, got $maes")
+    // clean-row predictions approach the plateaus, not the means
+    // (mean of the x0<0.5 half including outliers is ~51)
+    val cleanErr = frame.filter(col("y") < 100)
+      .select(avg(abs(col("F") - col("y")))).head.getDouble(0)
+    assert(cleanErr < 30.0,
+      s"LAD must resist the +1000 outliers on clean rows, err $cleanErr")
+  }
+
+  test("gbt02 on the real table: deviance flags all true") {
+    val out = Trees.gbt02.run(spark, sfDir).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"monotone flag false at round ${r.getInt(0)}")
+      assert(r.getBoolean(4), s"below_prior flag false at round ${r.getInt(0)}")
+    }
+  }
+
   test("gbt01 on the real table: per-round MSE is non-increasing") {
     val out = Trees.gbt01.run(spark, sfDir).collect()
     assert(out.length == 4)
