@@ -25,7 +25,8 @@ object SparkEntry {
       operators.SemanticDedup.all ++
       operators.Graphs.all ++
       operators.Multimodal.all ++ operators.Stats.all ++
-      operators.Evaluation.all ++ sources.RandomData.all
+      operators.Evaluation.all ++ sources.RandomData.all ++
+      ml.Optimize.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
