@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -224,5 +224,137 @@ object Matrices {
       .toDF("i", "j", "cos_sim").orderBy("i", "j")
   }
 
-  val all: Seq[Q] = Seq(bm01, cs01)
+  /** DIMSUM sampled column similarities (reference RowMatrix.scala:497
+    * `columnSimilarities(threshold)` → `columnSimilaritiesDIMSUM`,
+    * Zadeh & Goel arXiv:1206.2082 / 1304.1467): the wide-matrix scale
+    * path — instead of the exact Gramian's O(cols²) per-row work, each
+    * row keeps column i with probability p_i = min(1, √γ/‖c_i‖) and
+    * emits (x_i/q_i)(x_j/q_j) for its sampled pairs, q_i = min(√γ,
+    * ‖c_i‖), γ = 10·log(n)/threshold. Because p̃_i/q_i = 1/‖c_i‖
+    * identically, the summed emissions are an unbiased estimate of the
+    * COSINE itself, with per-entry sample counts bounded by γ — total
+    * work grows with γ·rows, not cols²·rows, and high-magnitude
+    * columns are sampled hardest down.
+    *
+    * Two deltas from the reference, both deliberate:
+    *  - coins are the repo's hash predicate u(xxhash64(seed, row_id,
+    *    col)) < p_i (q38's construction) instead of a per-partition
+    *    XORShift stream — membership is partition-, retry- and
+    *    ENGINE-invariant, which upgrades the estimate itself to a full
+    *    value oracle;
+    *  - one coin per (row, column) rather than the reference's fresh
+    *    inner-loop draw per (row, i, j): every pair's marginal
+    *    emission probability is the same p_i·p_j (unbiasedness
+    *    unchanged), coins across pairs of one row are shared — the
+    *    form the DIMSUM paper itself analyzes.
+    *
+    * Plan shape: one bounded norm aggregate (cols cells), then ONE
+    * map-side pass that filters each row's columns by the coin,
+    * scales by 1/q, expands the surviving pairs array-natively
+    * (cs01's nested posexplode — no self-join, no shuffle of the
+    * expansion), and partial-aggregates (i, j) sums in exact decimal.
+    */
+  def dimsumColumnSimilarities(emb: DataFrame, idCol: String, dim: Int,
+                               threshold: Double, seed: Long): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold")
+    val gamma = 10.0 * math.log(dim.toDouble) / threshold
+    val sg = math.sqrt(gamma)
+    // pass 1: exact column norms (decimal sums — bit-identical at any
+    // parallelism), corrected per the reference's colMagsCorrected
+    val xs = transform(col("embedding"), v => v.cast("double"))
+    val normRows = emb.select(posexplode(xs).as(Seq("i", "x")))
+      .groupBy("i").agg(sum((col("x") * col("x")).cast("decimal(18,12)"))
+        .cast("double").as("ss"))
+      .collect().map(r => (r.getInt(0), math.sqrt(r.getDouble(1)))).toMap
+    val nrm = Array.tabulate(dim)(i => {
+      val n = normRows.getOrElse(i, 0.0); if (n == 0.0) 1.0 else n
+    })
+    val p = nrm.map(n => math.min(1.0, sg / n)).toSeq
+    val q = nrm.map(n => math.min(sg, n)).toSeq
+    // pass 2: coin-filter + scale each row's columns array-natively,
+    // expand sampled pairs, exact-decimal partial aggregation
+    val pairsOf = (e: Column) => struct(e.getField("i").as("i"),
+      (e.getField("x") / element_at(typedlit(q), e.getField("i") + 1)).as("s"))
+    val sampledArr = transform(
+      filter(
+        zip_with(sequence(lit(0), lit(dim - 1)), xs,
+          (i, x) => struct(i.as("i"), x.as("x"))),
+        e => graft.operators.Sampling.hashU(seed, col(idCol),
+          e.getField("i").cast("long")) <
+          element_at(typedlit(p), e.getField("i") + 1)),
+      pairsOf)
+    emb.select(col(idCol), sampledArr.as("arr"))
+      .select(col("arr"), posexplode(col("arr")).as(Seq("pa", "ea")))
+      .select(col("ea"),
+        explode(slice(col("arr"), col("pa") + 2, lit(dim))).as("eb"))
+      .groupBy(col("ea.i").as("i"), col("eb.i").as("j"))
+      .agg(sum((col("ea.s") * col("eb.s")).cast("decimal(18,12)"))
+        .cast("double").as("s"))
+      .select(col("i"), col("j"), (round(col("s"), 6) + 0.0).as("sim_est"))
+  }
+
+  /** Registered pass (r12): DIMSUM estimates over the embedding
+    * columns at threshold 0.5 — the sampled twin of cs01's exact path
+    * (which stays the right call at dim = 64; this entry exists
+    * because the reference's million-column scale path must too, and
+    * its per-entry work bound γ = 10·log(n)/t is the 100 TB story).
+    * FULL value oracle: the hash coins, 1/q scaling, pair expansion
+    * and exact-decimal sums replay in DuckDB — norms re-derived from
+    * the same parquet with the same decimal arithmetic, √γ embedded
+    * as one static literal, membership via the chained hashLong
+    * replay. MatricesSpec separately certifies estimate accuracy
+    * against cs01's exact values and the planted wide-matrix case. */
+  val cs02: Q = {
+    import graft.functions.DuckXxhash
+    val dim = 64
+    val threshold = 0.5
+    val sg = math.sqrt(10.0 * math.log(dim.toDouble) / threshold)
+    val sgLit = sg.toString // round-trip-exact double literal
+    val foldSeed = DuckXxhash.hashLong(42L, 42L)
+    val (c1, f1) = DuckXxhash.hashLongCtes("inp", foldSeed, "s1")
+    val (c2, f2) = DuckXxhash.hashLongCtesExpr("mid", "hseed", "s2")
+    Q.sql(
+      "cs02_dimsum",
+      s"""WITH raw AS MATERIALIZED (
+        |  SELECT vec_id, (i - 1) AS ci, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, 65)) t(i)),
+        |nrm AS (
+        |  SELECT ci,
+        |    sqrt(CAST(sum(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE)) AS nrm0
+        |  FROM raw GROUP BY ci),
+        |pq AS (
+        |  SELECT ci,
+        |    LEAST(1.0, CAST($sgLit AS DOUBLE) /
+        |      (CASE WHEN nrm0 = 0 THEN 1.0 ELSE nrm0 END)) AS p,
+        |    LEAST(CAST($sgLit AS DOUBLE),
+        |      (CASE WHEN nrm0 = 0 THEN 1.0 ELSE nrm0 END)) AS q
+        |  FROM nrm),
+        |inp AS (
+        |  SELECT r.vec_id, r.ci, r.x, pq.p, pq.q,
+        |    (CASE WHEN r.vec_id < 0 THEN r.vec_id::HUGEINT + ${DuckXxhash.M64}
+        |          ELSE r.vec_id::HUGEINT END) AS v,
+        |    r.ci::HUGEINT AS vb
+        |  FROM raw r JOIN pq ON r.ci = pq.ci),
+        |$c1,
+        |mid AS MATERIALIZED (
+        |  SELECT vec_id, ci, x, p, q, vb AS v, h AS hseed FROM $f1),
+        |$c2,
+        |samp AS MATERIALIZED (
+        |  SELECT vec_id, ci, x / q AS s
+        |  FROM $f2
+        |  WHERE CAST(h // 2048 AS DOUBLE) / 9007199254740992.0 < p),
+        |est AS (
+        |  SELECT a.ci AS i, b.ci AS j,
+        |    CAST(sum(CAST(a.s * b.s AS DECIMAL(18,12))) AS DOUBLE) AS s
+        |  FROM samp a JOIN samp b ON a.vec_id = b.vec_id AND b.ci > a.ci
+        |  GROUP BY 1, 2)
+        |SELECT i, j, round(s, 6) + 0.0 AS sim_est
+        |FROM est ORDER BY i, j""".stripMargin) { (s, dir) =>
+      dimsumColumnSimilarities(Tables.embeddings(s, dir), "vec_id",
+        dim = 64, threshold = 0.5, seed = 42L)
+        .orderBy("i", "j")
+    }
+  }
+
+  val all: Seq[Q] = Seq(bm01, cs01, cs02)
 }
