@@ -293,5 +293,194 @@ object Multimodal {
       .orderBy("doc_id", "win_idx")
   }
 
-  val all: Seq[Q] = Seq(mm01, mm02, mm03)
+  // ------------------------------------------------------------- mm04
+  // A REAL RIFF/WAV PCM16 parser — not a stub: header magic validation,
+  // a bounded chunk walk to locate the `data` chunk (LIST/fact chunks
+  // and RIFF's odd-size pad byte handled), little-endian field
+  // extraction and signed 16-bit sample decode, all as PURE column
+  // arithmetic over the binary payload (hex/conv/substr — no UDF, no
+  // mapPartitions). The container has no audio files, so the BYTES are
+  // planted (a valid WAV written by column expressions from a
+  // closed-form sample law), but nothing about the parser knows that:
+  // it reads fields and samples from the binary exactly as it would
+  // from a recorded file, and MultimodalSpec feeds it WAVs written
+  // independently by java.nio with extra chunks and odd sizes.
+
+  /** Unsigned byte at 1-based `pos` of a binary column. */
+  private def byteAt(bin: Column, pos: Column): Column =
+    conv(hex(bin.substr(pos, lit(1))), 16, 10).cast("long")
+
+  /** Little-endian u16/u32 at 1-based `pos`. */
+  private def le16(bin: Column, pos: Column): Column =
+    byteAt(bin, pos) + byteAt(bin, pos + 1) * 256L
+  private def le32(bin: Column, pos: Column): Column =
+    le16(bin, pos) + le16(bin, pos + 2) * 65536L
+
+  /** Signed 16-bit reinterpretation of a u16. */
+  private def s16(u: Column): Column =
+    when(u >= 32768L, u - 65536L).otherwise(u).cast("int")
+
+  /** ASCII chunk id at 1-based `pos`. */
+  private def tagAt(bin: Column, pos: Column): Column =
+    decode(bin.substr(pos, lit(4)), "UTF-8")
+
+  /** Parse a RIFF/WAVE PCM16 payload column: validates the RIFF/WAVE
+    * magics loudly (assert_true inside a filter predicate, so pruning
+    * cannot drop it), walks up to `maxChunks` chunks from offset 13 to
+    * find `data` (skipping fmt/LIST/fact and honoring the RIFF
+    * even-byte pad rule), and extracts the canonical fmt fields plus
+    * the decoded signed samples array. Mono PCM16 is asserted (the
+    * entry's contract; a general reader would branch on block_align).
+    *
+    * Everything is column arithmetic over the binary — the 100 TB shape
+    * is a parquet scan of blob columns plus a map-only projection. */
+  def parseWav(df: org.apache.spark.sql.DataFrame, payloadCol: String,
+               maxChunks: Int = 6): org.apache.spark.sql.DataFrame = {
+    val p = col(payloadCol)
+    // Chunk walk as ONE runtime fold over sequence(1, maxChunks): the
+    // accumulator struct carries (next header offset, fmt offset, data
+    // offset), each step reads tag+size at the current offset and
+    // advances past the chunk (+ pad byte). Lambda variables keep the
+    // plan constant-size — embedding each offset EXPRESSION inside the
+    // next (off_{n+1} references off_n ~9×) is exponential in maxChunks
+    // and stalls the analyzer. Offsets past the payload end decode to
+    // NULL and the fold carries the accumulator through unchanged.
+    val walk = aggregate(
+      sequence(lit(1), lit(maxChunks)),
+      struct(lit(13L).as("off"), lit(null).cast("long").as("fmt"),
+        lit(null).cast("long").as("data")),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val tag = tagAt(p, off)
+        val size = le32(p, off + 4)
+        struct(
+          (off + 8L + size + pmod(size, lit(2L))).as("off"),
+          when(tag === "fmt ", off).otherwise(acc.getField("fmt")).as("fmt"),
+          when(tag === "data", off).otherwise(acc.getField("data")).as("data"))
+      })
+    val checked = df
+      .filter(expr(
+        s"isnull(assert_true(decode(substring($payloadCol, 1, 4), 'UTF-8') = 'RIFF' " +
+          s"AND decode(substring($payloadCol, 9, 4), 'UTF-8') = 'WAVE', " +
+          "'parseWav: not a RIFF/WAVE payload'))"))
+      .withColumn("_walk", walk)
+      .withColumn("_fmt_off", col("_walk").getField("fmt"))
+      .withColumn("_data_off", col("_walk").getField("data"))
+      .filter(expr(
+        "isnull(assert_true(_fmt_off IS NOT NULL AND _data_off IS NOT NULL, " +
+          "'parseWav: fmt /data chunk not found in walk'))"))
+    val f = col("_fmt_off")
+    val dOff = col("_data_off")
+    val parsed = checked
+      .withColumn("audio_format", le16(p, f + 8).cast("int"))
+      .withColumn("num_channels", le16(p, f + 10).cast("int"))
+      .withColumn("sample_rate", le32(p, f + 12).cast("int"))
+      .withColumn("byte_rate", le32(p, f + 16).cast("int"))
+      .withColumn("block_align", le16(p, f + 20).cast("int"))
+      .withColumn("bits_per_sample", le16(p, f + 22).cast("int"))
+      .withColumn("data_size", le32(p, dOff + 4))
+      .filter(expr(
+        "isnull(assert_true(audio_format = 1 AND num_channels = 1 " +
+          "AND bits_per_sample = 16, 'parseWav: only mono PCM16 supported'))"))
+      .withColumn("n_samples", (col("data_size") / 2L).cast("long"))
+    parsed
+      .withColumn("samples",
+        when(col("n_samples") > 0,
+          transform(sequence(lit(0L), col("n_samples") - 1),
+            k => s16(le16(p, dOff + 8 + k * 2))))
+          .otherwise(typedlit(Seq.empty[Int])))
+      .drop("_walk", "_fmt_off", "_data_off")
+  }
+
+  /** Hex of `v`'s `nBytes` little-endian bytes (for the planted writer). */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(255L)), 2, "0")): _*)
+
+  /** A VALID canonical mono PCM16 WAV payload built by column
+    * expressions: 44-byte header + little-endian samples, all via hex +
+    * unhex (raw bytes incl. NULs — the chr/encode path can't express
+    * those). `sampleAt(k)` must yield a signed 16-bit column. */
+  def wavPayload(nSamples: Column, sampleRate: Column,
+                 sampleAt: Column => Column): Column = {
+    val dataBytes = nSamples * 2L
+    val header = concat(
+      lit("52494646"), leHex(dataBytes + 36L, 4), // RIFF, riff size
+      lit("57415645"), // WAVE
+      lit("666d7420"), leHex(lit(16L), 4), // fmt , fmt size
+      leHex(lit(1L), 2), leHex(lit(1L), 2), // PCM, mono
+      leHex(sampleRate, 4), leHex(sampleRate * 2L, 4), // rate, byte rate
+      leHex(lit(2L), 2), leHex(lit(16L), 2), // block align, bits
+      lit("64617461"), leHex(dataBytes, 4)) // data, data size
+    val samplesHex = when(nSamples > 0,
+      array_join(transform(sequence(lit(0L), nSamples - 1),
+        k => leHex(pmod(sampleAt(k).cast("long") + 65536L, lit(65536L)), 2)), ""))
+      .otherwise(lit(""))
+    unhex(concat(header, samplesHex))
+  }
+
+  /** Registered pass (r12): end-to-end WAV audio analysis through the
+    * REAL parser — each document plants a valid mono PCM16 WAV (rate
+    * 8000 + (doc_id%4)·4000 Hz, n = min(len(text), 400) samples, sample
+    * law s(k) = (doc_id·31 + 7k) mod 2048 − 1024), [[parseWav]] reads
+    * the header fields and samples BACK FROM THE BYTES, and 160-sample
+    * windows with 80-sample hop compute RMS/peak from the parsed
+    * samples. FULL value oracle: DuckDB recomputes rate/n/RMS/peak from
+    * the closed-form law — agreement certifies the writer→parser round
+    * trip byte-for-byte (a header-offset error, endianness swap, or
+    * sign mistake shifts every window's RMS). Independent java.nio-
+    * written WAVs (extra LIST chunk, odd sizes) are parsed in
+    * MultimodalSpec so the parser is not writer-matched. */
+  val mm04 = Q.sql(
+    "mm04_wav_parse",
+    """WITH m AS (
+      |  SELECT doc_id, LEAST(length(text), 400) AS n,
+      |    8000 + (doc_id % 4) * 4000 AS rate
+      |  FROM documents),
+      |grid AS (
+      |  SELECT doc_id, n, rate, CAST(i AS INT) AS win_idx
+      |  FROM m, unnest(range(0,
+      |    CASE WHEN n >= 160 THEN (n - 160) // 80 + 1 ELSE 0 END)) t(i)),
+      |w AS (
+      |  SELECT doc_id, rate, n, win_idx,
+      |    sqrt(list_sum(list_transform(range(0, 160), j -> CAST(
+      |        ((doc_id * 31 + (win_idx * 80 + j) * 7) % 2048 - 1024)
+      |      * ((doc_id * 31 + (win_idx * 80 + j) * 7) % 2048 - 1024)
+      |      AS DOUBLE))) / 160.0) AS rms,
+      |    CAST(list_max(list_transform(range(0, 160), j ->
+      |      abs((doc_id * 31 + (win_idx * 80 + j) * 7) % 2048 - 1024)))
+      |      AS INT) AS peak
+      |  FROM grid)
+      |SELECT doc_id, CAST(rate AS INT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples, win_idx,
+      |  round(rms, 6) AS rms, peak
+      |FROM w
+      |ORDER BY doc_id, win_idx""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val n = least(length(col("text")), lit(400)).cast("long")
+    val rate = (lit(8000L) + (col("doc_id") % 4) * 4000L)
+    val media = docs.select(col("doc_id"),
+      wavPayload(n, rate,
+        k => (col("doc_id") * 31L + k * 7L) % 2048L - 1024L).as("payload"))
+    val parsed = parseWav(media, "payload")
+    val nWins = ((col("n_samples") - 160L) / 80L).cast("int") + 1
+    parsed
+      .filter(col("n_samples") >= 160L)
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("samples"),
+        posexplode(sequence(lit(0), nWins - 1)).as(Seq("_p", "win_idx")))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("win_idx"),
+        slice(col("samples"), col("win_idx") * 80 + 1, lit(160)).as("win"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("win_idx"),
+        round(
+          sqrt(aggregate(col("win"), lit(0.0),
+            (acc, v) => acc + (v.cast("double") * v.cast("double"))) / 160.0),
+          6).as("rms"),
+        array_max(transform(col("win"), v => abs(v))).cast("int").as("peak"))
+      .orderBy("doc_id", "win_idx")
+  }
+
+  val all: Seq[Q] = Seq(mm01, mm02, mm03, mm04)
 }

@@ -108,4 +108,120 @@ class MultimodalSpec extends SparkTestBase {
       .collect().sortBy(_.win_idx)
     assert(wins.map(w => (w.energy, w.peak)).toSeq == again.map(w => (w.energy, w.peak)).toSeq)
   }
+
+  /** WAV bytes written by java.nio — completely independent of
+    * Multimodal.wavPayload, so parseWav is proven against a second
+    * writer, not just its own column-expression twin. */
+  private def buildWav(samples: Array[Short], rate: Int,
+                       extraChunks: Seq[(String, Array[Byte])] = Nil,
+                       channels: Int = 1, bits: Int = 16,
+                       fmtCode: Int = 1): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int, nBytes: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n)
+        .array().take(nBytes)
+    val body = new ByteArrayOutputStream()
+    body.write("fmt ".getBytes("US-ASCII")); body.write(le(16, 4))
+    body.write(le(fmtCode, 2)); body.write(le(channels, 2))
+    body.write(le(rate, 4)); body.write(le(rate * channels * bits / 8, 4))
+    body.write(le(channels * bits / 8, 2)); body.write(le(bits, 2))
+    extraChunks.foreach { case (tag, payload) =>
+      body.write(tag.getBytes("US-ASCII")); body.write(le(payload.length, 4))
+      body.write(payload)
+      if (payload.length % 2 == 1) body.write(0) // RIFF even-byte pad
+    }
+    body.write("data".getBytes("US-ASCII")); body.write(le(samples.length * 2, 4))
+    samples.foreach(s => body.write(le(s & 0xFFFF, 2)))
+    val b = body.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le(b.length + 4, 4))
+    out.write("WAVE".getBytes("US-ASCII")); out.write(b)
+    out.toByteArray
+  }
+
+  private def wavDf(payloads: (Long, Array[Byte])*) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(payloads.map { case (id, p) => Row(id, p) }: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+  }
+
+  test("parseWav reads java.nio-written WAVs byte-for-byte (extra chunks, odd sizes, negatives)") {
+    // full signed-16 range incl. both extremes and an odd count
+    val s1 = Array[Short](0, 1, -1, 32767, -32768, 1234, -4321)
+    // an odd-sized LIST chunk between fmt and data exercises the pad rule
+    val s2 = Array[Short](100, -200, 300)
+    val wav1 = buildWav(s1, rate = 44100)
+    val wav2 = buildWav(s2, rate = 16000,
+      extraChunks = Seq(("LIST", Array[Byte](73, 78, 70, 79, 1, 2, 3)),
+        ("fact", Array[Byte](3, 0, 0, 0))))
+    val got = Multimodal.parseWav(wavDf(1L -> wav1, 2L -> wav2), "payload")
+      .select("doc_id", "sample_rate", "num_channels", "bits_per_sample",
+        "n_samples", "samples")
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == 2)
+    assert(got(0).getInt(1) == 44100 && got(1).getInt(1) == 16000)
+    assert(got.forall(r => r.getInt(2) == 1 && r.getInt(3) == 16))
+    assert(got(0).getLong(4) == s1.length && got(1).getLong(4) == s2.length)
+    assert(got(0).getSeq[Int](5) == s1.map(_.toInt).toSeq,
+      s"sample decode wrong: ${got(0).getSeq[Int](5)}")
+    assert(got(1).getSeq[Int](5) == s2.map(_.toInt).toSeq,
+      "LIST/fact chunk walk or pad-byte handling wrong")
+  }
+
+  test("parseWav rejects non-WAV, stereo and non-PCM payloads loudly") {
+    val notWav = "definitely not a RIFF container payload".getBytes("UTF-8")
+    val e1 = intercept[Exception] {
+      Multimodal.parseWav(wavDf(1L -> notWav), "payload").collect()
+    }
+    assert((e1.toString + Option(e1.getCause).map(_.toString).getOrElse(""))
+      .contains("RIFF"), s"wrong error: $e1")
+    val stereo = buildWav(Array[Short](1, 2, 3, 4), rate = 8000, channels = 2)
+    intercept[Exception] {
+      Multimodal.parseWav(wavDf(1L -> stereo), "payload").collect()
+    }
+    val float32 = buildWav(Array[Short](1, 2), rate = 8000, fmtCode = 3)
+    intercept[Exception] {
+      Multimodal.parseWav(wavDf(1L -> float32), "payload").collect()
+    }
+  }
+
+  test("wavPayload -> parseWav round trip recovers the closed-form sample law") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ids = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 6L).map(Row(_)): _*),
+      StructType(Seq(StructField("doc_id", LongType))))
+    val n = lit(5L) + col("doc_id") % 3 // 5..7 samples
+    val rate = lit(8000L) + (col("doc_id") % 4) * 4000L
+    val media = ids.select(col("doc_id"),
+      Multimodal.wavPayload(n, rate,
+        k => (col("doc_id") * 31L + k * 7L) % 2048L - 1024L).as("payload"))
+    val got = Multimodal.parseWav(media, "payload")
+      .select("doc_id", "sample_rate", "n_samples", "samples")
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == 6)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 8000 + (id % 4) * 4000)
+      val nn = 5 + (id % 3)
+      assert(r.getLong(2) == nn)
+      val want = (0L until nn).map(k => ((id * 31 + k * 7) % 2048 - 1024).toInt)
+      assert(r.getSeq[Int](3) == want, s"doc $id samples: ${r.getSeq[Int](3)} != $want")
+    }
+  }
+
+  test("mm04 runs end-to-end on the corpus with positive window counts") {
+    val got = Multimodal.mm04.run(spark, sfDir).cache()
+    assert(got.count() > 0)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "sample_rate", "n_samples", "win_idx", "rms", "peak"))
+    assert(got.filter(col("peak") < 0 || col("peak") > 1024).count() == 0)
+    assert(got.filter(col("rms") < 0 || col("rms") > 1024).count() == 0)
+    assert(got.filter(col("n_samples") < 160).count() == 0,
+      "windows require at least one full 160-sample span")
+  }
 }
