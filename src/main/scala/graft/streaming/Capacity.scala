@@ -25,6 +25,15 @@ object Capacity {
 
   final case class NodeCapacity(id: String, bytesPerMs: Double, cores: Int)
 
+  /** Strategy selector — the reference's JobMonitor chooses among four
+    * placement strategies (JobMonitor.scala:389-548); [[Assignment.shares]]
+    * reduces each to per-node work shares for a weighted repartition. */
+  sealed trait Strategy
+  case object Proportional extends Strategy
+  case object Greedy extends Strategy
+  case object TwoChoice extends Strategy
+  case object PowerOfTwo extends Strategy
+
   /** Helpee = straggler candidate, helper = spare capacity — the node
     * classification of JobMonitor.decidestraggler, driven off relative
     * distance from the median capability. */
@@ -44,18 +53,64 @@ object Capacity {
     * Every strategy returns shares summing exactly to totalItems. */
   object Assignment {
 
-    /** proportionStrategy (JobMonitor.scala:389): share ∝ capacity, with
-      * largest-remainder correction so shares sum exactly. */
-    def proportional(caps: Map[String, Double], totalItems: Long): Map[String, Long] = {
-      val total = caps.values.sum
-      if (total <= 0) return caps.map { case (k, _) => k -> totalItems / math.max(1, caps.size) }
-      val ideal = caps.view.mapValues(c => totalItems * c / total).toMap
+    /** Largest-remainder rounding of ideal (fractional) shares so the
+      * integral shares sum exactly to `totalItems`. */
+    private def roundToTotal(ideal: Map[String, Double], totalItems: Long): Map[String, Long] = {
       val floors = ideal.view.mapValues(_.toLong).toMap
       var remaining = totalItems - floors.values.sum
       val byRemainder = ideal.toSeq.sortBy { case (k, v) => (-(v - v.toLong), k) }
       val out = mutable.Map(floors.toSeq: _*)
       for ((k, _) <- byRemainder if remaining > 0) { out(k) += 1; remaining -= 1 }
       out.toMap
+    }
+
+    /** proportionStrategy (JobMonitor.scala:389): share ∝ capacity, with
+      * largest-remainder correction so shares sum exactly. */
+    def proportional(caps: Map[String, Double], totalItems: Long): Map[String, Long] = {
+      val total = caps.values.sum
+      if (total <= 0) return caps.map { case (k, _) => k -> totalItems / math.max(1, caps.size) }
+      roundToTotal(caps.view.mapValues(c => totalItems * c / total).toMap, totalItems)
+    }
+
+    /** Unified entry the closed loop calls: reduce any of the four
+      * strategies to per-node shares of `totalItems` uniform work units
+      * (shares sum exactly to totalItems; every node present in the
+      * result).
+      *
+      *  - [[Proportional]]: share ∝ measured capacity, directly.
+      *  - [[Greedy]]: totalItems unit items placed largest-first on the
+      *    lowest projected finish time — with uniform items this load-
+      *    balances finish times, converging to ∝ capacity.
+      *  - [[TwoChoice]]: the batch is modeled as currently uniform
+      *    (totalItems/n per node — what an unweighted repartition gives),
+      *    nodes are classified around the median capability, and each
+      *    helpee sheds across itself and the two most-idle helpers; the
+      *    post-shed loads become the shares. Needs ≥2 helpers to act
+      *    (the reference's precondition) — otherwise shares stay
+      *    uniform, which IS the strategy's semantics, not a fallback.
+      *  - [[PowerOfTwo]]: each unit item probes a seeded random pair and
+      *    picks the lower capacity-normalized load; counts become shares.
+      */
+    def shares(
+        strategy: Strategy,
+        caps: Map[String, Double],
+        totalItems: Long = 1000L,
+        seed: Long = 42L,
+        tolerance: Double = 0.2): Map[String, Long] = strategy match {
+      case Proportional => proportional(caps, totalItems)
+      case Greedy =>
+        greedy(caps, Seq.fill(totalItems.toInt)(1L))
+          .view.mapValues(_.size.toLong).toMap
+      case PowerOfTwo =>
+        powerOfTwoChoice(caps, Seq.fill(totalItems.toInt)(1L), seed)
+          .view.mapValues(_.size.toLong).toMap
+      case TwoChoice =>
+        val n = math.max(1, caps.size)
+        val uniform = caps.view.mapValues(_ => totalItems.toDouble / n).toMap
+        val cls = classify(caps, tolerance)
+        val (_, finalLoads) = twoChoice(
+          caps, uniform, cls.helpees.toSeq.sorted, cls.helpers)
+        roundToTotal(finalLoads, totalItems)
     }
 
     /** greedyStrategy (JobMonitor.scala:427): items (largest first) go to

@@ -235,7 +235,8 @@ object Pipelines {
   def startCapacityBalanced(
       df: DataFrame, name: String,
       capacities: () => Map[String, Double],
-      uniformCol: String)(
+      uniformCol: String,
+      strategy: Capacity.Strategy = Capacity.Proportional)(
       handle: (DataFrame, Long) => Unit): StreamingQuery =
     df.writeStream
       .queryName(name)
@@ -247,7 +248,7 @@ object Pipelines {
           else {
             val nodes = caps.keys.toSeq.sorted
             // shares out of 1000 work units -> repartition weights
-            val shares = Capacity.Assignment.proportional(caps, 1000L)
+            val shares = Capacity.Assignment.shares(strategy, caps, 1000L)
             graft.operators.SkewTools.weightedRepartition(
               batch.toDF(), uniformCol, nodes.map(n => math.max(1L, shares(n)).toDouble))
           }

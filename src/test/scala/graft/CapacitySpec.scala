@@ -35,6 +35,54 @@ class CapacitySpec extends SparkTestBase {
     assert(makespan < uniformMakespan / 2)
   }
 
+  test("shares() reduces all four strategies to exact-sum per-node shares") {
+    val caps = Map("n0" -> 3.0, "n1" -> 1.0)
+    for (st <- Seq[Capacity.Strategy](Capacity.Proportional, Capacity.Greedy,
+        Capacity.TwoChoice, Capacity.PowerOfTwo)) {
+      val s = Assignment.shares(st, caps, 1000L)
+      assert(s.keySet == caps.keySet, s"$st missing nodes")
+      assert(s.values.sum == 1000L, s"$st shares sum ${s.values.sum}")
+    }
+    // proportional / greedy / power-of-two all track a 3:1 capacity skew:
+    // the fast node lands near 75% of the work
+    for (st <- Seq[Capacity.Strategy](Capacity.Proportional, Capacity.Greedy,
+        Capacity.PowerOfTwo)) {
+      val frac = Assignment.shares(st, caps, 1000L)("n0") / 1000.0
+      assert(frac > 0.65 && frac < 0.85, s"$st placed $frac on the fast node")
+    }
+    // two-choice with only two nodes has no pair of helpers to shed to —
+    // shares stay uniform (the reference strategy's precondition, not a
+    // fallback)
+    val tc2 = Assignment.shares(Capacity.TwoChoice, caps, 1000L)
+    assert(tc2("n0") == 500L && tc2("n1") == 500L)
+    // power-of-two is deterministic under its seed, different across seeds
+    assert(Assignment.shares(Capacity.PowerOfTwo, caps, 1000L, seed = 7L) ==
+      Assignment.shares(Capacity.PowerOfTwo, caps, 1000L, seed = 7L))
+  }
+
+  test("TwoChoice shares shed uniform load from the helpee toward the two most-idle helpers") {
+    // one straggler (cap 1), two median nodes (cap 5) and two helpers
+    // (caps 10/9) around median capability 5: helpee = s, helpers =
+    // {h1, h2} (h1 the most idle under uniform load)
+    val caps = Map("s" -> 1.0, "a" -> 5.0, "b" -> 5.0,
+      "h1" -> 10.0, "h2" -> 9.0)
+    val cls = Capacity.classify(caps)
+    assert(cls.helpees == Set("s") && cls.helpers == Set("h1", "h2"))
+    val s = Assignment.shares(Capacity.TwoChoice, caps, 1000L)
+    assert(s.values.sum == 1000L)
+    val uniform = 200L
+    assert(s("s") < uniform / 2, s"helpee kept ${s("s")} of its uniform $uniform")
+    assert(s("h1") > uniform && s("h2") > uniform,
+      s"the two most-idle helpers must absorb the shed load: $s")
+    assert(s("a") == uniform && s("b") == uniform,
+      "non-chosen nodes' shares are untouched")
+    // capacity-normalized finish time tightens vs the uniform placement
+    def makespan(sh: Map[String, Long]): Double =
+      sh.map { case (k, v) => v / caps(k) }.max
+    assert(makespan(s) < makespan(caps.map { case (k, _) => k -> uniform }),
+      "shedding must improve the projected makespan")
+  }
+
   test("twoChoice sheds to the two most-idle helpers, shares proportional to idleness") {
     // idleness = capability/load (the direction JobMonitor.twoChoiceStrategy's
     // sequential recomputation uses):
@@ -197,6 +245,57 @@ class CapacitySpec extends SparkTestBase {
     val totalPlaced = perBatch.values().stream()
       .mapToLong(m => m.values.sum).sum()
     assert(totalPlaced == ev.count(), "balancing must only move rows, never drop or duplicate")
+  }
+
+  test("closed loop: each selectable strategy places per its property, lossless") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .limit(2000).cache()
+    val schema = ev.schema
+    val nEv = ev.count()
+
+    // (strategy, capacity map, assertion on the fraction placed on the
+    // straggler-or-fast node). Proportional is covered by the original
+    // closed-loop test; here the other three selectable strategies prove
+    // their placement property through the SAME measured-capacity loop.
+    val cases: Seq[(Capacity.Strategy, Map[String, Double], Map[Int, Long] => Unit)] = Seq(
+      (Capacity.Greedy, Map("n0" -> 3.0, "n1" -> 1.0), counts => {
+        val f = counts.getOrElse(0, 0L).toDouble / counts.values.sum
+        assert(f > 0.65 && f < 0.85, s"greedy placed $f on the 3x node")
+      }),
+      (Capacity.PowerOfTwo, Map("n0" -> 3.0, "n1" -> 1.0), counts => {
+        val f = counts.getOrElse(0, 0L).toDouble / counts.values.sum
+        assert(f > 0.60 && f < 0.90, s"power-of-two placed $f on the 3x node")
+      }),
+      (Capacity.TwoChoice,
+        // sorted node order: h1, h2, m0, m1, s -> straggler s owns the
+        // LAST weight slot; helpers h1/h2 own the first two
+        Map("s" -> 1.0, "m0" -> 5.0, "m1" -> 5.0, "h1" -> 10.0, "h2" -> 9.0),
+        counts => {
+          val total = counts.values.sum.toDouble
+          val sFrac = counts.getOrElse(4, 0L) / total
+          val hFrac = (counts.getOrElse(0, 0L) + counts.getOrElse(1, 0L)) / total
+          assert(sFrac < 0.10, s"two-choice left $sFrac on the helpee")
+          assert(hFrac > 0.45, s"helpers absorbed only $hFrac")
+        }))
+
+    for (((st, caps, check), i) <- cases.zipWithIndex) {
+      val src = java.nio.file.Files.createTempDirectory(s"graft-lever-st$i").toString
+      val got = new java.util.concurrent.atomic.AtomicReference[Map[Int, Long]](Map.empty)
+      val q = graft.streaming.Pipelines.startCapacityBalanced(
+        spark.readStream.schema(schema).parquet(src),
+        s"lever_strategy_$i", () => caps, "event_id", st) { (batch, _) =>
+        got.set(batch
+          .withColumn("_pid", spark_partition_id())
+          .groupBy("_pid").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      }
+      ev.write.mode("append").parquet(src)
+      q.processAllAvailable()
+      q.stop()
+      val counts = got.get()
+      assert(counts.values.sum == nEv, s"$st dropped or duplicated rows")
+      check(counts)
+    }
   }
 
   test("salted join equals plain join; two-phase agg equals plain agg") {
