@@ -46,6 +46,12 @@ object Bench {
       .fold(allNames)(keep => allNames.filter(keep))
 
     val samples = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+    // production-only twins (SparkEntry.prodQueries): the ~dozen
+    // certificate-carrying entries re-timed WITHOUT their oracle
+    // certificate work, reported as "t_prod" so the throughput criterion
+    // can be read against production plans directly
+    val prodFns = SparkEntry.prodQueries
+    val prodSamples = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
     @volatile var roundsDone = 0
     // cold time of the d13/d14/d15 shared covariance stage (PCA.scala's
     // session cache): measured ONCE before round 1 so the ~6.5 s
@@ -66,6 +72,13 @@ object Bench {
     def results(): Seq[(String, Double)] = names.map { n =>
       n -> r3(median(Option(samples.get(n)).getOrElse(Nil)))
     }
+    def prodResults(): Seq[(String, Double)] =
+      names.filter(prodFns.contains).map { n =>
+        n -> r3(median(Option(prodSamples.get(n)).getOrElse(Nil)))
+      }
+    def renderProd(): String =
+      prodResults().map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     // Headline fields (total, rounds actually completed) come FIRST so a
     // tail-truncated capture still carries the number that matters.
     def render(rs: Seq[(String, Double)]): String = {
@@ -73,7 +86,7 @@ object Bench {
       val partial = rs.exists(_._2 < 0) || roundsDone == 0
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"sf":"$sfDir","queries":$qs,"t_prod":${renderProd()}}"""
     }
     // The harness keeps only the LAST ~2 KB of stdout, and the named
     // per-query line above is ~2.4 KB at 99 queries — so whichever end is
@@ -91,7 +104,7 @@ object Bench {
         if (s2 == s2.toLong) s2.toLong.toString else s2.toString
       }
       val ts = rs.map(r => short(r._2)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"n":${rs.size},"order":"name-asc","t":$ts}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"n":${rs.size},"order":"name-asc","t":$ts,"t_prod":${renderProd()}}"""
     }
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
       // two parse-friendly JSON lines, flushed straight to stdout (the
@@ -119,6 +132,22 @@ object Bench {
         }
       samples.merge(name, List(sec), (a, b) => a ++ b)
       System.err.println(f"[bench] round $r $name%-28s ${sec}%.3f s")
+      // the production twin runs right after its gated entry (same
+      // warm state), its own timed section and GC discipline
+      prodFns.get(name).foreach { fn =>
+        System.gc()
+        val p0 = System.nanoTime()
+        val psec =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - p0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name (prod) failed: ${e.getMessage}")
+            -1.0
+          }
+        prodSamples.merge(name, List(psec), (a, b) => a ++ b)
+        System.err.println(f"[bench] round $r $name%-28s ${psec}%.3f s (prod)")
+      }
       // Between-queries GC, OUTSIDE the timed section: the iterative
       // trainers (r01, scc01, gm01, …) leave localCheckpoint blocks that
       // the ContextCleaner only reclaims after a driver GC, and a bench

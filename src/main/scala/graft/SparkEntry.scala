@@ -40,4 +40,13 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Production-only twins for the certificate-carrying entries: the
+    * same operator WITHOUT its oracle-certificate columns (exact
+    * recounts, in-plan re-derivations, per-iteration measured claims).
+    * Bench times these alongside the gated plans and reports them as
+    * `t_prod`, so throughput can be read against production plans
+    * directly. */
+  def prodQueries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.flatMap(q => q.prod.map(q.name -> _)).toMap
 }

@@ -286,6 +286,15 @@ object Analytics {
         (abs(col("a9") - col("p90_price")) <= col("p90_price") * 0.03)
           .as("p90_in_bound"))
       .orderBy("o_orderpriority")
+  }.withProd { (s, dir) =>
+    // production path: the fixed-size percentile sketch alone — no
+    // exact value-buffering percentile to score it
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("median_price"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_price"))
+      .orderBy("o_orderpriority")
   }
 
   /** Array explode (UNNEST) + re-aggregation: per-vector mean over the
@@ -394,6 +403,13 @@ object Analytics {
       .select(col("l_returnflag"), col("exact_ord"),
         (abs(col("approx_ord") - col("exact_ord")) <=
           col("exact_ord") * 0.05).as("within_bound"))
+      .orderBy("l_returnflag")
+  }.withProd { (s, dir) =>
+    // production path: the HLL sketch alone — no exact countDistinct
+    // scoring join
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_ord"))
       .orderBy("l_returnflag")
   }
 

@@ -192,6 +192,10 @@ object Embeddings {
         (element_at(sims, col("cluster") + 1) >= array_max(sims) - lit(1e-6))
           .as("assigned_argmax"))
       .orderBy("vec_id")
+  }.withProd { (s, dir) =>
+    // production path: train + assign — no HOF re-derivation scoring
+    // each assignment against an independent cosine formulation
+    kmeansAssign(Tables.embeddings(s, dir), k = 8, iters = 10)
   }
 
   /** Gaussian mixture EM (reference mllib/src/main/scala/org/apache/
@@ -364,6 +368,10 @@ object Embeddings {
           .as("argmax_vs_hof"),
         (col("b.r") >= lit(1.0 / k - 1e-6)).as("resp_floor"))
       .orderBy("vec_id")
+  }.withProd { (s, dir) =>
+    // production path: EM fit + hard assignment — no independent HOF
+    // log-density re-derivation scoring the argmax
+    gmmAssign(Tables.embeddings(s, dir), k = 8, iters = 6)
   }
 
   /** L2 normalization of the embedding table (MLlib feature/Normalizer

@@ -242,6 +242,16 @@ object Recommender {
       .select(col("u"), col("i"), col("r_sum"), col("n"),
         lit(monotone).as("sse_monotone"))
       .orderBy("u", "i")
+  }.withProd { (s, dir) =>
+    // production path: train with SSE tracking OFF (no per-iteration
+    // measured-claim aggregate) and emit the scored predictions
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"))
+      .localCheckpoint()
+    svdPlusPlus(pairs, dim = 8, iters = 5, lr = 0.02)
   }
 
   /** Deterministic in-place Gaussian elimination with partial pivoting
@@ -422,6 +432,16 @@ object Recommender {
       .select(col("u"), col("i"), col("r_sum"), col("n"),
         lit(monotone).as("monotone_obj"))
       .orderBy("u", "i")
+  }.withProd { (s, dir) =>
+    // production path: alternating minimization with objective tracking
+    // OFF (no per-round measured-claim join+agg) and the predictions out
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"))
+      .localCheckpoint()
+    als(pairs, dim = 8, iters = 5)
   }
 
   val all: Seq[Q] = Seq(r01, r02)

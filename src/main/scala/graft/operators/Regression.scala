@@ -204,6 +204,25 @@ object Regression {
     feats.select(col("doc_id"), col("lang"),
       lit(floor).as("acc_ge_majority"))
       .orderBy("doc_id")
+  }.withProd { (s, dir) =>
+    // production path: train + serve the probability surface — no
+    // confusion aggregate scoring accuracy against the majority floor
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val feats = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (size(toks).cast("double") / 100.0).as("f_words"),
+      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
+        size(toks) / 10.0).as("f_wlen"),
+      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
+        length(col("text"))).as("f_sym"),
+      (col("lang") === "en").cast("double").as("y"))
+    val beta = logistic(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
+      eta = 2.0, iters = 40)
+    val margin = lit(beta(0)) + col("f_words") * lit(beta(1)) +
+      col("f_wlen") * lit(beta(2)) + col("f_sym") * lit(beta(3))
+    feats.select(col("doc_id"),
+      (lit(1.0) / (lit(1.0) + exp(-margin))).as("p_en"))
   }
 
   // ------------------------------------------------------------- isotonic
@@ -420,6 +439,14 @@ object Regression {
         lit(1e-9) * (abs(col("sy")) + 1.0)).as("kkt_b0"),
       kktSlope(b1, rho(col("s1y"), col("s1"), col("s12"), b2), col("s11")).as("kkt_b1"),
       kktSlope(b2, rho(col("s2y"), col("s2"), col("s12"), b1), col("s22")).as("kkt_b2"))
+  }.withProd { (s, dir) =>
+    // production path: one moment pass + driver coordinate descent,
+    // coefficients out — no second moment aggregate re-certifying KKT
+    val (b0, b1, b2) = lasso2(
+      Tables.lineitem(s, dir),
+      col("l_quantity"), col("l_discount"), col("l_extendedprice") / 1000.0,
+      lambda = 5.0, sweeps = 200)
+    s.range(1).select(lit(b0).as("b0"), lit(b1).as("b1"), lit(b2).as("b2"))
   }
 
   // ------------------------------------------------------------------- svm
@@ -492,6 +519,24 @@ object Regression {
     feats.select(col("doc_id"), col("lang"),
       lit(floor).as("acc_ge_majority"))
       .orderBy("doc_id")
+  }.withProd { (s, dir) =>
+    // production path: train + serve the decision surface — no
+    // confusion aggregate scoring accuracy against the majority floor
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    val feats = Tables.documents(s, dir).select(
+      col("doc_id"),
+      (size(toks).cast("double") / 100.0).as("f_words"),
+      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
+        size(toks) / 10.0).as("f_wlen"),
+      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
+        length(col("text"))).as("f_sym"),
+      (col("lang") === "en").cast("double").as("y"))
+    val beta = svmHinge(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
+      eta = 0.5, lambda = 0.01, iters = 40)
+    val dec = lit(beta(0)) + col("f_words") * lit(beta(1)) +
+      col("f_wlen") * lit(beta(2)) + col("f_sym") * lit(beta(3))
+    feats.select(col("doc_id"), dec.as("decision"))
   }
 
   val all: Seq[Q] = Seq(rg01, rg02, rg03, rg04, svm01)

@@ -937,7 +937,7 @@ object Trees {
     *         training loss, final frame (b, y, F, w) for serving) */
   def trainGbtLoss(data: DataFrame, fts: Seq[Column], yCol: Column,
                    rounds: Int, depth: Int, bins: Int, shrink: Double,
-                   loss: String)
+                   loss: String, track: Boolean = true)
       : (Seq[(RModel, Double)], Seq[Double], DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(shrink > 0 && shrink <= 1, s"shrink must be in (0,1], got $shrink")
@@ -958,7 +958,7 @@ object Trees {
           (col("F") + lit(weights(m)) * regressExpr(tree, col("b"))).as("F"),
           col("w"))
         .localCheckpoint()
-      losses += frame.agg(avg(lossValue(loss, col("y"), col("F"))))
+      if (track) losses += frame.agg(avg(lossValue(loss, col("y"), col("F"))))
         .head.getDouble(0)
     }
     (trees.toSeq.zip(weights), losses.toSeq, frame)
@@ -1010,6 +1010,17 @@ object Trees {
       .select(col("round"), col("n_pos"), col("n_neg"),
         col("monotone"), col("below_prior"))
       .orderBy("round")
+  }.withProd { (s, dir) =>
+    // production path: boost with per-round deviance tracking OFF and
+    // serve the classification (sign of the final ensemble margin)
+    val li = Tables.lineitem(s, dir)
+    val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+      year(col("l_shipdate")))
+    val y = when(col("l_returnflag") === "N", 1.0).otherwise(-1.0)
+    val (_, _, frame) = trainGbtLoss(li, fts, y,
+      rounds = 4, depth = 2, bins = 32, shrink = 0.5, loss = "logistic",
+      track = false)
+    frame.select(col("y"), signum(col("F")).as("pred"))
   }
 
   /** Registered pass: 4-round depth-2 gradient-boosted regression of the
@@ -1080,6 +1091,27 @@ object Trees {
     flags.crossJoin(anchor)
       .select(col("round"), col("mse0"), col("monotone"), col("below_initial"))
       .orderBy("round")
+  }.withProd { (s, dir) =>
+    // production path: the same 4-round boost WITHOUT the per-round MSE
+    // heads, the initial-MSE measurement, and the exact-decimal anchor
+    // aggregate; serves the ensemble prediction F0 + ν·Σ trees
+    val li = Tables.lineitem(s, dir)
+    val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+      year(col("l_shipdate")))
+    val shrink = 0.5
+    var frame = binForRegression(li, fts, col("l_extendedprice") / 1000.0, bins = 32)
+    val f0 = frame.agg(avg("y")).head.getDouble(0)
+    frame = frame.withColumn("y", col("y") - f0).localCheckpoint()
+    val trees = scala.collection.mutable.ArrayBuffer.empty[RModel]
+    for (_ <- 1 to 4) {
+      val tree = trainRegressionBinned(frame, d = fts.length, depth = 2, bins = 32)
+      trees += tree
+      frame = frame
+        .select(col("b"), (col("y") - lit(shrink) * regressExpr(tree, col("b"))).as("y"),
+          col("w"), lit(0).as("node"))
+        .localCheckpoint()
+    }
+    frame.select(gbtPredictExpr(f0, shrink, trees.toSeq, col("b")).as("pred"))
   }
 
   /** Registered pass (r11): dt01's configuration trained with ENTROPY
