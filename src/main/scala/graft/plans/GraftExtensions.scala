@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash63"), SimHash63.info, SimHash63.builder))
     ext.injectFunction((
       FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder))
+    ext.injectFunction((
+      FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }
@@ -43,5 +45,7 @@ object GraftFunctions {
       FunctionIdentifier("simhash63"), SimHash63.info, SimHash63.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder)
   }
 }

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
+
+/** Native codegen decode of `n` little-endian signed 16-bit PCM samples
+  * from a binary payload, starting at ONE-BASED byte offset `off` (the
+  * same convention as SQL `substr`, which the WAV header walk in
+  * [[graft.operators.Multimodal.parseWav]] computes its offsets in).
+  *
+  * This is the hot loop of audio parsing: a corpus-scale decode is
+  * n_docs × n_samples byte pairs, and doing it with per-byte
+  * hex/conv/substr column arithmetic costs two string conversions per
+  * byte (measured 70 s for ~20M samples at sf0.1). Here it is one
+  * branch-free pass over the backing byte array inside whole-stage
+  * codegen, returning an `array<int>` (int, not smallint — downstream
+  * window math squares values, and int keeps the arithmetic surface
+  * identical to the previous column implementation).
+  *
+  * Bounds contract: a decode that would read past the payload end (or a
+  * negative offset/count) returns NULL rather than a silently short
+  * array — truncation is corruption, and NULL propagates loudly into
+  * the caller's validation filters.
+  */
+case class PcmS16Le(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"pcm_s16le expects (binary, bigint, bigint), got " +
+          s"(${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(bin: Any, off: Any, n: Any): Any = {
+    val bytes = bin.asInstanceOf[Array[Byte]]
+    val start = off.asInstanceOf[Long] - 1L
+    val count = n.asInstanceOf[Long]
+    if (start < 0 || count < 0 || count > Int.MaxValue ||
+      start + 2L * count > bytes.length) {
+      null
+    } else {
+      val out = new Array[Int](count.toInt)
+      var i = 0
+      var p = start.toInt
+      while (i < out.length) {
+        out(i) = ((bytes(p + 1) << 8) | (bytes(p) & 0xFF)).toShort.toInt
+        i += 1
+        p += 2
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bin, off, n) => {
+      val start = ctx.freshName("start")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      s"""
+         |long $start = $off - 1L;
+         |if ($start < 0 || $n < 0 || $n > Integer.MAX_VALUE ||
+         |    $start + 2L * $n > $bin.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[(int) $n];
+         |  int $p = (int) $start;
+         |  for (int $i = 0; $i < $out.length; $i++, $p += 2) {
+         |    $out[$i] = (short) (($bin[$p + 1] << 8) | ($bin[$p] & 0xFF));
+         |  }
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PcmS16Le =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "pcm_s16le"
+}
+
+object PcmS16Le {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[PcmS16Le].getName, "pcm_s16le")
+  val builder: Seq[Expression] => Expression =
+    exprs => PcmS16Le(exprs(0), exprs(1), exprs(2))
+}
