@@ -492,5 +492,139 @@ object Multimodal {
       .orderBy("doc_id", "win_idx")
   }
 
-  val all: Seq[Q] = Seq(mm01, mm02, mm03, mm04)
+  // ------------------------------------------------------------- mm05
+  // The image twin of mm04: a REAL 24-bit BMP parser. Header fields are
+  // bounded column arithmetic (the same hex/conv byte reads as the WAV
+  // walk); the corpus-scale pixel decode — BGR triples, 4-byte row
+  // padding, bottom-up row order — runs through the native codegen
+  // rgb24_pixels expression. The bytes are planted from a closed-form
+  // pixel law, but the parser reads everything back from the binary;
+  // MultimodalSpec additionally feeds it java.nio-written BMPs so it is
+  // not writer-matched.
+
+  /** Parse a 24-bit uncompressed bottom-up BMP payload column: validates
+    * the 'BM' magic and the canonical BITMAPINFOHEADER contract loudly
+    * (header size 40, one plane, 24 bpp, BI_RGB, positive dimensions),
+    * reads width/height/pixel-offset from the header bytes, and decodes
+    * the padded bottom-up BGR rows to a TOP-DOWN `pixels` array of
+    * packed `r<<16|g<<8|b` ints via [[graft.plans.Rgb24Pixels]].
+    * Map-only over the blob column — mm04's 100 TB shape. */
+  def parseBmp(df: org.apache.spark.sql.DataFrame, payloadCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val p = col(payloadCol)
+    df
+      .filter(expr(
+        s"isnull(assert_true(decode(substring($payloadCol, 1, 2), 'UTF-8') = 'BM', " +
+          "'parseBmp: not a BMP payload'))"))
+      .withColumn("_data_off", le32(p, lit(11L)))
+      .withColumn("_hdr_size", le32(p, lit(15L)))
+      .withColumn("width", le32(p, lit(19L)))
+      .withColumn("height", le32(p, lit(23L)))
+      .withColumn("_planes", le16(p, lit(27L)))
+      .withColumn("bits_per_pixel", le16(p, lit(29L)).cast("int"))
+      .withColumn("_compression", le32(p, lit(31L)))
+      .filter(expr(
+        "isnull(assert_true(_hdr_size = 40 AND _planes = 1 " +
+          "AND bits_per_pixel = 24 AND _compression = 0 " +
+          "AND width > 0 AND width < 2147483648 " +
+          "AND height > 0 AND height < 2147483648, " +
+          "'parseBmp: only uncompressed 24bpp bottom-up BMP supported'))"))
+      .withColumn("pixels",
+        call_function("rgb24_pixels", p, col("_data_off") + 1L,
+          col("width"), col("height")))
+      .withColumn("width", col("width").cast("int"))
+      .withColumn("height", col("height").cast("int"))
+      .drop("_data_off", "_hdr_size", "_planes", "_compression")
+  }
+
+  /** A VALID canonical 24bpp bottom-up BMP payload built by column
+    * expressions (mm04's wavPayload pattern): 14-byte file header +
+    * 40-byte BITMAPINFOHEADER + padded bottom-up BGR rows via hex +
+    * unhex. `rgbAt(x, y)` must yield (r, g, b) columns in 0..255. */
+  def bmpPayload(width: Column, height: Column,
+                 rgbAt: (Column, Column) => (Column, Column, Column)): Column = {
+    // Column `/` is DOUBLE division — truncate back to the BMP integer
+    // row rule ((3w+3) div 4)*4 explicitly
+    val rowSize = ((width * 3 + 3) / 4).cast("long") * 4
+    val dataSize = rowSize * height
+    val header = concat(
+      lit("424d"), leHex(dataSize + 54L, 4), // BM, file size
+      lit("00000000"), leHex(lit(54L), 4), // reserved, pixel offset
+      leHex(lit(40L), 4), leHex(width, 4), leHex(height, 4), // info, w, h
+      leHex(lit(1L), 2), leHex(lit(24L), 2), // planes, bpp
+      leHex(lit(0L), 4), leHex(dataSize, 4), // BI_RGB, image size
+      leHex(lit(2835L), 4), leHex(lit(2835L), 4), // 72 dpi
+      leHex(lit(0L), 4), leHex(lit(0L), 4)) // palette counts
+    // bottom-up: file row j holds image row y = height-1-j; BGR order +
+    // zero pad bytes to the 4-byte row boundary
+    val pad = (rowSize - width * 3) * 2 // hex chars of padding
+    val rows = transform(sequence(lit(0L), height.cast("long") - 1), j => {
+      val y = height.cast("long") - 1 - j
+      concat(
+        array_join(transform(sequence(lit(0L), width.cast("long") - 1), x => {
+          val (r, g, b) = rgbAt(x, y)
+          concat(lpad(hex(b), 2, "0"), lpad(hex(g), 2, "0"),
+            lpad(hex(r), 2, "0"))
+        }), ""),
+        lit("000000").substr(lit(1), pad.cast("int")))
+    })
+    unhex(concat(header, array_join(rows, "")))
+  }
+
+  /** Registered pass (r12): end-to-end image analysis through the REAL
+    * BMP parser — each document plants a 24bpp bottom-up BMP (width
+    * 8 + doc_id%9 so the row padding takes every value 0..3, height
+    * 6 + doc_id%5, pixel law ch(x,y) = (doc_id·7 + y·31 + x·13 + ch·5)
+    * mod 256 with ch 0/1/2 = R/G/B), [[parseBmp]] reads dimensions and
+    * pixels BACK FROM THE BYTES, and per-image channel sums + the peak
+    * integer luma (299r+587g+114b) reduce the decoded pixel array.
+    * FULL integer-exact value oracle: DuckDB recomputes every output
+    * from the closed-form law — a padding slip, a BGR/RGB swap, or a
+    * bottom-up flip error changes sums or the peak's location law. */
+  val mm05 = Q.sql(
+    "mm05_bmp_parse",
+    """WITH m AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, w, h, x.i AS x, y.i AS y
+      |  FROM m, unnest(range(0, w)) x(i), unnest(range(0, h)) y(i)),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 7 + y * 31 + x * 13) % 256 AS r,
+      |    (doc_id * 7 + y * 31 + x * 13 + 5) % 256 AS gg,
+      |    (doc_id * 7 + y * 31 + x * 13 + 10) % 256 AS b
+      |  FROM g)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(gg) AS BIGINT) AS sum_g,
+      |  CAST(sum(b) AS BIGINT) AS sum_b,
+      |  CAST(max(299 * r + 587 * gg + 114 * b) AS BIGINT) AS peak_luma
+      |FROM px GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = lit(8L) + col("doc_id") % 9
+    val h = lit(6L) + col("doc_id") % 5
+    def law(ch: Int)(x: Column, y: Column): Column =
+      (col("doc_id") * 7L + y * 31L + x * 13L + ch * 5L) % 256L
+    // mm04's materialization barrier: planted payloads behave like a
+    // stored blob column, not an expression Catalyst can inline into
+    // every parser reference
+    val media = docs.select(col("doc_id"),
+      bmpPayload(w, h,
+        (x, y) => (law(0)(x, y), law(1)(x, y), law(2)(x, y))).as("payload"))
+      .localCheckpoint()
+    val chSum = (shift: Int) => aggregate(col("pixels"), lit(0L),
+      (acc, v) => acc + shiftright(v, shift).bitwiseAND(255))
+    parseBmp(media, "payload")
+      .select(col("doc_id"), col("width"), col("height"),
+        chSum(16).as("sum_r"), chSum(8).as("sum_g"), chSum(0).as("sum_b"),
+        array_max(transform(col("pixels"), v =>
+          shiftright(v, 16).bitwiseAND(255) * 299L +
+            shiftright(v, 8).bitwiseAND(255) * 587L +
+            v.bitwiseAND(255) * 114L)).as("peak_luma"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05)
 }

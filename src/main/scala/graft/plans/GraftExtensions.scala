@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder))
     ext.injectFunction((
       FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder))
+    ext.injectFunction((
+      FunctionIdentifier("rgb24_pixels"), Rgb24Pixels.info, Rgb24Pixels.builder))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }
@@ -47,5 +49,7 @@ object GraftFunctions {
       FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("rgb24_pixels"), Rgb24Pixels.info, Rgb24Pixels.builder)
   }
 }

@@ -214,6 +214,123 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  /** BMP bytes written by java.nio — independent of
+    * Multimodal.bmpPayload, so parseBmp is proven against a second
+    * writer. Pixels given TOP-DOWN as packed r<<16|g<<8|b; the writer
+    * flips to the file's bottom-up padded BGR rows. */
+  private def buildBmp(width: Int, height: Int, pixels: Array[Int],
+                       bpp: Int = 24, planes: Int = 1,
+                       compression: Int = 0): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(pixels.length == width * height)
+    def le(n: Int, nBytes: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n)
+        .array().take(nBytes)
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val out = new ByteArrayOutputStream()
+    out.write('B'); out.write('M')
+    out.write(le(54 + rowSize * height, 4))
+    out.write(le(0, 4)); out.write(le(54, 4))
+    out.write(le(40, 4)); out.write(le(width, 4)); out.write(le(height, 4))
+    out.write(le(planes, 2)); out.write(le(bpp, 2)); out.write(le(compression, 4))
+    out.write(le(rowSize * height, 4))
+    out.write(le(2835, 4)); out.write(le(2835, 4))
+    out.write(le(0, 4)); out.write(le(0, 4))
+    for (j <- 0 until height) {
+      val y = height - 1 - j
+      for (x <- 0 until width) {
+        val v = pixels(y * width + x)
+        out.write(v & 0xFF); out.write((v >> 8) & 0xFF); out.write((v >> 16) & 0xFF)
+      }
+      for (_ <- 0 until rowSize - 3 * width) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  test("parseBmp reads java.nio-written BMPs byte-for-byte (padding widths 0..3, flip)") {
+    // widths 5,6,7,8 exercise every row-padding amount (1,2,3,0 bytes);
+    // a position-dependent pixel law catches any flip/transpose error
+    val cases = Seq(5, 6, 7, 8).map { w =>
+      val h = 3
+      val px = Array.tabulate(w * h) { i =>
+        val (x, y) = (i % w, i / w)
+        ((x * 30 + 7) << 16) | ((y * 80 + 3) << 8) | ((x + y * w) % 256)
+      }
+      (w.toLong, w, h, px)
+    }
+    val got = Multimodal.parseBmp(
+      wavDf(cases.map { case (id, w, h, px) => id -> buildBmp(w, h, px) }: _*),
+      "payload")
+      .select("doc_id", "width", "height", "bits_per_pixel", "pixels")
+      .collect().sortBy(_.getLong(0))
+    got.zip(cases).foreach { case (r, (_, w, h, px)) =>
+      assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == 24)
+      assert(r.getSeq[Int](4) == px.toSeq,
+        s"width-$w pixel decode wrong (padding=${(4 - 3 * w % 4) % 4} bytes)")
+    }
+  }
+
+  test("parseBmp rejects non-BMP, 32bpp and compressed payloads loudly") {
+    val notBmp = "certainly not a bitmap".getBytes("UTF-8")
+    val e1 = intercept[Exception] {
+      Multimodal.parseBmp(wavDf(1L -> notBmp), "payload").collect()
+    }
+    assert((e1.toString + Option(e1.getCause).map(_.toString).getOrElse(""))
+      .contains("BMP"), s"wrong error: $e1")
+    val px = Array.fill(4)(0x112233)
+    intercept[Exception] {
+      Multimodal.parseBmp(wavDf(1L -> buildBmp(2, 2, px, bpp = 32)), "payload")
+        .collect()
+    }
+    intercept[Exception] {
+      Multimodal.parseBmp(wavDf(1L -> buildBmp(2, 2, px, compression = 1)), "payload")
+        .collect()
+    }
+  }
+
+  test("bmpPayload -> parseBmp round trip recovers the closed-form pixel law") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ids = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 9L).map(Row(_)): _*),
+      StructType(Seq(StructField("doc_id", LongType))))
+    val w = lit(8L) + col("doc_id") % 9
+    val h = lit(6L) + col("doc_id") % 5
+    def law(ch: Int)(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      (col("doc_id") * 7L + y * 31L + x * 13L + ch * 5L) % 256L
+    val media = ids.select(col("doc_id"),
+      Multimodal.bmpPayload(w, h,
+        (x, y) => (law(0)(x, y), law(1)(x, y), law(2)(x, y))).as("payload"))
+    val got = Multimodal.parseBmp(media, "payload")
+      .select("doc_id", "width", "height", "pixels")
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == 9)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (ww, hh) = ((8 + id % 9).toInt, (6 + id % 5).toInt)
+      assert(r.getInt(1) == ww && r.getInt(2) == hh)
+      val want = for (y <- 0 until hh; x <- 0 until ww) yield {
+        def c(ch: Int) = ((id * 7 + y * 31 + x * 13 + ch * 5) % 256).toInt
+        (c(0) << 16) | (c(1) << 8) | c(2)
+      }
+      assert(r.getSeq[Int](3) == want, s"doc $id (${ww}x$hh) pixels differ")
+    }
+  }
+
+  test("mm05 runs end-to-end on the corpus with exact channel-sum bounds") {
+    val got = Multimodal.mm05.run(spark, sfDir).cache()
+    assert(got.count() > 0)
+    assert(got.columns.toSeq == Seq("doc_id", "width", "height",
+      "sum_r", "sum_g", "sum_b", "peak_luma"))
+    // every channel sum is bounded by 255 * n_pixels; peak luma by the
+    // integer weights' full-white value
+    assert(got.filter(col("sum_r") > col("width") * col("height") * 255L ||
+      col("sum_g") > col("width") * col("height") * 255L ||
+      col("sum_b") > col("width") * col("height") * 255L).count() == 0)
+    assert(got.filter(col("peak_luma") > 255L * 1000L).count() == 0)
+  }
+
   test("mm04 runs end-to-end on the corpus with positive window counts") {
     val got = Multimodal.mm04.run(spark, sfDir).cache()
     assert(got.count() > 0)
