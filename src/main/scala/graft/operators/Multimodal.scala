@@ -626,5 +626,159 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05)
+  // ------------------------------------------------------------- mm06
+  // The video twin: a REAL YUV4MPEG2 (Y4M) parser — the one standard
+  // video container that is genuinely parseable without a codec (ASCII
+  // parameter header + uncompressed 4:2:0 planes), so the video path
+  // can cross the stub boundary honestly like mm04/mm05 did. Frame
+  // sampling + per-frame luma statistics are the mm02 semantics over a
+  // real container walk.
+
+  /** Parse a YUV4MPEG2 4:2:0 payload column: validates the magic and
+    * stream-header contract loudly (even dimensions, a C420-family or
+    * absent colorspace tag, frame section an exact multiple of the
+    * frame size), extracts width/height/fps from the ASCII parameter
+    * header (the byte-1:1 ISO-8859-1 decode keeps offsets honest), and
+    * derives the frame count from the payload length. Returns the
+    * input columns plus (width, height, fps_num, fps_den, n_frames)
+    * and the internal `_hdr_len`/`_frame_tot` offsets for
+    * [[frameLumaStats]]. Map-only over the blob column. */
+  def parseY4m(df: org.apache.spark.sql.DataFrame, payloadCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val p = col(payloadCol)
+    val hdr = decode(p.substr(lit(1), lit(160)), "ISO-8859-1")
+    df
+      .withColumn("_hdr", hdr)
+      .filter(expr(
+        "isnull(assert_true(substring(_hdr, 1, 10) = 'YUV4MPEG2 ' " +
+          "AND instr(_hdr, '\\n') > 0, " +
+          "'parseY4m: not a YUV4MPEG2 payload (or header > 160 bytes)'))"))
+      .withColumn("_hdr_len", instr(col("_hdr"), "\n").cast("long"))
+      .withColumn("width", regexp_extract(col("_hdr"), " W(\\d+)", 1).cast("long"))
+      .withColumn("height", regexp_extract(col("_hdr"), " H(\\d+)", 1).cast("long"))
+      .withColumn("fps_num", regexp_extract(col("_hdr"), " F(\\d+):(\\d+)", 1).cast("int"))
+      .withColumn("fps_den", regexp_extract(col("_hdr"), " F(\\d+):(\\d+)", 2).cast("int"))
+      .withColumn("_cs", regexp_extract(col("_hdr"), " C(\\w+)", 1))
+      .filter(expr(
+        "isnull(assert_true(width > 0 AND height > 0 " +
+          "AND width % 2 = 0 AND height % 2 = 0 " +
+          "AND (_cs = '' OR _cs LIKE '420%'), " +
+          "'parseY4m: only even-dimension C420 streams supported'))"))
+      // w*h*3 is even (even dims), so the double division is exact;
+      // cast back to the integer byte count
+      .withColumn("_frame_tot",
+        lit(6L) + (col("width") * col("height") * 3L / 2L).cast("long"))
+      .withColumn("n_frames",
+        ((length(p) - col("_hdr_len")) / col("_frame_tot")).cast("long"))
+      .filter(expr(
+        "isnull(assert_true(n_frames >= 1 " +
+          "AND (length(" + payloadCol + ") - _hdr_len) % _frame_tot = 0, " +
+          "'parseY4m: frame section is not a whole number of frames'))"))
+      .withColumn("width", col("width").cast("int"))
+      .withColumn("height", col("height").cast("int"))
+      .drop("_hdr", "_cs")
+  }
+
+  /** Sample every `stride`-th frame of a [[parseY4m]] output and reduce
+    * each sampled frame's LUMA (Y) plane to (y_sum, y_max) via the
+    * native [[graft.plans.U8Moments]] pass — per-frame FRAME markers
+    * are validated from the bytes as the walk goes. The plane is never
+    * materialized as an array: at corpus scale the consumer wants the
+    * reduction, not W×H ints per frame. */
+  def frameLumaStats(parsed: org.apache.spark.sql.DataFrame, payloadCol: String,
+                     stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val p = col(payloadCol)
+    val frameOff = col("_hdr_len") + col("frame_idx") * col("_frame_tot") + 1L
+    parsed
+      .select(col("*"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .filter(expr(
+        s"isnull(assert_true(decode(substring($payloadCol, " +
+          "CAST(_hdr_len + frame_idx * _frame_tot + 1 AS INT), 6), " +
+          "'ISO-8859-1') = 'FRAME\\n', 'parseY4m: bad FRAME marker'))"))
+      .withColumn("_m", call_function("u8_moments", p, frameOff + 6L,
+        (col("width") * col("height")).cast("long")))
+      .withColumn("y_sum", element_at(col("_m"), 1))
+      .withColumn("y_max", element_at(col("_m"), 2))
+      .withColumn("frame_idx", col("frame_idx").cast("int"))
+      .drop("_m", "_hdr_len", "_frame_tot")
+  }
+
+  /** A VALID Y4M 4:2:0 payload built by column expressions (the
+    * wavPayload/bmpPayload pattern): ASCII stream header, per-frame
+    * FRAME markers, Y plane from `yAt(frame, x, y)`, U and V planes
+    * filled with `uvAt(frame)`. Dimensions must be even. */
+  def y4mPayload(width: Column, height: Column, nFrames: Column,
+                 yAt: (Column, Column, Column) => Column,
+                 uvAt: Column => Column): Column = {
+    val headerHex = hex(concat(
+      lit("YUV4MPEG2 W"), width.cast("string"),
+      lit(" H"), height.cast("string"),
+      lit(" F25:1 Ip A1:1 C420\n")))
+    val frames = transform(sequence(lit(0L), nFrames.cast("long") - 1), i => {
+      val yPlane = array_join(
+        transform(sequence(lit(0L), height.cast("long") - 1), yy =>
+          array_join(
+            transform(sequence(lit(0L), width.cast("long") - 1), x =>
+              lpad(hex(yAt(i, x, yy)), 2, "0")), "")), "")
+      // U and V planes: (w/2)*(h/2) bytes each = w*h/2 total
+      val uv = call_function("repeat", lpad(hex(uvAt(i)), 2, "0"),
+        ((width * height) / 2).cast("int"))
+      concat(lit("4652414d450a"), yPlane, uv) // hex of "FRAME\n"
+    })
+    unhex(concat(headerHex, array_join(frames, "")))
+  }
+
+  /** Registered pass (r12): end-to-end video analysis through the REAL
+    * Y4M parser — each document plants a C420 stream (even width
+    * 4 + 2·(doc_id%3), even height 4 + 2·(doc_id%2), 3 + doc_id%4
+    * frames at 25 fps, luma law y(f,x,row) = (doc_id·11 + f·17 +
+    * row·5 + x·3) mod 256, chroma fill (doc_id + 7f) mod 256),
+    * [[parseY4m]] reads the stream geometry BACK FROM THE BYTES, and
+    * every 2nd frame's luma plane reduces to (sum, max) through the
+    * native u8_moments pass — mm02's frame-sampling semantics over a
+    * real container. FULL integer-exact value oracle: DuckDB
+    * recomputes geometry, frame grid and luma moments from the law. */
+  val mm06 = Q.sql(
+    "mm06_y4m_parse",
+    """WITH m AS (
+      |  SELECT doc_id, 4 + 2 * (doc_id % 3) AS w, 4 + 2 * (doc_id % 2) AS h,
+      |    3 + doc_id % 4 AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, nf, CAST(i AS INT) AS frame_idx
+      |  FROM m, unnest(range(0, nf, 2)) t(i)),
+      |g AS (
+      |  SELECT doc_id, w, h, nf, frame_idx, x.i AS x, y.i AS y
+      |  FROM f, unnest(range(0, w)) x(i), unnest(range(0, h)) y(i)),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, frame_idx,
+      |    (doc_id * 11 + frame_idx * 17 + y * 5 + x * 3) % 256 AS v
+      |  FROM g)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(25 AS INT) AS fps_num, CAST(nf AS BIGINT) AS n_frames,
+      |  frame_idx, CAST(sum(v) AS BIGINT) AS y_sum,
+      |  CAST(max(v) AS BIGINT) AS y_max
+      |FROM px GROUP BY doc_id, w, h, nf, frame_idx
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = lit(4L) + (col("doc_id") % 3) * 2L
+    val h = lit(4L) + (col("doc_id") % 2) * 2L
+    val nf = lit(3L) + col("doc_id") % 4
+    // mm04's materialization barrier (a stored blob column's shape)
+    val media = docs.select(col("doc_id"),
+      y4mPayload(w, h, nf,
+        (f, x, yy) => (col("doc_id") * 11L + f * 17L + yy * 5L + x * 3L) % 256L,
+        f => (col("doc_id") + f * 7L) % 256L).as("payload"))
+      .localCheckpoint()
+    frameLumaStats(parseY4m(media, "payload"), "payload", stride = 2)
+      .select(col("doc_id"), col("width"), col("height"), col("fps_num"),
+        col("n_frames"), col("frame_idx"), col("y_sum"), col("y_max"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
 }

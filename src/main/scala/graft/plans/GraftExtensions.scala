@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder))
     ext.injectFunction((
       FunctionIdentifier("rgb24_pixels"), Rgb24Pixels.info, Rgb24Pixels.builder))
+    ext.injectFunction((
+      FunctionIdentifier("u8_moments"), U8Moments.info, U8Moments.builder))
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }
@@ -51,5 +53,7 @@ object GraftFunctions {
       FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("rgb24_pixels"), Rgb24Pixels.info, Rgb24Pixels.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("u8_moments"), U8Moments.info, U8Moments.builder)
   }
 }

@@ -331,6 +331,114 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.filter(col("peak_luma") > 255L * 1000L).count() == 0)
   }
 
+  /** Y4M bytes written by java.nio — independent of
+    * Multimodal.y4mPayload. Luma given per frame top-down row-major;
+    * chroma planes constant-filled. */
+  private def buildY4m(width: Int, height: Int, lumas: Seq[Array[Byte]],
+                       uv: Byte = 64, header: String = null): Array[Byte] = {
+    import java.io.ByteArrayOutputStream
+    val out = new ByteArrayOutputStream()
+    val hdr = Option(header).getOrElse(
+      s"YUV4MPEG2 W$width H$height F30:1 Ip A1:1 C420jpeg\n")
+    out.write(hdr.getBytes("US-ASCII"))
+    lumas.foreach { y =>
+      require(y.length == width * height)
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(y)
+      for (_ <- 0 until width * height / 2) out.write(uv)
+    }
+    out.toByteArray
+  }
+
+  test("parseY4m + frameLumaStats read java.nio-written streams (header variants, stride)") {
+    val (w, h) = (6, 4)
+    val lumas = (0 until 5).map(f =>
+      Array.tabulate(w * h)(i => ((f * 50 + i * 3) % 256).toByte))
+    // C420jpeg tag + a different fps; stride 2 samples frames 0,2,4
+    val y4m = buildY4m(w, h, lumas)
+    val parsed = Multimodal.parseY4m(wavDf(1L -> y4m), "payload")
+    val head = parsed.select("width", "height", "fps_num", "fps_den", "n_frames")
+      .head
+    assert((head.getInt(0), head.getInt(1), head.getInt(2), head.getInt(3),
+      head.getLong(4)) == ((w, h, 30, 1, 5L)))
+    val stats = Multimodal.frameLumaStats(parsed, "payload", stride = 2)
+      .select("frame_idx", "y_sum", "y_max")
+      .collect().sortBy(_.getInt(0))
+    assert(stats.map(_.getInt(0)).toSeq == Seq(0, 2, 4))
+    stats.foreach { r =>
+      val f = r.getInt(0)
+      val vals = lumas(f).map(_ & 0xFF)
+      assert(r.getLong(1) == vals.map(_.toLong).sum, s"frame $f sum")
+      assert(r.getLong(2) == vals.max.toLong, s"frame $f max")
+    }
+  }
+
+  test("parseY4m rejects bad magic, odd dims, C444 and truncated frames loudly") {
+    val ok = buildY4m(4, 4, Seq(Array.fill(16)(1.toByte)))
+    val e1 = intercept[Exception] {
+      Multimodal.parseY4m(wavDf(1L -> "MPEG4 something".getBytes("UTF-8")),
+        "payload").collect()
+    }
+    assert((e1.toString + Option(e1.getCause).map(_.toString).getOrElse(""))
+      .contains("YUV4MPEG2"), s"wrong error: $e1")
+    intercept[Exception] { // odd width advertised in the header
+      Multimodal.parseY4m(wavDf(1L -> buildY4m(4, 4,
+        Seq(Array.fill(16)(1.toByte)),
+        header = "YUV4MPEG2 W5 H4 F30:1\n")), "payload").collect()
+    }
+    intercept[Exception] { // 4:4:4 colorspace
+      Multimodal.parseY4m(wavDf(1L -> buildY4m(4, 4,
+        Seq(Array.fill(16)(1.toByte)),
+        header = "YUV4MPEG2 W4 H4 F30:1 C444\n")), "payload").collect()
+    }
+    intercept[Exception] { // truncated frame section
+      Multimodal.parseY4m(wavDf(1L -> ok.dropRight(3)), "payload").collect()
+    }
+    intercept[Exception] { // corrupted FRAME marker
+      val bad = ok.clone()
+      val hdrLen = ok.indexOf('\n'.toByte) + 1
+      bad(hdrLen) = 'X'.toByte
+      Multimodal.frameLumaStats(
+        Multimodal.parseY4m(wavDf(1L -> bad), "payload"), "payload", 1).collect()
+    }
+  }
+
+  test("y4mPayload -> parseY4m round trip recovers the closed-form luma law") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ids = spark.createDataFrame(
+      java.util.Arrays.asList((0L until 12L).map(Row(_)): _*),
+      StructType(Seq(StructField("doc_id", LongType))))
+    val w = lit(4L) + (col("doc_id") % 3) * 2L
+    val h = lit(4L) + (col("doc_id") % 2) * 2L
+    val nf = lit(3L) + col("doc_id") % 4
+    val media = ids.select(col("doc_id"),
+      Multimodal.y4mPayload(w, h, nf,
+        (f, x, yy) => (col("doc_id") * 11L + f * 17L + yy * 5L + x * 3L) % 256L,
+        f => (col("doc_id") + f * 7L) % 256L).as("payload"))
+    val got = Multimodal.frameLumaStats(
+      Multimodal.parseY4m(media, "payload"), "payload", stride = 2)
+      .select("doc_id", "width", "height", "n_frames", "frame_idx", "y_sum", "y_max")
+      .collect().sortBy(r => (r.getLong(0), r.getInt(4)))
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (ww, hh, nn) = ((4 + (id % 3) * 2).toInt, (4 + (id % 2) * 2).toInt,
+        3 + id % 4)
+      assert(r.getInt(1) == ww && r.getInt(2) == hh && r.getLong(3) == nn)
+      val f = r.getInt(4)
+      val vals = for (yy <- 0 until hh; x <- 0 until ww)
+        yield (id * 11 + f * 17 + yy * 5 + x * 3) % 256
+      assert(r.getLong(5) == vals.sum, s"doc $id frame $f sum")
+      assert(r.getLong(6) == vals.max, s"doc $id frame $f max")
+    }
+    // frame grid: every even index below n_frames, per doc
+    val byDoc = got.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(4)).toSeq.sorted ==
+        (0L until (3 + id % 4) by 2).map(_.toInt))
+    }
+  }
+
   test("mm04 runs end-to-end on the corpus with positive window counts") {
     val got = Multimodal.mm04.run(spark, sfDir).cache()
     assert(got.count() > 0)
