@@ -139,6 +139,53 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.6, s"recall@5 = $recall below 0.6 ($hits/$total)")
   }
 
+  test("IVF equals brute force exactly on planted well-separated clusters") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 4 orthogonal-direction clusters of 25 vectors: each vector is its
+    // cluster's axis plus a tiny distinct perturbation, so every true
+    // neighbor shares the query's cell and top-1-of-2 probing provably
+    // contains the whole brute-force top-5
+    val dim = 64
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val v = Array.fill(dim)(0.001f * ((c * 25 + i) % 7))
+      v(c * 16) = 1.0f
+      v((c * 16 + 1 + i % 15)) = 0.05f + 0.001f * i
+      Row((c * 25 + i).toLong, v.toSeq)
+    }
+    val emb = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ivf = Similarity.ivfTopK(emb, queries, nCells = 4, iters = 8,
+        nProbe = 2, k = 5)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    val brute = queries
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        call_function("float_cosine", col("qe"), col("ce")).as("sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("cid"), round(col("sim"), 6).as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf == brute,
+      s"IVF must equal brute force on separable clusters: ${ivf.diff(brute)}")
+  }
+
+  test("d16 certificates hold and the prod twin matches the gated ranking") {
+    val full = Similarity.d16.run(spark, sfDir).collect()
+    assert(full.length == 50)
+    assert(full.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "a d16 certificate flag flipped")
+    val prod = Similarity.d16.prod.get(spark, sfDir)
+    assert(prod.count() == 50)
+  }
+
   test("ANN buckets agree with brute force on shared candidates") {
     val ann = Similarity.d06.run(spark, sfDir)
       .select(col("qid"), col("cid"), col("sim6"))
