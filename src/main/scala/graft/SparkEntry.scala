@@ -26,7 +26,7 @@ object SparkEntry {
       operators.Graphs.all ++
       operators.Multimodal.all ++ operators.Stats.all ++
       operators.Evaluation.all ++ sources.RandomData.all ++
-      ml.Optimize.all ++ operators.Sketches.all
+      ml.Optimize.all ++ operators.Sketches.all ++ operators.Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
