@@ -28,6 +28,15 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC read/write (r12) — the other columnar format the reference era
+    * reached through Hive; Spark bundles the ORC reader with the same
+    * pushdown/pruning surface as parquet (PushedFilters in the scan). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet: directory per partition value →
     * partition pruning turns key-range scans into file skips. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =

@@ -21,6 +21,22 @@ class SourcesSpec extends SparkTestBase {
       backJson.agg(sum("o_totalprice")).head.getDouble(0))
   }
 
+  test("orc round-trips exactly and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Sources.writeOrc(orders, s"$dir/orc")
+    val back = Sources.orc(spark, s"$dir/orc")
+    assert(back.count() == orders.count())
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      orders.orderBy("o_orderkey").collect().toSeq)
+    // the ORC scan carries the same pushdown surface as parquet
+    val filtered = back.filter(col("o_orderkey") < 100).select("o_orderkey")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan"),
+      s"filter did not reach the ORC scan:\n${plan.take(800)}")
+  }
+
   test("libsvm reader parses a planted file and round-trips through writeLibsvm") {
     val dir = Files.createTempDirectory("graft-libsvm").toString
     // planted file: known labels, 1-based ascending indices, a
