@@ -459,5 +459,54 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01)
+  /** Composite training-data pipeline (r12): the end-to-end path a
+    * pretraining corpus actually takes, as ONE registered query —
+    * quality gate (t02's word-count measure, threshold 30 keeps ~80%
+    * of this corpus: non-vacuous) → exact dedup (d01's keep-min rule)
+    * → overlapping chunking (t09's 64/48 grid). Each stage reuses the
+    * operator the suite already certifies; the value here is the
+    * COMPOSITION: one declarative plan — filter, one shuffle for the
+    * dedup groupBy, map-only chunk explode — that Catalyst pipelines
+    * end-to-end, versus three materialized passes in an imperative
+    * engine. FULL value oracle: DuckDB chains the same three stages. */
+  val pl01 = Q.sql(
+    "pl01_training_pipeline",
+    """WITH kept AS (
+      |  SELECT doc_id, text
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 30),
+      |dedup AS (
+      |  SELECT text, min(doc_id) AS doc_id FROM kept GROUP BY text),
+      |words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+      |         len(regexp_split_to_array(trim(text), '\s+')) AS n
+      |  FROM dedup),
+      |grid AS (
+      |  SELECT doc_id, w, n,
+      |    CASE WHEN n <= 64 THEN 1 ELSE (n - 17) // 48 + 1 END AS n_chunks
+      |  FROM words)
+      |SELECT doc_id, i AS chunk_idx,
+      |  CAST(len(w[i * 48 + 1 : i * 48 + 64]) AS BIGINT) AS n_tokens,
+      |  array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+      |FROM grid, unnest(range(0, n_chunks)) t(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    val toks = tokens(col("text"))
+    val kept = Tables.documents(s, dir)
+      .filter(size(toks) >= 30)
+    val dedup = kept.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val n = size(toks)
+    val nChunks = when(n <= 64, lit(1L))
+      .otherwise(((n - 17).cast("long") / 48).cast("long") + 1L)
+    dedup
+      .select(col("doc_id"), toks.as("w"), nChunks.as("n_chunks"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("w", slice(col("w"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("w")).cast("long").as("n_tokens"),
+        array_join(col("w"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01, pl01)
 }

@@ -214,4 +214,38 @@ class TextSpec extends SparkTestBase {
       "packing must be deterministic")
     packed.unpersist()
   }
+
+  test("pl01 composes gate -> dedup -> chunk with one aggregation shuffle, non-vacuous stages") {
+    val docs = Tables.documents(spark, sfDir)
+    // plan shape FIRST (before .cache() — the cache manager would
+    // substitute an InMemoryRelation into any identical later plan):
+    // the only width-changing shuffle is the dedup groupBy (plus the
+    // final presentation sort); gate and chunk explode stay map-side
+    val plan0 = graft.operators.TextOps.pl01.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges0 = "Exchange hashpartitioning".r.findAllIn(plan0).length
+    assert(exchanges0 == 1,
+      s"expected exactly one hash shuffle, got $exchanges0:\n${plan0.take(900)}")
+    val out = graft.operators.TextOps.pl01.run(spark, sfDir).cache()
+    val total = docs.count()
+    val kept = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 30)
+      .count()
+    // the gate and the dedup both actually remove something
+    assert(kept < total, "quality gate must be non-vacuous")
+    assert(kept > total / 2, "quality gate must not gut the corpus")
+    val survivors = out.select("doc_id").distinct().count()
+    // dedup exactness: one survivor per distinct gated text (at this
+    // spec SF the planted duplicates may all be short docs the gate
+    // removes, so assert the identity, not strict shrinkage)
+    val distinctTexts = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 30)
+      .select("text").distinct().count()
+    assert(survivors == distinctTexts, "dedup must keep exactly one doc per text")
+    // chunks reconstruct their documents: per doc, chunk 0 starts it and
+    // token counts follow the 64/48 grid
+    assert(out.filter(col("chunk_idx") === 0).count() == survivors)
+    assert(out.filter(col("n_tokens") > 64 || col("n_tokens") < 1).count() == 0)
+    out.unpersist()
+  }
 }
