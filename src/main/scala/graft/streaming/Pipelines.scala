@@ -119,6 +119,28 @@ object Pipelines {
         |p_ts <= c_ts + interval 10 minutes""".stripMargin))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the behavior the inner
+    * join cannot give: a click with no purchase in its 10-minute window
+    * still emits, null-padded, but only AFTER the watermark passes the
+    * window's end (that is what makes the null CORRECT rather than
+    * premature — a matching purchase can no longer arrive). State stays
+    * bounded exactly as in [[streamStreamJoin]]; the join watermark is
+    * the min of the two sides'. */
+  def streamStreamLeftJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p, expr(
+      """c_user = p_user AND
+        |p_ts >= c_ts AND
+        |p_ts <= c_ts + interval 10 minutes""".stripMargin),
+      "left_outer")
+  }
+
   final case class TaggedEvent(user_id: Long, ts: java.sql.Timestamp,
                                is_purchase: Boolean, event_id: Long, value: Double)
   final case class LatestPurchase(tsMs: Long, id: Long, value: Double)

@@ -103,6 +103,60 @@ class StreamingSpec extends SparkTestBase {
     assert(want > 0, "test needs at least one click->purchase pair in range")
   }
 
+  test("stream-stream LEFT join emits null-padded clicks only after watermark expiry") {
+    val src1 = Files.createTempDirectory("graft-ssl-clicks").toString
+    val src2 = Files.createTempDirectory("graft-ssl-buys").toString
+    val ev = Tables.events(spark, sfDir).cache()
+    val clicksB = ev.filter(col("event_type") === "click")
+    val buysB = ev.filter(col("event_type") === "purchase")
+
+    val joined = Pipelines.streamStreamLeftJoin(
+      Pipelines.eventStream(spark, src1, eventsSchema)
+        .filter(col("event_type") === "click"),
+      Pipelines.eventStream(spark, src2, eventsSchema)
+        .filter(col("event_type") === "purchase"))
+    val q = Pipelines.startToMemory(joined, "ssl_join_test", "append")
+    clicksB.write.mode("append").parquet(src1)
+    buysB.write.mode("append").parquet(src2)
+    q.processAllAvailable()
+    // outer (null-padded) rows may NOT exist yet for late windows: the
+    // watermark sits 10 min behind max event time. Advance BOTH sides'
+    // watermarks far past every real window with one synthetic far-
+    // future event each, then trigger twice (the watermark computed at
+    // a batch's end expires state in the NEXT batch).
+    val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+    def future(tpe: String, id: Long) = ev.limit(1).select(
+      lit(id).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000)).as("ts"),
+      lit(-999L).as("user_id"), lit(tpe).as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    future("click", -1L).write.mode("append").parquet(src1)
+    future("purchase", -2L).write.mode("append").parquet(src2)
+    q.processAllAvailable()
+    future("click", -3L).write.mode("append").parquet(src1)
+    future("purchase", -4L).write.mode("append").parquet(src2)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ssl_join_test").filter(col("c_user") =!= -999L)
+    val want = clicksB.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .join(buysB.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value")),
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 10 minutes"),
+        "left_outer")
+    // every real click's window is now below the watermark, so the
+    // streamed result must equal the batch left join EXACTLY —
+    // matched rows identical, unmatched clicks present null-padded
+    assert(got.count() == want.count())
+    val unmatchedStream = got.filter(col("purchase_id").isNull).count()
+    val unmatchedBatch = want.filter(col("purchase_id").isNull).count()
+    assert(unmatchedStream == unmatchedBatch && unmatchedBatch > 0,
+      s"null-padded rows: stream $unmatchedStream vs batch $unmatchedBatch")
+    assert(got.select("click_id", "purchase_id")
+      .exceptAll(want.select("click_id", "purchase_id")).isEmpty)
+  }
+
   test("foreachBatch receives every micro-batch exactly once") {
     val src = Files.createTempDirectory("graft-feb-src").toString
     val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
