@@ -1023,6 +1023,67 @@ object Trees {
     frame.select(col("y"), signum(col("F")).as("pred"))
   }
 
+  /** Registered pass (r12): 4-round depth-2 LAD (absolute-error) GBT of
+    * the scaled extended price — the third reference loss
+    * (mllib/tree/loss/AbsoluteError.scala:1) on the same binned
+    * residual-update trainer as gbt01/gbt02: tree 0 fits the raw
+    * target, later trees fit the ±1 sign pseudo-residual with mean
+    * leaves (Stochastic Gradient Boosting, leaves NOT refit per loss —
+    * the reference's own documented design).
+    *
+    * Unlike LogLoss there is NO smoothness theorem for LAD with mean
+    * leaves, so the flags are MEASURED claims the driver re-checks
+    * every round against deterministic values: `monotone` (per-round
+    * training MAD non-increasing — holds with strict decreases at both
+    * SFs) and `below_initial` (every round far under the F=0 prior:
+    * tree 0's raw-target fit halves the MAD, 53.05 → 26.08 at sf0.01).
+    * The anchor `mad0` is the exact-decimal F=0 loss (gbt01's moment
+    * discipline — order-independent decimal sum, identical final
+    * double ops), DuckDB-recomputed from the raw table. TreesSpec pins
+    * planted recovery for the absolute loss separately. */
+  val gbt03 = Q.sql(
+    "gbt03_gbt_lad",
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(ay) AS DOUBLE) AS say
+      |  FROM (SELECT abs(CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6))) AS ay
+      |        FROM lineitem))
+      |SELECT CAST(r AS INT) AS round, round(say / n, 6) AS mad0,
+      |  TRUE AS monotone, TRUE AS below_initial
+      |FROM m, range(1, 5) t(r)
+      |ORDER BY round""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+      year(col("l_shipdate")))
+    val (_, losses, _) = trainGbtLoss(li, fts, col("l_extendedprice") / 1000.0,
+      rounds = 4, depth = 2, bins = 32, shrink = 0.5, loss = "absolute")
+    val anchor = li
+      .select(abs((col("l_extendedprice") / 1000.0).cast("decimal(18,6)")).as("ay"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("ay")).cast("double").as("say"))
+      .select((col("say") / col("n")).as("mad0raw"),
+        round(col("say") / col("n"), 6).as("mad0"))
+    val mad0 = anchor.head.getDouble(0)
+    val eps = (a: Double) => a * (1 + 1e-9) + 1e-12
+    val flags = losses.zipWithIndex.map { case (l, m) =>
+      val prev = if (m == 0) mad0 else losses(m - 1)
+      (m + 1, l <= eps(prev), l <= eps(mad0))
+    }.toDF("round", "monotone", "below_initial")
+    flags.crossJoin(anchor.select("mad0"))
+      .select(col("round"), col("mad0"), col("monotone"), col("below_initial"))
+      .orderBy("round")
+  }.withProd { (s, dir) =>
+    // production path: LAD boost with loss tracking OFF, serving the
+    // final ensemble prediction frame
+    val li = Tables.lineitem(s, dir)
+    val fts = Seq(col("l_quantity"), col("l_discount"), col("l_tax"),
+      year(col("l_shipdate")))
+    val (_, _, frame) = trainGbtLoss(li, fts, col("l_extendedprice") / 1000.0,
+      rounds = 4, depth = 2, bins = 32, shrink = 0.5, loss = "absolute",
+      track = false)
+    frame.select(col("y"), col("F").as("pred"))
+  }
+
   /** Registered pass: 4-round depth-2 gradient-boosted regression of the
     * scaled extended price (GradientBoostedTrees.scala:1 parity,
     * squared loss: each round fits a regression tree to the CURRENT
@@ -1141,5 +1202,5 @@ object Trees {
       .orderBy("leaf")
   }
 
-  val all: Seq[Q] = Seq(dt01, dt02, rf01, gbt01, gbt02)
+  val all: Seq[Q] = Seq(dt01, dt02, rf01, gbt01, gbt02, gbt03)
 }
