@@ -185,6 +185,45 @@ object Optimize {
     (w, hist.toSeq)
   }
 
+  /** Full-batch PROXIMAL gradient descent with the reference L1Updater's
+    * step (Updater.scala L1Updater: gradient step on the smooth part,
+    * then per-coordinate soft-threshold w_j ← sign(w_j)·max(0, |w_j| −
+    * λ·step_t), reg value λ·‖w‖₁). `obj` must be the UNregularized
+    * smooth objective — the penalty lives in the updater, exactly the
+    * reference's split. `penalize(j) = false` exempts a coordinate (the
+    * usual unpenalized intercept; the reference penalizes every weight,
+    * the default here).
+    *
+    * The soft threshold yields EXACT zeros — the sparsity the penalty
+    * exists for — and each iteration stays one bounded cluster pass.
+    *
+    * @return (weights, history of the FULL objective f + λ·‖w_pen‖₁,
+    *         evaluated at each iterate incl. the last) */
+  def gradientDescentL1(obj: Objective, init: Array[Double], stepSize: Double,
+                        maxIter: Int, l1Param: Double,
+                        penalize: Int => Boolean = _ => true)
+      : (Array[Double], Seq[Double]) = {
+    require(l1Param >= 0, s"l1Param $l1Param")
+    def soft(v: Double, t: Double): Double =
+      if (v > t) v - t else if (v < -t) v + t else 0.0
+    def l1(w: Array[Double]): Double =
+      w.indices.collect { case j if penalize(j) => math.abs(w(j)) }.sum
+    var w = init.clone()
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (t <- 1 to maxIter) {
+      val (f, g) = obj.eval(w)
+      hist += f + l1Param * l1(w)
+      val step = stepSize / math.sqrt(t.toDouble)
+      val shrink = l1Param * step
+      w = Array.tabulate(w.length) { j =>
+        val v = w(j) - step * g(j)
+        if (penalize(j)) soft(v, shrink) else v
+      }
+    }
+    hist += obj.eval(w)._1 + l1Param * l1(w)
+    (w, hist.toSeq)
+  }
+
   /** Registered pass (r12): L-BFGS least squares of the scaled extended
     * price on [1, quantity, discount] — rg01's design matrix with λ = 0,
     * so the GLOBAL optimum has a closed form both engines derive

@@ -386,6 +386,13 @@ object Multimodal {
         "isnull(assert_true(audio_format = 1 AND num_channels = 1 " +
           "AND bits_per_sample = 16, 'parseWav: only mono PCM16 supported'))"))
       .withColumn("n_samples", (col("data_size") / 2L).cast("long"))
+      // truncation is corruption and must fail LOUDLY here, not as a
+      // silent NULL samples column downstream: the header-declared data
+      // chunk (content at 1-based [_data_off+8, _data_off+7+data_size])
+      // must actually fit the payload
+      .filter(expr(
+        s"isnull(assert_true(_data_off + 7 + data_size <= length($payloadCol), " +
+          "'parseWav: data chunk truncated'))"))
     parsed
       .withColumn("samples",
         when(col("n_samples") > 0,
@@ -530,6 +537,11 @@ object Multimodal {
           "AND width > 0 AND width < 2147483648 " +
           "AND height > 0 AND height < 2147483648, " +
           "'parseBmp: only uncompressed 24bpp bottom-up BMP supported'))"))
+      // loud truncation check (parseWav's): the padded pixel block
+      // (1-based [_data_off+1, _data_off + rowSize*height]) must fit
+      .filter(expr(
+        s"isnull(assert_true(_data_off + ((3 * width + 3) DIV 4) * 4 * height " +
+          s"<= length($payloadCol), 'parseBmp: pixel data truncated'))"))
       .withColumn("pixels",
         call_function("rgb24_pixels", p, col("_data_off") + 1L,
           col("width"), col("height")))

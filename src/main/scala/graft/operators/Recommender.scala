@@ -299,8 +299,10 @@ object Recommender {
     * @return (u, i, r, pred) over the training edges
     */
   def als(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
-          reg: Double = 0.1, seed: Long = 42L): DataFrame =
-    alsTracked(ratings, dim, iters, reg, seed, track = false)._1
+          reg: Double = 0.1, seed: Long = 42L,
+          nonnegative: Boolean = false): DataFrame =
+    alsTracked(ratings, dim, iters, reg, seed, track = false,
+      nonnegative = nonnegative)._1
 
   /** [[als]] plus, when `track` is set, the ALS-WR regularized
     * objective J = Σ_ratings [(r − p·q)² + reg·(‖p_u‖² + ‖q_i‖²)]
@@ -312,8 +314,10 @@ object Recommender {
     * the claim [[r02]] certifies. */
   def alsTracked(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
                  reg: Double = 0.1, seed: Long = 42L,
-                 track: Boolean = true): (DataFrame, Seq[Double]) = {
-    val (userF, itemF, js) = alsFactors(ratings, dim, iters, reg, seed, track)
+                 track: Boolean = true,
+                 nonnegative: Boolean = false): (DataFrame, Seq[Double]) = {
+    val (userF, itemF, js) =
+      alsFactors(ratings, dim, iters, reg, seed, track, nonnegative)
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
     val preds = alsPredict(r2, userF, itemF)
       .select(col("u"), col("i"), col("r"), col("pred"))
@@ -336,24 +340,36 @@ object Recommender {
     * [[graft.ml.ModelIO.saveAlsFactors]] writes. */
   def alsFactors(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
                  reg: Double = 0.1, seed: Long = 42L,
-                 track: Boolean = false): (DataFrame, DataFrame, Seq[Double]) = {
+                 track: Boolean = false,
+                 nonnegative: Boolean = false): (DataFrame, DataFrame, Seq[Double]) = {
     val spark = ratings.sparkSession
     import spark.implicits._
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
       .localCheckpoint()
 
+    // `prev` = the solving side's PREVIOUS factors (nonnegative mode
+    // only): the per-key NNLS warm-starts from them, which is what makes
+    // the constrained half-round provably non-increasing — coordinate
+    // descent only ever improves on its start, so J(new) <= J(old) even
+    // if the sweep budget stops short of the exact constrained optimum.
     def halfRound(fixed: DataFrame, fixedKey: String, solveKey: String,
-                  factCol: String): DataFrame = {
-      val joined = r2.join(fixed, fixedKey)
+                  factCol: String, prev: Option[DataFrame]): DataFrame = {
+      val base = r2.join(fixed, fixedKey)
         .select(col(solveKey), col(fixedKey), col("r"), col(factCol))
-        .as[(Long, Long, Double, Seq[Double])]
+      val withPrev = prev match {
+        case Some(p) => base.join(
+          p.select(col(solveKey), col("f").as("_f0")), Seq(solveKey), "left")
+        case None => base.withColumn("_f0", lit(null).cast("array<double>"))
+      }
+      val joined = withPrev
+        .as[(Long, Long, Double, Seq[Double], Option[Seq[Double]])]
       joined.groupByKey(_._1)
         .mapGroups { (key, rows) =>
           val sorted = rows.toArray.sortBy(_._2)
           val a = Array.ofDim[Double](dim, dim)
           val b = new Array[Double](dim)
           var n = 0
-          sorted.foreach { case (_, _, r, q) =>
+          sorted.foreach { case (_, _, r, q, _) =>
             n += 1
             var x = 0
             while (x < dim) {
@@ -366,7 +382,12 @@ object Recommender {
           }
           var d = 0
           while (d < dim) { a(d)(d) += reg * n; d += 1 }
-          (key, solveLinear(a, b).toSeq)
+          val sol =
+            if (nonnegative)
+              graft.ml.NNLS.solve(a, b,
+                sorted.head._5.map(_.toArray).orNull)
+            else solveLinear(a, b)
+          (key, sol.toSeq)
         }
         .toDF(solveKey, "f")
     }
@@ -380,13 +401,20 @@ object Recommender {
         .head.getDouble(0)
 
     val js = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // nonnegative mode initializes in the feasible cone (|init|, the
+    // reference's abs-of-random convention) so round 1's item warm start
+    // is clamp-free
+    val init0 = initArr(col("i"), dim, seed)
     var itemF = r2.select("i").distinct()
-      .select(col("i"), initArr(col("i"), dim, seed).as("f"))
+      .select(col("i"),
+        (if (nonnegative) transform(init0, v => abs(v)) else init0).as("f"))
       .localCheckpoint()
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
-      userF = cut(halfRound(itemF, "i", "u", "f"))
-      itemF = cut(halfRound(userF, "u", "i", "f"))
+      userF = cut(halfRound(itemF, "i", "u", "f",
+        Option(userF).filter(_ => nonnegative)))
+      itemF = cut(halfRound(userF, "u", "i", "f",
+        if (nonnegative) Some(itemF) else None))
       if (track) js += objective(userF, itemF)
     }
     (userF, itemF, js.toSeq)
@@ -444,5 +472,65 @@ object Recommender {
     als(pairs, dim = 8, iters = 5)
   }
 
-  val all: Seq[Q] = Seq(r01, r02)
+  /** Registered NONNEGATIVE ALS pass (reference ALS.scala:78-79,154
+    * `setNonnegative` + the NNLS solver it routes each per-key system
+    * through, mllib/optimization/NNLS.scala:1) on r02's deterministic
+    * 200-customer co-purchase slice. r02's claim-oracle pattern plus
+    * the mode's OWN provable flag:
+    *
+    *  - edge set and exact rating moments (Σ l_quantity, count):
+    *    DuckDB re-derives row-for-row;
+    *  - `monotone_obj`: the ALS-WR objective measured after every full
+    *    round never increased — PROVABLE here even at a finite sweep
+    *    budget, because each half-round's NNLS warm-starts from that
+    *    side's previous factors and coordinate descent only ever
+    *    improves on its start;
+    *  - `all_nonneg`: every entry of BOTH factor tables is >= 0 — the
+    *    constraint the mode exists for, checked over the actual
+    *    trained state (two bounded array_min aggregates).
+    *
+    * RecommenderSpec pins planted nonnegative low-rank recovery and the
+    * NNLS kernel's KKT conditions. */
+  val r03 = Q.sql(
+    "r03_als_nonneg",
+    """WITH r AS (
+      |  SELECT o_custkey AS u, l_partkey AS i,
+      |         CAST(sum(l_quantity) AS DOUBLE) AS r_sum, count(*) AS n
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 200
+      |  GROUP BY 1, 2)
+      |SELECT u, i, r_sum, n, TRUE AS monotone_obj, TRUE AS all_nonneg
+      |FROM r ORDER BY u, i""".stripMargin) { (s, dir) =>
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"),
+        sum("l_quantity").cast("double").as("r_sum"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val (userF, itemF, js) = alsFactors(pairs.select("u", "i", "r"),
+      dim = 8, iters = 5, track = true, nonnegative = true)
+    val monotone = js.nonEmpty &&
+      js.sliding(2).forall(p => p.length < 2 || p(1) <= p(0) * (1 + 1e-9) + 1e-9)
+    def minEntry(f: DataFrame): Double =
+      f.agg(min(array_min(col("f")))).head.getDouble(0)
+    val allNonneg = minEntry(userF) >= 0.0 && minEntry(itemF) >= 0.0
+    pairs
+      .select(col("u"), col("i"), col("r_sum"), col("n"),
+        lit(monotone).as("monotone_obj"), lit(allNonneg).as("all_nonneg"))
+      .orderBy("u", "i")
+  }.withProd { (s, dir) =>
+    // production path: constrained alternating minimization with
+    // objective tracking OFF and the predictions out
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"))
+      .localCheckpoint()
+    als(pairs, dim = 8, iters = 5, nonnegative = true)
+  }
+
+  val all: Seq[Q] = Seq(r01, r02, r03)
 }

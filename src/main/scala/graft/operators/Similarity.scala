@@ -466,7 +466,10 @@ object Similarity {
     * agreement with brute force. */
   val d06 = Q.sql("d06_ann_lsh", d06Oracle(nPlanes = 4, k = 5, nTables = 4)) {
     (s, dir) =>
-      annLshTopK(Tables.embeddings(s, dir), nPlanes = 4, k = 5, nTables = 4)
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      annLshTopK(emb, queries, nPlanes = 4, k = 5, nTables = 4)
         .orderBy("qid", "rk")
   }
 
@@ -506,14 +509,23 @@ object Similarity {
         .as(Seq("tbl", "bucket")))
   }
 
-  def annLshTopK(emb: DataFrame, nPlanes: Int, k: Int, nTables: Int = 2): DataFrame = {
+  /** Top-`k` hyperplane-LSH neighbors of each query. `queries` carries
+    * (qid, qe) — [[ivfTopK]]'s contract — so the query set is the
+    * CALLER's choice (any ids, any vectors, not necessarily corpus
+    * members); the corpus side is bucketed once and probed per query. */
+  def annLshTopK(emb: DataFrame, queries: DataFrame, nPlanes: Int, k: Int,
+                 nTables: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val base = emb.select(col("vec_id"), col("embedding"))
     val bucketed = hyperplaneBuckets(base, nPlanes, nTables)
-    // query side fans out to the home bucket plus each 1-bit probe
+    // query vectors bucket through the SAME deterministic plane sets,
+    // then fan out to the home bucket plus each 1-bit probe
+    val qBucketed = hyperplaneBuckets(
+      queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+      nPlanes, nTables)
     val probeArr = array((col("bucket") +:
       (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
-    val q = bucketed.filter(col("vec_id") < 10)
+    val q = qBucketed
       .select(col("vec_id").as("qid"), col("tbl"), explode(probeArr).as("bucket"))
     val c = bucketed.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
     val candidates = broadcast(q).join(c, Seq("tbl", "bucket"))
@@ -522,7 +534,7 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
     candidates
-      .join(base.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(queries.select(col("qid"), col("qe")), "qid")
       .join(base.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
       .select(col("qid"), col("cid"),
         call_function("float_cosine", col("qe"), col("ce")).as("sim"))

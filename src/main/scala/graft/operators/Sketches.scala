@@ -32,15 +32,27 @@ object Sketches {
     graft.plans.GraftFunctions.register(spark)
     // might_contain requires its Bloom argument foldable or a scalar
     // subquery (the runtime-filter contract) — the subquery executes
-    // once and its result reaches every probe task as a literal
-    build.createOrReplaceTempView("graft_bloom_build")
-    probe.createOrReplaceTempView("graft_bloom_probe")
-    spark.sql(
-      s"""SELECT p.* FROM graft_bloom_probe p
-         |WHERE might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64($keyCol), ${expectedItems}L, ${numBits}L)
-         |   FROM graft_bloom_build),
-         |  xxhash64(p.$probeCol))""".stripMargin)
+    // once and its result reaches every probe task as a literal.
+    // View names are per-call unique (concurrent callers sharing one
+    // SparkSession must not clobber each other's build side) and dropped
+    // immediately: spark.sql resolves views at ANALYSIS time, so the
+    // returned plan keeps its resolved relations after the drop.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val buildView = s"graft_bloom_build_$tag"
+    val probeView = s"graft_bloom_probe_$tag"
+    build.createOrReplaceTempView(buildView)
+    probe.createOrReplaceTempView(probeView)
+    try {
+      spark.sql(
+        s"""SELECT p.* FROM $probeView p
+           |WHERE might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64($keyCol), ${expectedItems}L, ${numBits}L)
+           |   FROM $buildView),
+           |  xxhash64(p.$probeCol))""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(buildView)
+      spark.catalog.dropTempView(probeView)
+    }
   }
 
   /** Registered pass: prune lineitem to rows whose order is URGENT via

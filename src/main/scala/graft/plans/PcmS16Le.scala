@@ -43,8 +43,11 @@ case class PcmS16Le(first: Expression, second: Expression, third: Expression)
     val bytes = bin.asInstanceOf[Array[Byte]]
     val start = off.asInstanceOf[Long] - 1L
     val count = n.asInstanceOf[Long]
+    // `start > bytes.length` first: with start capped at the payload
+    // length and count at Int.MaxValue, `start + 2L * count` cannot wrap
+    // negative for adversarial near-Long.MaxValue offsets
     if (start < 0 || count < 0 || count > Int.MaxValue ||
-      start + 2L * count > bytes.length) {
+      start > bytes.length || start + 2L * count > bytes.length) {
       null
     } else {
       val out = new Array[Int](count.toInt)
@@ -68,7 +71,7 @@ case class PcmS16Le(first: Expression, second: Expression, third: Expression)
       s"""
          |long $start = $off - 1L;
          |if ($start < 0 || $n < 0 || $n > Integer.MAX_VALUE ||
-         |    $start + 2L * $n > $bin.length) {
+         |    $start > $bin.length || $start + 2L * $n > $bin.length) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] $out = new int[(int) $n];

@@ -41,8 +41,14 @@ case class Rgb24Pixels(first: Expression, second: Expression,
     val width = w.asInstanceOf[Long]
     val height = h.asInstanceOf[Long]
     val rowSize = ((3L * width + 3L) / 4L) * 4L
+    // dimension caps FIRST so none of the products (w*h, rowSize*h,
+    // start + rowSize*h) can wrap negative for adversarial
+    // near-Long.MaxValue args: with w,h <= Int.MaxValue and w*h <=
+    // Int.MaxValue, rowSize*h < 2^35 and start <= bytes.length < 2^31
     if (start < 0 || width <= 0 || height <= 0 ||
-      width * height > Int.MaxValue || start + rowSize * height > bytes.length) {
+      width > Int.MaxValue || height > Int.MaxValue ||
+      width * height > Int.MaxValue || start > bytes.length ||
+      start + rowSize * height > bytes.length) {
       null
     } else {
       val out = new Array[Int]((width * height).toInt)
@@ -76,7 +82,9 @@ case class Rgb24Pixels(first: Expression, second: Expression,
          |long $start = $off - 1L;
          |long $rowSize = ((3L * $w + 3L) / 4L) * 4L;
          |if ($start < 0 || $w <= 0 || $h <= 0 ||
-         |    $w * $h > Integer.MAX_VALUE || $start + $rowSize * $h > $bin.length) {
+         |    $w > Integer.MAX_VALUE || $h > Integer.MAX_VALUE ||
+         |    $w * $h > Integer.MAX_VALUE || $start > $bin.length ||
+         |    $start + $rowSize * $h > $bin.length) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] $out = new int[(int) ($w * $h)];

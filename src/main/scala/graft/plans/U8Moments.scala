@@ -36,7 +36,11 @@ case class U8Moments(first: Expression, second: Expression, third: Expression)
     val bytes = bin.asInstanceOf[Array[Byte]]
     val start = off.asInstanceOf[Long] - 1L
     val count = n.asInstanceOf[Long]
-    if (start < 0 || count < 0 || start + count > bytes.length) {
+    // count/start capped BEFORE the sum so `start + count` cannot wrap
+    // negative for adversarial near-Long.MaxValue args (the expression is
+    // a registered SQL function, callable with arbitrary values)
+    if (start < 0 || count < 0 || count > Int.MaxValue ||
+      start > bytes.length || start + count > bytes.length) {
       null
     } else {
       var sum = 0L
@@ -63,7 +67,8 @@ case class U8Moments(first: Expression, second: Expression, third: Expression)
       val end = ctx.freshName("end")
       s"""
          |long $start = $off - 1L;
-         |if ($start < 0 || $n < 0 || $start + $n > $bin.length) {
+         |if ($start < 0 || $n < 0 || $n > Integer.MAX_VALUE ||
+         |    $start > $bin.length || $start + $n > $bin.length) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $sum = 0L;

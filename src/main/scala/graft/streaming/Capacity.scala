@@ -68,7 +68,15 @@ object Capacity {
       * largest-remainder correction so shares sum exactly. */
     def proportional(caps: Map[String, Double], totalItems: Long): Map[String, Long] = {
       val total = caps.values.sum
-      if (total <= 0) return caps.map { case (k, _) => k -> totalItems / math.max(1, caps.size) }
+      // zero-total fallback goes through the same largest-remainder
+      // rounding as the normal path so shares still sum EXACTLY to
+      // totalItems (integer division alone loses the remainder: 3 nodes,
+      // 10 items -> 9)
+      if (total <= 0) {
+        if (caps.isEmpty) return Map.empty
+        return roundToTotal(
+          caps.view.mapValues(_ => totalItems.toDouble / caps.size).toMap, totalItems)
+      }
       roundToTotal(caps.view.mapValues(c => totalItems * c / total).toMap, totalItems)
     }
 

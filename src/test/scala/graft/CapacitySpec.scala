@@ -22,6 +22,16 @@ class CapacitySpec extends SparkTestBase {
     }
   }
 
+  test("proportional zero-total fallback still sums EXACTLY to totalItems") {
+    // all-zero capacities: uniform split through largest-remainder
+    // rounding (integer division alone loses the remainder: 3×10 → 9)
+    val caps = Map("a" -> 0.0, "b" -> 0.0, "c" -> 0.0)
+    val shares = Assignment.proportional(caps, 10L)
+    assert(shares.values.sum == 10L, s"shares $shares")
+    assert(shares.values.forall(s => s == 3L || s == 4L), s"shares $shares")
+    assert(Assignment.proportional(Map.empty[String, Double], 10L).isEmpty)
+  }
+
   test("greedy assigns every item exactly once and beats uniform makespan on skewed nodes") {
     val caps = Map("fast" -> 10.0, "slow" -> 1.0)
     val items = Seq.fill(110)(100L)

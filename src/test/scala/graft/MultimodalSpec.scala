@@ -189,6 +189,32 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("parseWav and parseBmp reject TRUNCATED payloads loudly (header-declared extent past the bytes)") {
+    // a valid WAV with its last 4 sample bytes cut off: every magic and
+    // fmt assert still passes, but the declared data chunk no longer
+    // fits — the new truncation assert must fire, not a silent NULL
+    // samples column
+    val wav = buildWav(Array[Short](10, -20, 30, -40, 50), rate = 8000)
+    val cut = wav.take(wav.length - 4)
+    val e1 = intercept[Exception] {
+      Multimodal.parseWav(wavDf(1L -> cut), "payload").collect()
+    }
+    assert((e1.toString + Option(e1.getCause).map(_.toString).getOrElse(""))
+      .contains("truncated"), s"wrong error: $e1")
+    // same for BMP: header says 4x4 pixels, payload ends mid-block
+    val px = Array.tabulate(16)(i => i * 0x010203)
+    val bmp = buildBmp(4, 4, px)
+    val cutBmp = bmp.take(bmp.length - 6)
+    val e2 = intercept[Exception] {
+      Multimodal.parseBmp(wavDf(1L -> cutBmp), "payload").collect()
+    }
+    assert((e2.toString + Option(e2.getCause).map(_.toString).getOrElse(""))
+      .contains("truncated"), s"wrong error: $e2")
+    // untouched payloads still parse
+    assert(Multimodal.parseWav(wavDf(1L -> wav), "payload").count() == 1)
+    assert(Multimodal.parseBmp(wavDf(1L -> bmp), "payload").count() == 1)
+  }
+
   test("wavPayload -> parseWav round trip recovers the closed-form sample law") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -84,6 +84,30 @@ class OptimizeSpec extends SparkTestBase {
       s"λ=10 must shrink ‖w‖: reg ${wR.toList} vs free ${wF.toList}")
   }
 
+  test("L1 updater: proximal step yields EXACT zeros and agrees with rg04's coordinate descent at matched λ") {
+    val df = planted(400)
+    def freshObj() = Optimize.objective(df,
+      array(lit(1.0), col("x1"), col("x2")), col("y"), d = 3,
+      kind = "leastSquares") // UNregularized smooth part; penalty in the updater
+    val lam = 8.0
+    // lasso2's objective (1/2n)‖y−Xb‖² + λ(|b1|+|b2|): intercept unpenalized
+    val (w, hist) = Optimize.gradientDescentL1(freshObj(), Array(0.0, 0.0, 0.0),
+      stepSize = 0.5, maxIter = 120, l1Param = lam, penalize = _ != 0)
+    assert(w(1) == 0.0 && w(2) == 0.0,
+      s"soft threshold must produce EXACT zero slopes at λ=$lam, got ${w.toList}")
+    val (b0, b1, b2) = graft.operators.Regression.lasso2(
+      df, col("x1"), col("x2"), col("y"), lambda = lam, sweeps = 50)
+    assert(b1 == 0.0 && b2 == 0.0, s"coordinate descent fixed point ($b0,$b1,$b2)")
+    assert(math.abs(w(0) - b0) < 1e-3,
+      s"proximal GD intercept ${w(0)} must match coordinate descent $b0")
+    assert(hist.last < hist.head, s"full objective must improve: $hist")
+    // λ = 0 contrast: the same iteration leaves the slopes ACTIVE
+    val (wFree, _) = Optimize.gradientDescentL1(freshObj(), Array(0.0, 0.0, 0.0),
+      stepSize = 0.5, maxIter = 30, l1Param = 0.0, penalize = _ != 0)
+    assert(math.abs(wFree(1)) > 0.1,
+      s"sparsity must come from λ, not the step: ${wFree.toList}")
+  }
+
   test("opt01 on the real table: closed-form coefficients + optimum certificate") {
     val out = Optimize.opt01.run(spark, sfDir).collect()
     assert(out.length == 1)

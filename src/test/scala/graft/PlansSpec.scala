@@ -170,6 +170,31 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("*("), s"simhash63 fell out of codegen:\n$p")
   }
 
+  test("binary decoders hit the NULL contract on adversarial near-Long.MaxValue args (no overflow wrap)") {
+    GraftFunctions.register(spark)
+    // off/count chosen so an unguarded `start + count` wraps negative and
+    // would pass a naive bounds check; the contract is NULL, never a
+    // garbage range or an ArrayIndexOutOfBoundsException
+    val big = Long.MaxValue - 2L
+    val rows = spark.sql(
+      s"""SELECT
+         |  u8_moments(payload, ${big}L, 8L) AS m1,
+         |  u8_moments(payload, 2L, ${big}L) AS m2,
+         |  pcm_s16le(payload, ${big}L, 4L) AS p1,
+         |  pcm_s16le(payload, 2L, ${big}L) AS p2,
+         |  rgb24_pixels(payload, ${big}L, 2L, 2L) AS r1,
+         |  rgb24_pixels(payload, 2L, ${big}L, ${big}L) AS r2,
+         |  rgb24_pixels(payload, 2L, 4294967296L, 4294967296L) AS r3
+         |FROM (SELECT CAST('0123456789abcdef' AS BINARY) AS payload)""".stripMargin)
+      .collect()
+    val r = rows.head
+    (0 until 7).foreach(i => assert(r.isNullAt(i), s"col $i must be NULL, got ${r.get(i)}"))
+    // in-range calls still decode
+    val ok = spark.sql(
+      "SELECT u8_moments(CAST('ab' AS BINARY), 1L, 2L)").head.getSeq[Long](0)
+    assert(ok == Seq(97L + 98L, 98L))
+  }
+
   test("registered function resolves from SQL text") {
     val s2 = spark.newSession()
     GraftFunctions.register(s2)

@@ -111,6 +111,76 @@ class RecommenderSpec extends SparkTestBase {
     assert(run() == run(), "sorted-group accumulation must make ALS bit-deterministic")
   }
 
+  test("NNLS kernel: interior solutions match the unconstrained solve; active constraints satisfy KKT") {
+    // interior case: A = [[4,1],[1,3]], b = [1,2] → x* = (1/11, 7/11),
+    // strictly positive, so NNLS must equal the unconstrained optimum
+    val a1 = Array(Array(4.0, 1.0), Array(1.0, 3.0))
+    val x1 = graft.ml.NNLS.solve(a1.map(_.clone()), Array(1.0, 2.0))
+    assert(math.abs(x1(0) - 1.0 / 11) < 1e-12 && math.abs(x1(1) - 7.0 / 11) < 1e-12,
+      s"interior NNLS ${x1.toList}")
+    // active-constraint case: b = [-1, 2] drives x0 negative
+    // unconstrained → NNLS clamps it at 0 and re-solves the free block
+    val x2 = graft.ml.NNLS.solve(a1.map(_.clone()), Array(-1.0, 2.0))
+    assert(x2(0) == 0.0 && math.abs(x2(1) - 2.0 / 3) < 1e-12, s"clamped ${x2.toList}")
+    // KKT on random PSD systems: x ≥ 0, gradient g = Ax − b has g_j ≥ 0
+    // wherever x_j = 0 and |g_j| ≈ 0 wherever x_j > 0
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val d = 2 + rnd.nextInt(6)
+      val m = Array.fill(d, d)(rnd.nextGaussian())
+      val a = Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(k => m(i)(k) * m(j)(k)).sum + (if (i == j) 0.1 else 0.0))
+      val b = Array.fill(d)(rnd.nextGaussian() * 2)
+      // ill-conditioned random Grams converge linearly — give the
+      // fixed-point iteration room and judge KKT at a matched tolerance
+      val x = graft.ml.NNLS.solve(a.map(_.clone()), b.clone(), sweeps = 5000)
+      val g = Array.tabulate(d)(j => (0 until d).map(k => a(j)(k) * x(k)).sum - b(j))
+      (0 until d).foreach { j =>
+        assert(x(j) >= 0.0, s"x($j) = ${x(j)} negative")
+        if (x(j) > 1e-10) assert(math.abs(g(j)) < 1e-6, s"active g($j) = ${g(j)}")
+        else assert(g(j) >= -1e-6, s"bound g($j) = ${g(j)} violates KKT")
+      }
+    }
+  }
+
+  test("nonnegative ALS recovers planted NONNEGATIVE low-rank ratings with factors in the cone") {
+    import TestSpark.spark.implicits._
+    // same exact rank-3 law as the unconstrained test — the planted
+    // factors are already nonnegative, so the constraint costs nothing
+    // and recovery must still be near-exact
+    val dim = 3
+    def fac(id: Int, salt: Int): Array[Double] =
+      Array.tabulate(dim)(d => 0.5 + ((id * 31 + d * 17 + salt * 7) % 100) / 100.0)
+    val rows = for { u <- 0 until 25; i <- 0 until 20; if (u + i) % 3 != 0 }
+      yield (u.toLong, i.toLong,
+        fac(u, 1).zip(fac(i, 2)).map { case (a, b) => a * b }.sum)
+    val ratings = rows.toDF("u", "i", "r")
+    val (userF, itemF, js) = Recommender.alsFactors(
+      ratings, dim = 3, iters = 10, reg = 1e-3, track = true, nonnegative = true)
+    def minEntry(f: org.apache.spark.sql.DataFrame): Double =
+      f.agg(min(array_min(col("f")))).head.getDouble(0)
+    assert(minEntry(userF) >= 0.0 && minEntry(itemF) >= 0.0,
+      "a factor entry escaped the nonnegative cone")
+    // warm-started NNLS half-rounds: objective provably non-increasing
+    js.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9) + 1e-9, s"objective rose: $js") }
+    val preds = Recommender.alsPredict(
+      ratings.select(col("u"), col("i"), col("r").cast("double").as("r")),
+      userF, itemF)
+    val err = rmse(preds, "pred")
+    val scale = ratings.agg(avg("r")).head.getDouble(0)
+    assert(err < 0.05 * scale,
+      s"nonnegative ALS RMSE $err on exact nonneg rank-$dim data (scale $scale)")
+  }
+
+  test("r03: certified monotone objective AND all-nonnegative factors on the corpus slice") {
+    val out = Recommender.r03.run(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("monotone_obj")).count() == 0)
+    assert(out.filter(!col("all_nonneg")).count() == 0)
+    assert(out.groupBy("u", "i").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("r02: one row per training edge with a certified monotone ALS objective") {
     val out = Recommender.r02.run(spark, sfDir).cache()
     assert(out.count() > 0)

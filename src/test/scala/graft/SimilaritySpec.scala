@@ -53,12 +53,21 @@ class SimilaritySpec extends SparkTestBase {
     val planted = emb.filter(col("vec_id") === 0)
       .withColumn("vec_id", lit(999999L))
     val withDup = emb.unionByName(planted)
-    val ann = Similarity.annLshTopK(withDup, nPlanes = 4, k = 5)
-      .filter(col("qid") === 0)
-    val top = ann.orderBy("rk").limit(1).collect()
-    assert(top.nonEmpty, "query 0 found no candidates in its bucket")
-    assert(top.head.getLong(1) == 999999L,
+    // NON-prefix query set: the caller-supplied (qid, qe) contract means
+    // any ids work — query from the PLANTED end of the id space and from
+    // the corpus middle, not vec_id < 10
+    val mid = emb.agg(expr("percentile(vec_id, 0.5)")).head.getDouble(0).toLong
+    val queries = withDup
+      .filter(col("vec_id") === 999999L || col("vec_id") === mid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ann = Similarity.annLshTopK(withDup, queries, nPlanes = 4, k = 5)
+    val top = ann.filter(col("qid") === 999999L)
+      .orderBy("rk").limit(1).collect()
+    assert(top.nonEmpty, "query 999999 found no candidates in its bucket")
+    assert(top.head.getLong(1) == 0L,
       s"planted duplicate must be rank-1 (sim=1), got ${top.head}")
+    assert(ann.filter(col("qid") === mid).count() > 0,
+      "mid-corpus query must also return neighbors")
   }
 
   test("pair cache recomputes when the corpus changes at the same path; evict drops storage") {

@@ -30,6 +30,30 @@ class SketchesSpec extends SparkTestBase {
     assert(exact == (100L until 200L).toSet)
   }
 
+  test("two concurrent bloomPrune calls with different builds don't clobber each other") {
+    // per-call unique view names: interleaved construction THEN
+    // interleaved execution — with fixed global view names the second
+    // createOrReplaceTempView would silently swap the first call's
+    // build side
+    val evens = spark.range(0, 2000, 2).toDF("k")
+    val odds = spark.range(1, 2000, 2).toDF("k")
+    val probe = spark.range(0, 2000).toDF("j")
+    val prunedEven = Sketches.bloomPrune(evens, "k", probe, "j", 1000L, 40000L)
+    val prunedOdd = Sketches.bloomPrune(odds, "k", probe, "j", 1000L, 40000L)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fe = Future(prunedEven.select("j").collect().map(_.getLong(0)).toSet)
+    val fo = Future(prunedOdd.select("j").collect().map(_.getLong(0)).toSet)
+    val (pe, po) = (Await.result(fe, 120.seconds), Await.result(fo, 120.seconds))
+    assert((0L until 2000L by 2).forall(pe.contains), "even build lost members")
+    assert((1L until 2000L by 2).forall(po.contains), "odd build lost members")
+    // cross-contamination check: each side's spill stays a small fp tail,
+    // impossible if the builds were swapped/clobbered (then 100% pass)
+    assert(pe.count(_ % 2 == 1) < 200, s"even-call fp tail ${pe.count(_ % 2 == 1)}")
+    assert(po.count(_ % 2 == 0) < 200, s"odd-call fp tail ${po.count(_ % 2 == 0)}")
+  }
+
   test("cmsEstimates never underestimates and respects the eps bound") {
     val words = {
       import org.apache.spark.sql.Row
