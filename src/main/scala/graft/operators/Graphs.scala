@@ -52,6 +52,104 @@ object Graphs {
     ranks
   }
 
+  /** One round of vertex-centric message passing (reference
+    * graphx/src/main/scala/org/apache/spark/graphx/Graph.scala's
+    * aggregateMessages surface): joins vertex state onto both edge
+    * endpoints to form TRIPLETS (src, dst, edge attrs, src_attr,
+    * dst_attr), lets `sendMsg` turn them into (id, msg) rows, and
+    * reduces per vertex with `mergeMsg`. One edge-key join pair + one
+    * aggregate — the bounded per-round shape every bespoke loop in this
+    * file already uses, factored out for callers with custom messages.
+    *
+    * @param vertices (id, attr)
+    * @param edges    (src, dst, any edge attrs)
+    * @param sendMsg  triplets → (id, msg) rows (emit to either/both
+    *                 endpoints; emit nothing to stay silent)
+    * @param mergeMsg (id, msg) rows → ONE row per id (the commutative/
+    *                 associative reduction, e.g.
+    *                 `_.groupBy("id").agg(sum("msg").as("msg"))`)
+    */
+  def aggregateMessages(vertices: DataFrame, edges: DataFrame)(
+      sendMsg: DataFrame => DataFrame,
+      mergeMsg: DataFrame => DataFrame): DataFrame = {
+    val triplets = edges
+      .join(vertices.select(col("id").as("src"), col("attr").as("src_attr")), "src")
+      .join(vertices.select(col("id").as("dst"), col("attr").as("dst_attr")), "dst")
+    mergeMsg(sendMsg(triplets))
+  }
+
+  /** Generic Pregel driver (reference graphx/src/main/scala/org/apache/
+    * spark/graphx/Pregel.scala:56 — the public vertex-program API every
+    * graphx/lib algorithm is written against): driver-iterated rounds of
+    * [[aggregateMessages]] followed by the vertex program, until
+    * `maxIter` rounds ran or no vertex received a message (the
+    * reference's `activeMessages == 0` stop). Each round is one
+    * edge-key join pair + one aggregate + one vertex-side left join,
+    * lineage cut per round — the loop this file's bespoke algorithms
+    * (labelPropagation, shortestPaths, pageRank) each contain, offered
+    * as a combinator a user can hand a CUSTOM sendMsg/mergeMsg/vprog.
+    *
+    * Deltas from the reference, by design: vertex state and messages
+    * are DataFrame columns (codegen'd expressions, not closures), and
+    * `initialMsg` is optional — when present, `vprog` runs once over
+    * every vertex with it before round 1, exactly the reference's
+    * bootstrap.
+    *
+    * @param vertices (id, attr) initial state
+    * @param edges    (src, dst, any edge attrs)
+    * @param maxIter  round cap
+    * @param initialMsg bootstrap message literal (reference semantics)
+    * @param sendMsg  triplets → (id, msg); a round's silent vertices
+    *                 see a NULL merged message in `vprog`… and when NO
+    *                 vertex gets a message the loop stops early
+    * @param mergeMsg (id, msg) rows → one (id, msg) row per id
+    * @param vprog    (old attr, merged msg | null) → new attr
+    * @return (id, attr) after the final round
+    */
+  def pregel(vertices: DataFrame, edges: DataFrame, maxIter: Int,
+             initialMsg: Option[org.apache.spark.sql.Column] = None)(
+      sendMsg: DataFrame => DataFrame,
+      mergeMsg: DataFrame => DataFrame,
+      vprog: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame = {
+    val e = edges.localCheckpoint()
+    var v = vertices.select(col("id"),
+        initialMsg.fold(col("attr"))(m => vprog(col("attr"), m)).as("attr"))
+      .localCheckpoint()
+    var halted = false
+    var round = 0
+    while (round < maxIter && !halted) {
+      val merged = aggregateMessages(v, e)(sendMsg, mergeMsg)
+        .select(col("id"), col("msg"))
+        .localCheckpoint()
+      if (merged.isEmpty) halted = true // the reference's activeMessages==0 stop
+      else {
+        v = v.join(merged, Seq("id"), "left")
+          .select(col("id"), vprog(col("attr"), col("msg")).as("attr"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    v
+  }
+
+  /** [[labelPropagation]] re-expressed THROUGH [[pregel]] — the factoring
+    * proof (GraphsSpec asserts bit-identical output to the bespoke loop):
+    * undirected edges message both endpoints, the merge is the
+    * deterministic frequency argmax (ties to the smallest label), and
+    * the vertex program adopts the merged vote. */
+  def labelPropagationPregel(vertices: DataFrame, edges: DataFrame,
+                             iters: Int = 5): DataFrame =
+    pregel(vertices.select(col("id"), col("id").as("attr")), edges, iters)(
+      sendMsg = t => t.select(col("dst").as("id"), col("src_attr").as("msg"))
+        .union(t.select(col("src").as("id"), col("dst_attr").as("msg"))),
+      mergeMsg = m => m.groupBy("id", "msg").agg(count(lit(1)).as("n"))
+        .groupBy("id")
+        .agg(max(struct(col("n"), (-col("msg")).as("negl"))).as("b"))
+        .select(col("id"), (-col("b.negl")).as("msg")),
+      vprog = (attr, msg) => coalesce(msg, attr))
+      .select(col("id"), col("attr").as("label"))
+
   /** Synchronous label propagation (reference graphx/lib/
     * LabelPropagation.scala:1): every vertex starts as its own label;
     * each iteration it adopts the most frequent label among its

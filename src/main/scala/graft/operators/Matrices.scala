@@ -48,6 +48,25 @@ object Matrices {
     emb.select(col("vec_id") +: cols: _*)
   }
 
+  /** IndexedRowMatrix adjudication (reference linalg/distributed/
+    * IndexedRowMatrix.scala:1): the repo's id-keyed (vec_id, embedding)
+    * DataFrame IS the indexed-row layout, so the reference surface maps
+    * member-for-member — `multiply(B)` = [[rowMultiply]] (map-only,
+    * indices ride along), `toRowMatrix()` = dropping the id column,
+    * `numRows`/`numCols` = count()/array length, and the conversions to
+    * the other two distributed layouts go through THIS function:
+    * `toCoordinateMatrix()` = its output directly, `toBlockMatrix()` =
+    * its output fed to [[blockMultiply]]'s blockify (which is how the
+    * reference converts too — IndexedRowMatrix.toBlockMatrix walks
+    * per-entry). Explicit zeros are dropped, the sparse-entry contract. */
+  def toCoordinateEntries(rows: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame =
+    rows.select(col(idCol).cast("long").as("i"),
+        posexplode(col(vecCol)).as(Seq("k", "v")))
+      .filter(col("v") =!= 0.0)
+      .select(col("i"), col("k").cast("long").as("k"),
+        col("v").cast("double").as("v"))
+
   /** CoordinateMatrix multiply: sparse entries (i, k, v) ⋈ (k, j, v) on
     * the inner index, partial-agg sum on (i, j). Shuffle carries only
     * present products; skew on a hot inner index is AQE's skew-join

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Graphs
+import org.apache.spark.sql.functions._
 
 class GraphsSpec extends SparkTestBase {
 
@@ -47,6 +48,56 @@ class GraphsSpec extends SparkTestBase {
     assert(left.size == 1, s"left clique must agree on one label, got $left")
     assert(right.size == 1, s"right clique must agree on one label, got $right")
     assert(left != right, "the bridge must not merge the two communities")
+  }
+
+  test("generic pregel reproduces the bespoke LPA loop bit-identically (barbell + random graphs)") {
+    import TestSpark.spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    // barbell with an isolated vertex 99 (exercises the keep-own-label path)
+    val bEdges = (clique(0L to 4L) ++ clique(10L to 14L) :+ (4L, 14L)).toDF("src", "dst")
+    val bVerts = ((0L to 4L) ++ (10L to 14L) :+ 99L).toDF("id")
+    assert(labelsOf(Graphs.labelPropagationPregel(bVerts, bEdges, iters = 5)) ==
+      labelsOf(Graphs.labelPropagation(bVerts, bEdges, iters = 5)),
+      "pregel LPA must equal the bespoke loop on the barbell")
+    // seeded random graph: 60 vertices, ~150 edges
+    val rnd = new scala.util.Random(13)
+    val rEdges = Seq.fill(150) {
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct.toDF("src", "dst")
+    val rVerts = (0L until 60L).toDF("id")
+    assert(labelsOf(Graphs.labelPropagationPregel(rVerts, rEdges, iters = 4)) ==
+      labelsOf(Graphs.labelPropagation(rVerts, rEdges, iters = 4)),
+      "pregel LPA must equal the bespoke loop on the random graph")
+  }
+
+  test("pregel with a custom program: hop-count flood from a source, early-halt on silence") {
+    import TestSpark.spark.implicits._
+    // path 0-1-2-3 plus isolated 9: attr = min hops from vertex 0
+    // (Long.MaxValue = unreached). sendMsg relaxes along both directions;
+    // merge = min; vprog keeps the minimum. Converges in 3 rounds —
+    // maxIter 10 proves the activeMessages==0 early stop terminates it.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val inf = Long.MaxValue / 4
+    val verts = Seq(0L, 1L, 2L, 3L, 9L).toDF("id")
+      .select(col("id"), when(col("id") === 0L, 0L).otherwise(inf).as("attr"))
+    // only IMPROVING messages are sent, so after convergence (3 rounds)
+    // the message stream is empty and the activeMessages==0 stop must
+    // fire — maxIter 200 would take minutes if it didn't
+    val out = Graphs.pregel(verts, edges, maxIter = 200)(
+      sendMsg = t =>
+        t.select(col("dst").as("id"), (col("src_attr") + 1L).as("msg"),
+            col("dst_attr").as("cur"))
+          .union(t.select(col("src").as("id"), (col("dst_attr") + 1L).as("msg"),
+            col("src_attr").as("cur")))
+          .filter(col("msg") < col("cur")).select("id", "msg"),
+      mergeMsg = m => m.groupBy("id").agg(min("msg").as("msg")),
+      vprog = (attr, msg) => least(attr, coalesce(msg, attr)))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 9L -> inf), s"got $got")
   }
 
   test("triangle counts: K4 plus a pendant edge") {

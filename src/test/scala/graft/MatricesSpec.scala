@@ -49,10 +49,10 @@ class MatricesSpec extends SparkTestBase {
       .flatMap(r => (0 until 16).map(j =>
         ((r.getLong(0), j.toLong), r.getDouble(j + 1)))).toMap
 
-    val aEntries = emb
-      .select(col("vec_id").as("i"),
-        posexplode(col("embedding")).as(Seq("p", "x")))
-      .select(col("i"), col("p").cast("long").as("k"), col("x").cast("double").as("v"))
+    // the IndexedRowMatrix conversion surface: id-keyed rows →
+    // coordinate entries (toCoordinateMatrix parity; feeding these to
+    // blockMultiply's blockify is toBlockMatrix parity)
+    val aEntries = Matrices.toCoordinateEntries(emb)
     val bEntries = entries(b, ("k", "j"))
     val viaCoord = Matrices.coordinateMultiply(aEntries, bEntries).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -61,6 +61,18 @@ class MatricesSpec extends SparkTestBase {
     viaCoord.foreach { case (key, v) =>
       assert(math.abs(viaRows(key) - v) < 1e-6, s"C$key")
     }
+  }
+
+  test("toCoordinateEntries drops explicit zeros and round-trips the planted rows") {
+    import TestSpark.spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f, 2.5f)),
+      (7L, Seq(0.0f, 0.0f, 0.0f)), // all-zero row vanishes entirely
+      (3L, Seq(-4.0f, 3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Matrices.toCoordinateEntries(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((0L, 0L, 1.0), (0L, 2L, 2.5), (3L, 0L, -4.0), (3L, 1L, 3.0)),
+      s"got $got")
   }
 
   test("bm01 on the real table: full coverage, deterministic") {
