@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~150 registered queries × several generated classes per plan per
+  // bench round fill most of the default 240 MB code cache (measured
+  // 132 MB after ONE full round); headroom keeps the JIT from sweeping
+  // hot trainer loops in later rounds
+  "-XX:ReservedCodeCacheSize=512m",
 )

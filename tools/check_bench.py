@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Mechanical bench gate: diff a BENCH_rN.json against BASELINE.md.
+
+Usage: python3 tools/check_bench.py <BENCH_rN.json> [CORRECTNESS_rN.json]
+       python3 tools/check_bench.py <bench_stdout.json>
+
+BASELINE.md pins one second-count per query at sf0.1 / local[32] (see its
+provenance notes). This script flags every query whose measured median
+exceeds 2x its pinned baseline (the BASELINE.json criterion, made
+mechanically checkable), lists queries new since the baseline, and exits
+nonzero on any flag.
+
+Input formats accepted:
+  - raw graft.Bench stdout line(s): {"metric":"total",...,"queries":{...}}
+  - the driver's BENCH_rN.json artifact: {"parsed": {..., "t": [...]}} —
+    the compact line carries medians in sorted-query-name order, so a
+    CORRECTNESS_rN.json (whose keys are the query names) must be given to
+    recover names. A name-count mismatch is an error, never a guess.
+"""
+import json
+import re
+import sys
+
+
+def parse_baseline(path="BASELINE.md"):
+    base = {}
+    for line in open(path, encoding="utf-8"):
+        if line.startswith("## Production-twin"):
+            break  # twin pins share query names; only the main table gates
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if m and m.group(1) != "query":
+            base[m.group(1)] = float(m.group(2))
+    if not base:
+        sys.exit(f"no baseline rows parsed from {path}")
+    return base
+
+
+def load_bench(path, correctness_path=None):
+    raw = open(path, encoding="utf-8").read()
+    try:
+        data = json.loads(raw)
+    except json.JSONDecodeError:
+        # raw graft.Bench stdout is TWO JSON lines (named + compact):
+        # the first carries the per-query map
+        data = json.loads(raw.splitlines()[0])
+    if "queries" in data:
+        return {k: float(v) for k, v in data["queries"].items()}
+    if "parsed" in data and "t" in data["parsed"]:
+        if not correctness_path:
+            sys.exit("driver artifact has only the compact 't' array: pass "
+                     "the round's CORRECTNESS_rN.json to recover query names")
+        names = sorted(json.load(open(correctness_path, encoding="utf-8")).keys())
+        t = data["parsed"]["t"]
+        if len(names) != len(t):
+            sys.exit(f"name/sample count mismatch: {len(names)} correctness "
+                     f"keys vs {len(t)} bench samples")
+        return dict(zip(names, map(float, t)))
+    sys.exit(f"unrecognized bench format in {path}")
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    bench = load_bench(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
+    base = parse_baseline()
+    flagged, new, gone = [], [], []
+    for q, sec in sorted(bench.items()):
+        if sec < 0:
+            flagged.append((q, sec, base.get(q), float("inf")))
+            continue
+        if q not in base:
+            new.append((q, sec))
+            continue
+        ratio = sec / base[q] if base[q] > 0 else float("inf")
+        status = "FLAG" if ratio > 2.0 else "ok"
+        if ratio > 2.0:
+            flagged.append((q, sec, base[q], ratio))
+        print(f"{status:4s} {q:32s} {sec:8.3f}s  base {base[q]:8.3f}s  x{ratio:.2f}")
+    for q in sorted(set(base) - set(bench)):
+        gone.append(q)
+    for q, sec in new:
+        print(f"NEW  {q:32s} {sec:8.3f}s  (no baseline — pin it in BASELINE.md)")
+    for q in gone:
+        print(f"GONE {q:32s} in baseline but not in this bench run")
+    print(f"\n{len(bench)} measured, {len(flagged)} over 2x baseline, "
+          f"{len(new)} new, {len(gone)} missing")
+    if flagged:
+        print("\nFLAGGED (>2x pinned baseline):")
+        for q, sec, b, r in flagged:
+            print(f"  {q}: {sec:.3f}s vs {b}s (x{r:.2f})")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,4 +15,5 @@ done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize=512m \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
