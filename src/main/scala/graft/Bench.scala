@@ -250,7 +250,11 @@ object Bench {
             f"[bench] budget exhausted at ${elapsed}%.1f s (round $r); stopping")
           stopped = true
         } else {
-          exec(r.toString, n)
+          // twins run from round 2 (same warm state — the entry just
+          // ran): round 1's budget goes to full coverage, so a
+          // contended host still reaches a warm second round. A
+          // single-round config keeps twins in round 1.
+          exec(r.toString, n, withTwin = r >= 2 || rounds == 1)
           if (r > roundsDone) roundsDone = r
         }
       }

@@ -508,5 +508,124 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01, pl01)
+  /** Repetition-based quality signals (r13) — the Gopher-rules family
+    * of filters a pretraining pipeline runs beside t02's length/punct
+    * ratios: per-document duplicate-word and duplicate-3-gram fractions,
+    * emitted as EXACT integer counts (total vs distinct) so the oracle
+    * is pure integer arithmetic, plus the gate itself (`keep` iff
+    * distinct 3-grams ≥ 30% of total — i.e. duplicate-gram fraction
+    * ≤ 0.7, as 10·distinct ≥ 3·total in integers). Map-only: words,
+    * grams, array_distinct and the flag are one codegen'd projection —
+    * the 100 TB shape is a parquet scan plus projection. */
+  val t10 = Q.sql(
+    "t10_repetition",
+    """WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, w,
+      |    list_transform(range(1, greatest(len(w) - 1, 1)),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+      |  FROM words)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS total_words,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS distinct_words,
+      |  CAST(len(g) AS BIGINT) AS total_grams,
+      |  CAST(len(list_distinct(g)) AS BIGINT) AS distinct_grams,
+      |  len(list_distinct(g)) * 10 >= len(g) * 3 AS keep
+      |FROM grams ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  /** t10's computation over any (doc_id, text) frame: exact total vs
+    * distinct word/3-gram counts + the keep gate (duplicate-3-gram
+    * fraction ≤ 0.7 as 10·distinct ≥ 3·total). One map-only projection. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    // STAGED projections so `w` and `g` are attribute references, not
+    // inlined expressions: composing the Columns directly re-evaluates
+    // the split inside every element_at (3 × n_grams splits per row —
+    // measured 22 s vs 1.3 s at sf0.1). CollapseProject keeps the
+    // stages apart because each alias is referenced several times by
+    // non-cheap consumers.
+    val w = col("w")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), w,
+        when(size(w) >= 3,
+          transform(sequence(lit(0), size(w) - 3), i =>
+            concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
+              element_at(w, i + 3))))
+          .otherwise(typedlit(Seq.empty[String])).as("g"))
+      .select(col("doc_id"),
+        size(w).cast("long").as("total_words"),
+        size(array_distinct(w)).cast("long").as("distinct_words"),
+        size(col("g")).cast("long").as("total_grams"),
+        size(array_distinct(col("g"))).cast("long").as("distinct_grams"))
+      .withColumn("keep", col("distinct_grams") * 10 >= col("total_grams") * 3)
+  }
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+1-555-[0-9]{4}"
+  private val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrubbing (r13) — the redaction pass a training-data pipeline
+    * runs before anything ships to a tokenizer: count and mask emails,
+    * phone numbers and IPv4 addresses. The synthetic corpus carries no
+    * PII, so the entry PLANTS a deterministic footer derived from doc_id
+    * as column expressions (the mm04 wavPayload pattern — both engines
+    * build the identical string, then the parser/redactor reads it back
+    * from the data); the patterns avoid backtracking-only syntax so
+    * Java regex (Spark) and RE2 (DuckDB) agree. FULL value oracle: the
+    * per-kind match counts AND the redacted text itself hash-compare.
+    * Map-only over the corpus — scan + projection at any scale. */
+  val pii01 = Q.sql(
+    "pii01_redact",
+    s"""WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com or +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.0.' ||
+      |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |    CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '$ipPat')) AS BIGINT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '$emailPat', '[EMAIL]', 'g'),
+      |    '$phonePat', '[PHONE]', 'g'),
+      |    '$ipPat', '[IP]', 'g') AS redacted
+      |FROM planted ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+    redactPii(Tables.documents(s, dir).select(col("doc_id"), t.as("t")), "t")
+      .orderBy("doc_id")
+  }
+
+  /** pii01's computation over any frame: per-kind match counts + the
+    * redacted text (emails → [EMAIL], +1-555 phones → [PHONE], IPv4 →
+    * [IP], replaced in that order). Patterns are RE2-compatible so the
+    * DuckDB oracle replays them verbatim. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      col("*"),
+      size(regexp_extract_all(col(textCol), lit(emailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phonePat), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(ipPat), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        emailPat, "[EMAIL]"),
+        phonePat, "[PHONE]"),
+        ipPat, "[IP]").as("redacted"))
+      .drop(textCol)
+
+  val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01,
+    pl01, t10, pii01)
 }

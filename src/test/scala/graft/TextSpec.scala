@@ -215,6 +215,44 @@ class TextSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("t10 repetition counts are exact on planted docs and the gate fires on loops") {
+    import TestSpark.spark.implicits._
+    // doc 1: 'a b c a b c a b c' — 9 words / 3 distinct, 7 3-grams of
+    // which 3 distinct ('a b c','b c a','c a b') → 3·10 ≥ 7·3 → keep.
+    // doc 2: 'x x x x x x x x x x' — 10 words / 1 distinct, 8 grams /
+    // 1 distinct → 10 < 24 → drop. doc 3: 2 words → 0 grams → keep.
+    val docs = Seq((1L, "a b c a b c a b c"),
+      (2L, "x x x x x x x x x x"), (3L, "hi there")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got(1L) == ((9L, 3L, 7L, 3L, true)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((10L, 1L, 8L, 1L, false)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((2L, 2L, 0L, 0L, true)), s"doc3 ${got(3L)}")
+  }
+
+  test("pii01 redaction masks every planted email/phone/IP and leaves clean text alone") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at alice.smith+work@sub.example.org today"),
+      (2L, "call +1-555-0142 or visit 192.168.1.255 now"),
+      (3L, "no pii here at all")).toDF("doc_id", "t")
+    val got = graft.operators.TextOps.redactPii(docs, "t").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, "reach me at [EMAIL] today")), s"${got(1L)}")
+    assert(got(2L) == ((0L, 1L, 1L, "call [PHONE] or visit [IP] now")), s"${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, "no pii here at all")), s"${got(3L)}")
+    // the registered entry plants one of each per document — counts must
+    // be exactly (1,1,1) everywhere and no raw pattern survives
+    val entry = graft.operators.TextOps.pii01.run(spark, sfDir).cache()
+    assert(entry.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1 ||
+      col("n_ips") =!= 1).count() == 0)
+    assert(entry.filter(col("redacted").rlike("@|\\+1-555|[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"))
+      .count() == 0, "raw PII survived redaction")
+  }
+
   test("pl01 composes gate -> dedup -> chunk with one aggregation shuffle, non-vacuous stages") {
     val docs = Tables.documents(spark, sfDir)
     // plan shape FIRST (before .cache() — the cache manager would
