@@ -243,7 +243,14 @@ object Bench {
       // each round and any residual adjacency cost lands on at most
       // one of a query's samples — the median discards it. Output
       // stays name-asc (the shuffle only reorders execution).
-      val order = new scala.util.Random(42L + r).shuffle(names)
+      val baseOrder = new scala.util.Random(42L + r).shuffle(names)
+      // Twins only sample from round 2, so round 2 runs the twin-bearing
+      // entries FIRST (still shuffled among themselves): a budget cut
+      // mid-round-2 then costs late plain samples, never a t_prod hole.
+      val order =
+        if (r == 2) baseOrder.filter(prodFns.contains) ++
+          baseOrder.filterNot(prodFns.contains)
+        else baseOrder
       for (n <- order if !stopped) {
         if (r > 1 && elapsed > budgetSec) {
           System.err.println(
