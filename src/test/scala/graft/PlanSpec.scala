@@ -27,6 +27,26 @@ class PlanSpec extends SparkTestBase {
     assert(p5.contains("BroadcastHashJoin"), s"q05 lost its broadcasts:\n$p5")
   }
 
+  test("t10/pii01 plan as scan + ONE map-only projection stage (no join, no hash exchange)") {
+    // the oracle's ORDER BY costs one range exchange; anything else —
+    // a hash exchange, a join, an aggregate — would mean the 'map-only'
+    // 100 TB claim in SURVEY §2 is false
+    for (q <- Seq(graft.operators.TextOps.t10, graft.operators.TextOps.pii01)) {
+      val p = plan(q.run(spark, sfDir))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"${q.name} gained a hash shuffle:\n$p")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"${q.name} must be pure projection:\n$p")
+      assert(p.contains("ReadSchema"), s"${q.name} lost its parquet scan:\n$p")
+    }
+    // the staged-projection fix holds: the split is evaluated by ONE
+    // project, not inlined into every gram element (the 22 s regression
+    // shape shows as several split() occurrences in the plan)
+    val t10p = plan(graft.operators.TextOps.t10.run(spark, sfDir))
+    val splits = "split\\(".r.findAllIn(t10p).length
+    assert(splits <= 2, s"tokenize inlined $splits times — staging collapsed:\n$t10p")
+  }
+
   test("q07 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.q07.run(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), s"q07 plan:\n$p")
