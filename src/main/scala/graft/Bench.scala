@@ -118,7 +118,9 @@ object Bench {
     // tail-truncated capture still carries the number that matters.
     def render(rs: Seq[(String, Double)]): String = {
       val total = r3(rs.map(_._2).filter(_ >= 0).sum)
-      val partial = rs.exists(_._2 < 0) || roundsDone == 0
+      // a hole in EITHER map (main query or twin) marks the line partial
+      val partial = rs.exists(_._2 < 0) || prodResults().exists(_._2 < 0) ||
+        roundsDone == 0
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"sf":"$sfDir","queries":$qs,"t_prod":${renderProd()}}"""
@@ -133,7 +135,8 @@ object Bench {
     // the human-readable record when nothing is truncated.
     def renderCompact(rs: Seq[(String, Double)]): String = {
       val total = r3(rs.map(_._2).filter(_ >= 0).sum)
-      val partial = rs.exists(_._2 < 0) || roundsDone == 0
+      val partial = rs.exists(_._2 < 0) || prodResults().exists(_._2 < 0) ||
+        roundsDone == 0
       def short(v: Double): String = {
         val s2 = math.round(v * 100.0) / 100.0
         if (s2 == s2.toLong) s2.toLong.toString else s2.toString
@@ -275,10 +278,24 @@ object Bench {
         for (n <- names.filter(driftProne).sorted) exec("iso", n, withTwin = false)
       }
     }
+    // Twin-coverage backstop: twins normally sample in round 2+, so a
+    // budget cut after round 1 would leave t_prod holes. Any twin still
+    // unsampled runs ONCE here (entry first for warm state, then twin) —
+    // budget-exempt like the iso pass, because it IS the published
+    // number; bounded by the twin count.
+    val missingTwins = names.filter(n =>
+      prodFns.contains(n) && !prodSamples.containsKey(n))
+    if (missingTwins.nonEmpty) {
+      System.err.println(
+        s"[bench] twin backstop: ${missingTwins.size} unsampled twin(s)")
+      for (n <- missingTwins) exec("twin", n)
+    }
     emit()
-    // a -1 median means a registered query never ran (crash, not slow) —
-    // exit nonzero so the round record can't show rc:0 over missing data
-    val anyUnmeasured = results().exists(_._2 < 0)
+    // a -1 median means a registered query (or twin, post-backstop) never
+    // ran (crash, not slow) — exit nonzero so the round record can't show
+    // rc:0 over missing data
+    val anyUnmeasured = results().exists(_._2 < 0) ||
+      prodResults().exists(_._2 < 0)
     spark.stop()
     if (anyUnmeasured) sys.exit(2)
   }

@@ -538,10 +538,17 @@ object Multimodal {
           "AND height > 0 AND height < 2147483648, " +
           "'parseBmp: only uncompressed 24bpp bottom-up BMP supported'))"))
       // loud truncation check (parseWav's): the padded pixel block
-      // (1-based [_data_off+1, _data_off + rowSize*height]) must fit
+      // (1-based [_data_off+1, _data_off + rowSize*height]) must fit.
+      // DIVISION form, never the product: rowSize*height overflows long
+      // for header dims that pass the < 2^31 assert (ANSI mode would
+      // then die with a bare arithmetic error instead of this message),
+      // and height <= (len - off) DIV rowSize is the same bound for
+      // positive rowSize — a negative len - off (off past the end)
+      // fails it loudly too.
       .filter(expr(
-        s"isnull(assert_true(_data_off + ((3 * width + 3) DIV 4) * 4 * height " +
-          s"<= length($payloadCol), 'parseBmp: pixel data truncated'))"))
+        s"isnull(assert_true(height <= (length($payloadCol) - _data_off) " +
+          s"DIV (((3 * width + 3) DIV 4) * 4), " +
+          "'parseBmp: pixel data truncated'))"))
       .withColumn("pixels",
         call_function("rgb24_pixels", p, col("_data_off") + 1L,
           col("width"), col("height")))

@@ -282,6 +282,34 @@ object Recommender {
     x
   }
 
+  /** Per-key ALS-WR normal-equations kernel: accumulate Σqqᵀ / Σr·q over
+    * the group's partner-sorted (rating, factor) pairs, ridge the
+    * diagonal by reg·n, and solve — unconstrained elimination, or
+    * warm-started NNLS when `nonnegative`. All state is explicit
+    * parameters so executor lambdas calling it capture nothing. */
+  private def solveNormalEq(rows: Iterator[(Double, Seq[Double])],
+                            x0: Array[Double], dim: Int, reg: Double,
+                            nonnegative: Boolean): Seq[Double] = {
+    val a = Array.ofDim[Double](dim, dim)
+    val b = new Array[Double](dim)
+    var n = 0
+    rows.foreach { case (r, q) =>
+      n += 1
+      var x = 0
+      while (x < dim) {
+        var y = 0
+        val qx = q(x)
+        while (y < dim) { a(x)(y) += qx * q(y); y += 1 }
+        b(x) += r * qx
+        x += 1
+      }
+    }
+    var d = 0
+    while (d < dim) { a(d)(d) += reg * n; d += 1 }
+    (if (nonnegative) graft.ml.NNLS.solve(a, b, x0)
+     else solveLinear(a, b)).toSeq
+  }
+
   /** Alternating least squares (reference mllib/src/main/scala/org/
     * apache/spark/mllib/recommendation/ALS.scala:1) — the reference's
     * canonical recommender, re-expressed Spark-first. Each half-round
@@ -352,44 +380,35 @@ object Recommender {
     // the constrained half-round provably non-increasing — coordinate
     // descent only ever improves on its start, so J(new) <= J(old) even
     // if the sweep budget stops short of the exact constrained optimum.
-    def halfRound(fixed: DataFrame, fixedKey: String, solveKey: String,
+    // The default path keeps the lean 4-field row (no null _f0 column
+    // riding the r02 shuffle for a feature it never reads).
+    def halfRound(fixed: DataFrame, fixedKey: String, solveKey0: String,
                   factCol: String, prev: Option[DataFrame]): DataFrame = {
       val base = r2.join(fixed, fixedKey)
-        .select(col(solveKey), col(fixedKey), col("r"), col(factCol))
-      val withPrev = prev match {
-        case Some(p) => base.join(
-          p.select(col(solveKey), col("f").as("_f0")), Seq(solveKey), "left")
-        case None => base.withColumn("_f0", lit(null).cast("array<double>"))
-      }
-      val joined = withPrev
-        .as[(Long, Long, Double, Seq[Double], Option[Seq[Double]])]
-      joined.groupByKey(_._1)
-        .mapGroups { (key, rows) =>
-          val sorted = rows.toArray.sortBy(_._2)
-          val a = Array.ofDim[Double](dim, dim)
-          val b = new Array[Double](dim)
-          var n = 0
-          sorted.foreach { case (_, _, r, q, _) =>
-            n += 1
-            var x = 0
-            while (x < dim) {
-              var y = 0
-              val qx = q(x)
-              while (y < dim) { a(x)(y) += qx * q(y); y += 1 }
-              b(x) += r * qx
-              x += 1
+        .select(col(solveKey0), col(fixedKey), col("r"), col(factCol))
+      val (d0, r0, nn0) = (dim, reg, nonnegative) // plain captures, not `this`
+      val solved = prev match {
+        case None =>
+          base.as[(Long, Long, Double, Seq[Double])]
+            .groupByKey(_._1)
+            .mapGroups { (key, rows) =>
+              val sorted = rows.toArray.sortBy(_._2)
+              (key, Recommender.solveNormalEq(
+                sorted.iterator.map(t => (t._3, t._4)), null, d0, r0, nn0))
             }
-          }
-          var d = 0
-          while (d < dim) { a(d)(d) += reg * n; d += 1 }
-          val sol =
-            if (nonnegative)
-              graft.ml.NNLS.solve(a, b,
-                sorted.head._5.map(_.toArray).orNull)
-            else solveLinear(a, b)
-          (key, sol.toSeq)
-        }
-        .toDF(solveKey, "f")
+        case Some(p) =>
+          base.join(p.select(col(solveKey0), col("f").as("_f0")),
+              Seq(solveKey0), "left")
+            .as[(Long, Long, Double, Seq[Double], Option[Seq[Double]])]
+            .groupByKey(_._1)
+            .mapGroups { (key, rows) =>
+              val sorted = rows.toArray.sortBy(_._2)
+              (key, Recommender.solveNormalEq(
+                sorted.iterator.map(t => (t._3, t._4)),
+                sorted.head._5.map(_.toArray).orNull, d0, r0, nn0))
+            }
+      }
+      solved.toDF(solveKey0, "f")
     }
 
     def objective(uF: DataFrame, iF: DataFrame): Double =

@@ -35,26 +35,45 @@ def parse_baseline(path="BASELINE.md"):
     return base
 
 
+def _names_from(correctness_path, t):
+    if not correctness_path:
+        sys.exit("this capture carries only the compact 't' array: pass the "
+                 "round's CORRECTNESS_rN.json to recover query names")
+    names = sorted(json.load(open(correctness_path, encoding="utf-8")).keys())
+    if len(names) != len(t):
+        sys.exit(f"name/sample count mismatch: {len(names)} correctness "
+                 f"keys vs {len(t)} bench samples")
+    return dict(zip(names, map(float, t)))
+
+
 def load_bench(path, correctness_path=None):
     raw = open(path, encoding="utf-8").read()
+    candidates = []
     try:
-        data = json.loads(raw)
+        candidates.append(json.loads(raw))
     except json.JSONDecodeError:
-        # raw graft.Bench stdout is TWO JSON lines (named + compact):
-        # the first carries the per-query map
-        data = json.loads(raw.splitlines()[0])
-    if "queries" in data:
-        return {k: float(v) for k, v in data["queries"].items()}
-    if "parsed" in data and "t" in data["parsed"]:
-        if not correctness_path:
-            sys.exit("driver artifact has only the compact 't' array: pass "
-                     "the round's CORRECTNESS_rN.json to recover query names")
-        names = sorted(json.load(open(correctness_path, encoding="utf-8")).keys())
-        t = data["parsed"]["t"]
-        if len(names) != len(t):
-            sys.exit(f"name/sample count mismatch: {len(names)} correctness "
-                     f"keys vs {len(t)} bench samples")
-        return dict(zip(names, map(float, t)))
+        # raw graft.Bench stdout is TWO JSON lines (named first, compact
+        # LAST — the tail-truncation-proof one). Scan lines BOTTOM-UP so a
+        # capture whose head was cut (the harness keeps the last ~2KB)
+        # still parses from its surviving complete line.
+        for line in reversed(raw.splitlines()):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                candidates.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    # prefer a named per-query map from ANY surviving line before falling
+    # back to the compact name-asc array (which needs a names source)
+    for data in candidates:
+        if "queries" in data:
+            return {k: float(v) for k, v in data["queries"].items()}
+    for data in candidates:
+        if "t" in data and isinstance(data["t"], list):
+            return _names_from(correctness_path, data["t"])
+        if "parsed" in data and "t" in data.get("parsed", {}):
+            return _names_from(correctness_path, data["parsed"]["t"])
     sys.exit(f"unrecognized bench format in {path}")
 
 
@@ -63,10 +82,11 @@ def main():
         sys.exit(__doc__)
     bench = load_bench(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
     base = parse_baseline()
-    flagged, new, gone = [], [], []
+    flagged, new, gone, crashed = [], [], [], []
     for q, sec in sorted(bench.items()):
         if sec < 0:
-            flagged.append((q, sec, base.get(q), float("inf")))
+            crashed.append(q)
+            print(f"CRSH {q:32s}   never ran (crash, not slow)")
             continue
         if q not in base:
             new.append((q, sec))
@@ -83,11 +103,12 @@ def main():
     for q in gone:
         print(f"GONE {q:32s} in baseline but not in this bench run")
     print(f"\n{len(bench)} measured, {len(flagged)} over 2x baseline, "
-          f"{len(new)} new, {len(gone)} missing")
+          f"{len(crashed)} crashed, {len(new)} new, {len(gone)} missing")
     if flagged:
         print("\nFLAGGED (>2x pinned baseline):")
         for q, sec, b, r in flagged:
             print(f"  {q}: {sec:.3f}s vs {b}s (x{r:.2f})")
+    if flagged or crashed:
         sys.exit(1)
 
 
