@@ -286,6 +286,106 @@ object Pipelines {
       handle: (DataFrame, Long) => Unit): StreamingQuery =
     startCapacityBalanced(df, name, () => monitor.capacities, uniformCol)(handle)
 
+  // ------------------------------------------------- streaming near-dedup
+
+  final case class BandedDoc(doc_id: Long, band: Int, bh: Long, sig: Seq[Long])
+  final case class BucketIncumbents(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  /** One per (doc, band): did this band's bucket already hold a
+    * near-duplicate incumbent? `match_id`/`est` are −1 when unmatched. */
+  final case class BandVerdict(doc_id: Long, band: Int, bh: Long,
+                               matched: Boolean, match_id: Long, est: Double)
+
+  /** (doc_id, band, bh, sig) banding of a (doc_id, text) frame — d03's
+    * MinHash+LSH front end (native codegen signature + band slices),
+    * shared by the batch pair-join and the streaming dedup below. */
+  def bandDocs(docs: DataFrame, k: Int, bands: Int): Dataset[BandedDoc] = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    implicit val enc = Encoders.product[BandedDoc]
+    val rowsPerBand = k / bands
+    docs
+      .select(col("doc_id"),
+        call_function("minhash_signature",
+          call_function("hashed_word_grams", col("text"), lit(3)),
+          lit(k)).as("sig"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.lshBands(
+          col("sig"), bands, rowsPerBand)).as(Seq("band", "bh")),
+        col("sig"))
+      .as[BandedDoc]
+  }
+
+  /** CONTINUOUS near-duplicate suppression over a document stream — the
+    * ingestion-time form of d03's batch MinHash+LSH dedup: a doc is a
+    * near-duplicate of the corpus seen SO FAR if any of its band
+    * buckets holds an earlier incumbent whose signature agreement is ≥
+    * `minEst` (first-writer-wins, the d01 keep-min discipline in
+    * arrival order).
+    *
+    * Scale shape: state is sharded BY BAND BUCKET — no global
+    * structure — and bounded per bucket (`maxPerBucket` incumbent
+    * signatures of k longs each; buckets are ~corpus/√buckets docs, so
+    * the cap binds only on pathological bucket skew, where dropping
+    * extra incumbents only costs recall, never correctness of the
+    * "matched" verdicts it does emit). Per micro-batch each doc costs
+    * `bands` state lookups — one shuffled stateful operator, nothing
+    * rescans history. Intra-batch arrivals process in doc_id order so
+    * the operator is deterministic given the batch split.
+    *
+    * Emits one [[BandVerdict]] per (doc, band); reduce with
+    * [[dedupDecision]] (any matched band ⇒ duplicate). Production
+    * would add an event-time TTL on the bucket state (GroupStateTimeout)
+    * to window the dedup horizon; the unbounded-horizon form here is
+    * the reference semantics of a global dedup. */
+  def streamingNearDedup(docs: DataFrame, k: Int = 32, bands: Int = 8,
+                         minEst: Double = 0.5,
+                         maxPerBucket: Int = 8): Dataset[BandVerdict] = {
+    implicit val keyEnc = Encoders.product[(Int, Long)]
+    implicit val stateEnc = Encoders.product[BucketIncumbents]
+    implicit val outEnc = Encoders.product[BandVerdict]
+    val kk = k
+    def agreement(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / kk
+    bandDocs(docs, k, bands)
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Int, Long), batch: Iterator[BandedDoc],
+         state: GroupState[BucketIncumbents]) =>
+          val incoming = batch.toArray.sortBy(_.doc_id)
+          var inc = state.getOption.getOrElse(BucketIncumbents(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[BandVerdict]
+          incoming.foreach { d =>
+            // best incumbent: highest agreement, ties to the OLDEST
+            // (smallest position — first-writer-wins)
+            var bestI = -1
+            var bestE = -1.0
+            var i = 0
+            while (i < inc.sigs.length) {
+              val e = agreement(inc.sigs(i), d.sig)
+              if (e > bestE) { bestE = e; bestI = i }
+              i += 1
+            }
+            if (bestI >= 0 && bestE >= minEst) {
+              out += BandVerdict(d.doc_id, d.band, d.bh, matched = true,
+                inc.ids(bestI), bestE)
+            } else {
+              if (inc.ids.length < maxPerBucket)
+                inc = BucketIncumbents(inc.ids :+ d.doc_id, inc.sigs :+ d.sig)
+              out += BandVerdict(d.doc_id, d.band, d.bh, matched = false,
+                -1L, -1.0)
+            }
+          }
+          state.update(inc)
+          out.iterator
+      }
+  }
+
+  /** Per-doc reduction of [[streamingNearDedup]]'s band verdicts:
+    * duplicate iff ANY band matched; best_est is the strongest match. */
+  def dedupDecision(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id").agg(
+      max(col("matched").cast("int")).cast("boolean").as("is_duplicate"),
+      max(when(col("matched"), col("est"))).as("best_est"))
+
   /** foreachBatch escape hatch: arbitrary batch-DataFrame logic per
     * micro-batch (multi-sink writes, upserts) with the batch id for
     * idempotence — the DStream foreachRDD analog. */

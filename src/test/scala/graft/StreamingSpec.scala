@@ -375,6 +375,50 @@ class StreamingSpec extends SparkTestBase {
     assert(got(102L) == (Some(2L), Some(7.0)), "equal-ts purchase wins (<= semantics)")
   }
 
+  test("streaming near-dedup suppresses copies across AND within micro-batches, first-writer-wins") {
+    val src = Files.createTempDirectory("graft-neardedup-src").toString
+    import TestSpark.spark.implicits._
+    // 10 clearly-distinct originals: disjoint word vocabularies so no
+    // accidental near-dups muddy the assertions
+    def text(seed: Int) =
+      (0 until 40).map(i => s"w${seed}_${(i * 7 + seed) % 13}").mkString(" ")
+    val originals = (0L until 10L).map(i => (i, text(i.toInt * 100)))
+    val schema = originals.toDF("doc_id", "text").schema
+    val stream = Pipelines.streamingNearDedup(
+      TestSpark.spark.readStream.schema(schema).parquet(src),
+      k = 32, bands = 8, minEst = 0.5)
+    val q = Pipelines.startToMemory(stream.toDF(), "neardedup_test", "append")
+
+    originals.toDF("doc_id", "text").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    // batch 2: 100 = exact copy of doc 0 (cross-batch state), 101 = fresh,
+    // 102 = exact copy of 101 (SAME batch — intra-batch doc_id order)
+    Seq((100L, text(0)), (101L, text(7777)), (102L, text(7777)))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    val verdicts = spark.table("neardedup_test").cache()
+    val decision = Pipelines.dedupDecision(verdicts).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    // originals: nothing seen before them
+    (0L until 10L).foreach(i =>
+      assert(!decision(i)._1, s"original $i flagged duplicate"))
+    // the cross-batch copy: every band matches its bucket's incumbent 0
+    // with agreement 1.0
+    assert(decision(100L) == ((true, 1.0)), s"100 -> ${decision(100L)}")
+    val m100 = verdicts.filter(col("doc_id") === 100L).collect()
+    assert(m100.length == 8 && m100.forall(r =>
+      r.getBoolean(3) && r.getLong(4) == 0L && r.getDouble(5) == 1.0),
+      "copy of doc 0 must match incumbent 0 in all 8 bands at est 1.0")
+    // the same-batch pair: 101 (smaller id) claims the buckets, 102 matches it
+    assert(!decision(101L)._1, "first of the same-batch pair is the keeper")
+    assert(decision(102L) == ((true, 1.0)), s"102 -> ${decision(102L)}")
+    assert(verdicts.filter(col("doc_id") === 102L && col("matched"))
+      .select("match_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(101L))
+  }
+
   test("session windows via shared EventTimeOps match gaps-and-islands ground truth") {
     val ev = Tables.events(spark, sfDir)
     val sessions = EventTimeOps.sessionAgg(ev, "ts", "1 hour", "user_id")
