@@ -626,6 +626,137 @@ object TextOps {
         ipPat, "[IP]").as("redacted"))
       .drop(textCol)
 
+  /** Segment width (words) for [[d17]]: the synthetic corpus has no
+    * newline structure, so fixed non-overlapping word windows stand in
+    * for paragraphs. 20 words gives most documents 2–5 segments —
+    * between d01's whole-doc granularity and d03/d04's near-dup grain. */
+  val d17SegWidth = 20
+
+  /** Segment-level exact dedup (r14) — the dedup granularity between d01
+    * (whole document) and d03/d04 (near-duplicate): documents are cut
+    * into fixed non-overlapping word windows (the paragraph proxy, see
+    * [[d17SegWidth]]), each window is hashed, and duplicates are resolved
+    * globally keep-first by (doc_id, seg_idx). Public pattern: Lee et
+    * al. 2022's exact-substring/paragraph dedup levels, re-expressed
+    * Spark-first as one explode + one hash groupBy + one hash join —
+    * candidates meet only inside equal hash buckets, never all-pairs,
+    * the same discipline as d01 (reference parity hook: the d01 groupBy,
+    * TextOps.scala:19). FULL value oracle: segmentation, md5 and the
+    * keep-first rule are pure string/hash arithmetic DuckDB replays. */
+  val d17 = Q.sql(
+    "d17_segment_dedup",
+    s"""WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |    md5(array_to_string(w[i*$d17SegWidth+1 : i*$d17SegWidth+$d17SegWidth], ' ')) AS seg_hash
+      |  FROM words, unnest(range(0, (len(w) + ${d17SegWidth - 1}) // $d17SegWidth)) t(i))
+      |SELECT doc_id, seg_idx, seg_hash,
+      |  count(*) OVER (PARTITION BY seg_hash) AS n_copies,
+      |  row_number() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) = 1 AS keep
+      |FROM segs ORDER BY doc_id, seg_idx""".stripMargin) { (s, dir) =>
+    segmentDedup(Tables.documents(s, dir), d17SegWidth).orderBy("doc_id", "seg_idx")
+  }
+
+  /** d17's computation over any (doc_id, text) frame: per-segment hash,
+    * global copy count and the keep-first flag. Scale shape: the token
+    * array is STAGED as an attribute (the t10 inlining lesson), segments
+    * explode from a closed-form count, and the winner election is one
+    * groupBy on the segment hash whose result joins back on the same
+    * key — both shuffles hash-partition on `seg_hash`, so AQE reuses the
+    * exchange; per-bucket volume is the duplicate multiplicity, never a
+    * cross product. At 100 TB the hash (16 bytes) rides the shuffle
+    * instead of the segment text. */
+  def segmentDedup(docs: DataFrame, width: Int): DataFrame = {
+    val w = col("w")
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ((size(w) + lit(width - 1)) / lit(width)).cast("int") - 1),
+          i => md5(array_join(slice(w, i * width + 1, lit(width)), " "))))
+          .as(Seq("seg_idx", "seg_hash")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        col("seg_hash"))
+    val winners = segs.groupBy("seg_hash").agg(
+      min(struct(col("doc_id"), col("seg_idx"))).as("win"),
+      count(lit(1)).as("n_copies"))
+    segs.join(winners, "seg_hash")
+      .select(col("doc_id"), col("seg_idx"), col("seg_hash"), col("n_copies"),
+        (col("win.doc_id") === col("doc_id") &&
+          col("win.seg_idx") === col("seg_idx")).as("keep"))
+  }
+
+  /** Eval-set membership modulus for [[ct01]]: documents with
+    * doc_id % 10 == 0 play the held-out benchmark; the planted near-dup
+    * pairs make the overlap non-vacuous at every SF. */
+  val ct01EvalMod = 10
+
+  /** Benchmark-contamination screen (r14) — the pretraining hygiene
+    * check that keeps eval benchmarks out of the training set: every
+    * training document's distinct 13-gram hashes are probed against the
+    * eval set's 13-gram hash set (the public n-gram-overlap decontamination
+    * recipe popularized by the GPT-3 appendix), and a document is flagged
+    * when ≥10% of its distinct grams appear in the eval set. FULL value
+    * oracle: tokenization, 13-gram slicing, md5 and the integer gate
+    * (n_hit·10 ≥ n_grams) replay exactly in DuckDB. */
+  val ct01 = Q.sql(
+    "ct01_contamination",
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(tk[i : i+12], ' ')) AS gh
+      |  FROM toks, unnest(range(1, greatest(len(tk) - 11, 1))) t(i)),
+      |evalg AS (SELECT DISTINCT gh FROM grams WHERE doc_id % $ct01EvalMod = 0),
+      |base AS (SELECT doc_id, gh FROM grams WHERE doc_id % $ct01EvalMod <> 0)
+      |SELECT b.doc_id, count(*) AS n_grams, count(e.gh) AS n_hit,
+      |  count(e.gh) * 10 >= count(*) AS contaminated
+      |FROM base b LEFT JOIN evalg e ON b.gh = e.gh
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    contaminationScreen(
+      docs.filter(col("doc_id") % ct01EvalMod =!= 0),
+      docs.filter(col("doc_id") % ct01EvalMod === 0))
+      .orderBy("doc_id")
+  }
+
+  /** ct01's computation over any (doc_id, text) frames: per training doc
+    * the distinct-13-gram count, how many of those grams appear anywhere
+    * in the eval set, and the ≥10% contamination flag. Scale shape: the
+    * gram sets are hashed (md5 here so the oracle replays it; a
+    * trusted deployment would use xxhash64 to keep the shuffle narrow)
+    * and de-duplicated per doc MAP-SIDE with array_distinct before the
+    * explode, so the shuffle carries each (doc, gram) once; the eval
+    * side is an eval BENCHMARK — small by nature — so its distinct hash
+    * set broadcasts and the membership probe is a broadcast semi-join,
+    * never a shuffle of the corpus. Docs shorter than `n` tokens have no
+    * grams and drop out (same on both engines). */
+  def contaminationScreen(train: DataFrame, evalDocs: DataFrame,
+                          n: Int = 13): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val w = col("w")
+      df.select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            when(size(w) >= n,
+              transform(sequence(lit(0), size(w) - n),
+                i => md5(array_join(slice(w, i + 1, lit(n)), " "))))
+              .otherwise(typedlit(Seq.empty[String])))).as("gh"))
+    }
+    val tr = grams(train)
+    val ev = grams(evalDocs).select("gh").distinct()
+    val hits = tr.join(broadcast(ev), Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tr.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") * 10 >= col("n_grams"))
+  }
+
   val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01,
-    pl01, t10, pii01)
+    pl01, t10, pii01, d17, ct01)
 }

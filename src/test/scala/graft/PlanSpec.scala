@@ -47,6 +47,24 @@ class PlanSpec extends SparkTestBase {
     assert(splits <= 2, s"tokenize inlined $splits times — staging collapsed:\n$t10p")
   }
 
+  test("d17/ct01 stage the tokenizer once; ct01 probes eval grams by broadcast") {
+    // d17: the split feeds a per-element slice — inlining it recomputes
+    // the tokenizer O(segments) per row (the t10 lesson); the dedup
+    // itself is one hash aggregate + one join on the SAME key
+    val d17p = plan(graft.operators.TextOps.d17.run(spark, sfDir))
+    val d17splits = "split\\(".r.findAllIn(d17p).length
+    assert(d17splits <= 2, s"d17 tokenize inlined $d17splits times:\n$d17p")
+    assert(!d17p.contains("CartesianProduct") && !d17p.contains("NestedLoop"),
+      s"d17 must join on the segment hash, not all-pairs:\n$d17p")
+    // ct01: the eval gram set is benchmark-sized — its membership probe
+    // must be a broadcast semi-join, never a shuffle of the corpus side
+    val ctp = plan(graft.operators.TextOps.ct01.run(spark, sfDir))
+    val ctsplits = "split\\(".r.findAllIn(ctp).length
+    assert(ctsplits <= 3, s"ct01 tokenize inlined $ctsplits times:\n$ctp")
+    assert(ctp.contains("BroadcastHashJoin") && ctp.contains("LeftSemi"),
+      s"ct01 eval probe must broadcast:\n$ctp")
+  }
+
   test("q07 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.q07.run(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), s"q07 plan:\n$p")

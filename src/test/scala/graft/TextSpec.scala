@@ -286,4 +286,53 @@ class TextSpec extends SparkTestBase {
     assert(out.filter(col("n_tokens") > 64 || col("n_tokens") < 1).count() == 0)
     out.unpersist()
   }
+
+  test("d17 segment dedup: keep-first by (doc_id, seg_idx), exact copy counts, partial tails") {
+    import TestSpark.spark.implicits._
+    // width 3: doc 1 → [a b c][d e f]; doc 2 → [a b c][x]; doc 3 → [x]
+    // 'a b c' duplicates across docs 1,2 (winner (1,0)); the PARTIAL
+    // tail 'x' of doc 2 equals the whole of doc 3 (winner (2,1) — the
+    // struct min orders by doc_id first).
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c x"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.segmentDedup(docs, width = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got.size == 5, s"5 segments expected, got $got")
+    assert(got((1L, 0L)) == ((2L, true)), "first writer keeps 'a b c'")
+    assert(got((2L, 0L)) == ((2L, false)), "doc 2's copy of 'a b c' drops")
+    assert(got((1L, 1L)) == ((1L, true)))
+    assert(got((2L, 1L)) == ((2L, true)), "earliest doc keeps the shared tail")
+    assert(got((3L, 0L)) == ((2L, false)))
+    // deterministic across runs
+    val again = graft.operators.TextOps.segmentDedup(docs, width = 3)
+    val first = graft.operators.TextOps.segmentDedup(docs, width = 3)
+    assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
+  }
+
+  test("ct01 contamination screen: exact distinct-gram hit counts and the 10% gate") {
+    import TestSpark.spark.implicits._
+    val evalDocs = Seq((100L, "q w e r t")).toDF("doc_id", "text")
+    // doc 1 shares 2 of its 5 distinct 3-grams with eval (2·10 ≥ 5);
+    // doc 2 shares none; doc 3 is shorter than n and must drop out
+    val train = Seq(
+      (1L, "q w e r z z z"), (2L, "a b c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .contaminationScreen(train, evalDocs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == 2, s"doc 3 has no 3-grams and must be absent: $got")
+    assert(got(1L) == ((5L, 2L, true)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((2L, 0L, false)), s"doc2 ${got(2L)}")
+    // the registered entry is non-vacuous on the corpus: at least one
+    // contaminated doc (the planted near-dup pairs straddle the eval
+    // modulus) and the eval docs themselves are excluded
+    val entry = graft.operators.TextOps.ct01.run(spark, sfDir).cache()
+    assert(entry.filter(col("doc_id") % graft.operators.TextOps.ct01EvalMod === 0)
+      .count() == 0)
+    assert(entry.filter(col("contaminated")).count() >= 1,
+      "contamination screen is vacuous on the test corpus")
+    entry.unpersist()
+  }
 }
