@@ -32,6 +32,17 @@ import org.apache.spark.sql.SparkSession
   *     them, and min would just reward scheduling luck on sub-second
   *     numbers.)
   *
+  * Measurement record: besides the two stdout summary lines, every raw
+  * (pass-label, seconds) sample is written to BENCH_SAMPLES.json, so a
+  * flagged median can be mechanically attributed to contention (one
+  * inflated sample) or regression (all samples inflated) from the
+  * artifact alone. One-time layout/cache stages that are NOT part of
+  * any query's steady-state plan are warmed before round 1 and
+  * published as their own fields: `cov_shared_cold` (d13/d14/d15/corr01
+  * shared covariance), `bucketed_write_cold` (q40's bucketed-table
+  * write), `pairs_shared_cold` (the d02/d07/lp01 shared candidate-pair
+  * stage).
+  *
   * Kill-safety: the harness may SIGTERM this process before it finishes
   * (an external wall-clock smaller than one contended pass). Samples
   * accumulate in a concurrent map and a JVM shutdown hook prints the
@@ -44,7 +55,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // 4 rounds by default: the budget check stops whatever doesn't fit,
+    // and when a 4th warm round DOES fit it gives every cheap query a
+    // 4th sample — the median then survives contention landing on any
+    // single round (the r13 q21/s02 class of flags).
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,29 +80,53 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .fold(allNames)(keep => allNames.filter(keep))
 
-    val samples = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+    // per-query RAW samples, each labeled with the pass that took it
+    // ("1","2",… rounds, "iso" quiet pass, "twin" backstop) — published
+    // whole in BENCH_SAMPLES.json so contention (one inflated sample)
+    // and regression (every sample inflated) are mechanically
+    // distinguishable from the artifact alone (r13 verdict item 1b)
+    val samples =
+      new java.util.concurrent.ConcurrentHashMap[String, List[(String, Double)]]()
     // production-only twins (SparkEntry.prodQueries): the ~dozen
     // certificate-carrying entries re-timed WITHOUT their oracle
     // certificate work, reported as "t_prod" so the throughput criterion
     // can be read against production plans directly
     val prodFns = SparkEntry.prodQueries
-    val prodSamples = new java.util.concurrent.ConcurrentHashMap[String, List[Double]]()
+    val prodSamples =
+      new java.util.concurrent.ConcurrentHashMap[String, List[(String, Double)]]()
     @volatile var roundsDone = 0
     // cold time of the d13/d14/d15 shared covariance stage (PCA.scala's
     // session cache): measured ONCE before round 1 so the ~6.5 s
     // distributed pass is a recorded number — the per-query medians are
     // warm shared-stage samples by design and say so in SURVEY §2
     @volatile var covSharedCold = -1.0
+    // cold cost of the two WRITE/CACHE-side layout stages that are NOT
+    // part of any query's steady-state plan: the q40 bucketed-table
+    // write (Bucketed.bucketedOrdersLineitem — a one-time layout
+    // investment every later join amortizes) and the d02/d07/lp01
+    // shared candidate-pair stage (Similarity.jaccardPairsShared's
+    // session persist). Both are warmed HERE, before round 1, so the
+    // per-query samples measure the operators' steady-state plans and
+    // the one-time costs are their own recorded numbers (r13 verdict
+    // items 1a and 2).
+    @volatile var bucketedWriteCold = -1.0
+    @volatile var pairsSharedCold = -1.0
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    // Iterative trainers whose numbers have drifted 40-170% under host
-    // contention with unchanged code (the r10-r12 verdict cycles):
-    // dedicated quiet pass + min reporting, see the object doc.
+    // Iterative trainers and driver-iterated loops whose numbers have
+    // drifted 40-170% under host contention with unchanged code (the
+    // r10-r13 verdict cycles): dedicated quiet pass + min reporting,
+    // see the object doc. r14 extends the set to the remaining
+    // driver-iterated / contention-flagged entries (lp01, pic01, lda01,
+    // nb01, the mm parser family) per the r13 verdict.
     val driftProne: Set[String] = Set(
       "t05_word2vec", "q59_spearman", "scc01_strong_components",
       "r01_svdpp", "r02_als", "r03_als_nonneg", "gm01_gaussian_mixture",
       "rf01_random_forest", "opt01_lbfgs_ls", "gbt01_gbt_regression",
-      "gbt02_gbt_logloss", "gbt03_gbt_lad")
+      "gbt02_gbt_logloss", "gbt03_gbt_lad",
+      "lp01_label_propagation", "pic01_power_iteration", "lda01_topics",
+      "nb01_naive_bayes", "mm02_frame_sample", "mm03_audio_windows",
+      "mm04_wav_parse", "mm05_bmp_parse", "mm06_y4m_parse")
 
     // LOWER median: with an even sample count (e.g. one cold + one warm
     // round before the budget cut) report the faster middle sample —
@@ -103,14 +142,37 @@ object Bench {
     }
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     def results(): Seq[(String, Double)] = names.map { n =>
-      val xs = Option(samples.get(n)).getOrElse(Nil)
+      val xs = Option(samples.get(n)).getOrElse(Nil).map(_._2)
       n -> r3(if (driftProne(n)) best(xs) else median(xs))
     }
     def prodResults(): Seq[(String, Double)] =
       names.filter(prodFns.contains).map { n =>
-        val xs = Option(prodSamples.get(n)).getOrElse(Nil)
+        val xs = Option(prodSamples.get(n)).getOrElse(Nil).map(_._2)
         n -> r3(if (driftProne(n)) best(xs) else median(xs))
       }
+    // BENCH_SAMPLES.json: every raw (pass-label, seconds) sample per
+    // query and per twin, plus the cold-stage fields — the full
+    // measurement record behind the two stdout summary lines
+    def writeSamplesFile(): Unit = try {
+      def m(cm: java.util.concurrent.ConcurrentHashMap[String, List[(String, Double)]]) =
+        names.flatMap(n => Option(cm.get(n)).map { xs =>
+          "\"" + n + "\":" +
+            xs.map { case (l, v) => "[\"" + l + "\"," + r3(v) + "]" }
+              .mkString("[", ",", "]")
+        }).mkString("{", ",", "}")
+      val body =
+        s"""{"sf":"$sfDir","rounds":$roundsDone,"estimator":{"driftProne":"min","default":"median"},
+           |"cov_shared_cold":$covSharedCold,"bucketed_write_cold":$bucketedWriteCold,"pairs_shared_cold":$pairsSharedCold,
+           |"driftProne":${driftProne.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
+           |"samples":${m(samples)},
+           |"prod_samples":${m(prodSamples)}}""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SAMPLES_FILE", "BENCH_SAMPLES.json")),
+        body)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] samples file write failed: ${e.getMessage}")
+    }
     def renderProd(): String =
       prodResults().map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -123,7 +185,7 @@ object Bench {
         roundsDone == 0
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"sf":"$sfDir","queries":$qs,"t_prod":${renderProd()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"bucketed_write_cold":$bucketedWriteCold,"pairs_shared_cold":$pairsSharedCold,"sf":"$sfDir","queries":$qs,"t_prod":${renderProd()}}"""
     }
     // The harness keeps only the LAST ~2 KB of stdout, and the named
     // per-query line above is ~2.4 KB at 99 queries — so whichever end is
@@ -142,7 +204,7 @@ object Bench {
         if (s2 == s2.toLong) s2.toLong.toString else s2.toString
       }
       val ts = rs.map(r => short(r._2)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"n":${rs.size},"order":"name-asc","t":$ts,"t_prod":${renderProd()}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"bucketed_write_cold":$bucketedWriteCold,"pairs_shared_cold":$pairsSharedCold,"n":${rs.size},"order":"name-asc","t":$ts,"t_prod":${renderProd()}}"""
     }
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
       // two parse-friendly JSON lines, flushed straight to stdout (the
@@ -154,6 +216,7 @@ object Bench {
       println(render(rs))
       println(renderCompact(rs))
       Console.flush()
+      writeSamplesFile()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
 
@@ -168,7 +231,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
-      samples.merge(name, List(sec), (a, b) => a ++ b)
+      samples.merge(name, List(r -> sec), (a, b) => a ++ b)
       System.err.println(f"[bench] round $r $name%-28s ${sec}%.3f s")
       // the production twin runs right after its gated entry (same
       // warm state), its own timed section and GC discipline
@@ -183,7 +246,7 @@ object Bench {
             System.err.println(s"[bench] $name (prod) failed: ${e.getMessage}")
             -1.0
           }
-        prodSamples.merge(name, List(psec), (a, b) => a ++ b)
+        prodSamples.merge(name, List(r -> psec), (a, b) => a ++ b)
         System.err.println(f"[bench] round $r $name%-28s ${psec}%.3f s (prod)")
       }
       // Between-queries GC, OUTSIDE the timed section: the iterative
@@ -215,6 +278,42 @@ object Bench {
         System.err.println(s"[bench] cov_shared_cold failed: ${e.getMessage}")
       }
       System.err.println(f"[bench] cov_shared_cold ${covSharedCold}%.3f s")
+    }
+
+    // q40's bucketed-table LAYOUT WRITE is a one-time data-layout
+    // investment (like building an index), not part of the join the
+    // query demonstrates — warm it before round 1 and record the write
+    // cost as its own field, so q40's samples time the shuffle-free
+    // join the entry exists to show (r13 verdict item 1a).
+    if (names.contains("q40_bucketed_join")) {
+      val t0 = System.nanoTime()
+      try {
+        operators.Bucketed.bucketedOrdersLineitem(spark, sfDir)
+        bucketedWriteCold = r3((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bucketed_write_cold failed: ${e.getMessage}")
+      }
+      System.err.println(f"[bench] bucketed_write_cold ${bucketedWriteCold}%.3f s")
+    }
+
+    // The d02/d07/lp01 shared candidate-pair stage persists once per
+    // (session, corpus); whichever consumer ran first used to pay the
+    // cold pass in ONE of its samples depending on the round's shuffled
+    // order (the r13 lp01 5.1x flag). Warm it before round 1 so all
+    // three consumers' samples are uniformly warm and the cold cost is
+    // its own recorded number (r13 verdict item 2).
+    if (Seq("d02_ngram_jaccard", "d07_dup_clusters", "lp01_label_propagation")
+          .exists(names.contains)) {
+      val t0 = System.nanoTime()
+      try {
+        operators.Similarity.jaccardPairsShared(
+          Tables.documents(spark, sfDir), sfDir,
+          dfCap = operators.Similarity.d02DfCap, minJaccard = 0.5).count()
+        pairsSharedCold = r3((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pairs_shared_cold failed: ${e.getMessage}")
+      }
+      System.err.println(f"[bench] pairs_shared_cold ${pairsSharedCold}%.3f s")
     }
 
     // time budget: always complete round 1 (full coverage); a later round

@@ -8,7 +8,9 @@ BASELINE.md pins one second-count per query at sf0.1 / local[32] (see its
 provenance notes). This script flags every query whose measured median
 exceeds 2x its pinned baseline (the BASELINE.json criterion, made
 mechanically checkable), lists queries new since the baseline, and exits
-nonzero on any flag.
+nonzero on any flag, any crashed query, any pinned query MISSING from the
+run (a deregistered slow query must not pass silently), or a run whose
+bench line carries partial=true (a truncated capture is not a gate pass).
 
 Input formats accepted:
   - raw graft.Bench stdout line(s): {"metric":"total",...,"queries":{...}}
@@ -47,6 +49,7 @@ def _names_from(correctness_path, t):
 
 
 def load_bench(path, correctness_path=None):
+    """Returns (per-query seconds map, partial flag or None if unknown)."""
     raw = open(path, encoding="utf-8").read()
     candidates = []
     try:
@@ -64,23 +67,33 @@ def load_bench(path, correctness_path=None):
                 candidates.append(json.loads(line))
             except json.JSONDecodeError:
                 continue
+
+    def partial_of(data):
+        if "partial" in data:
+            return bool(data["partial"])
+        return data.get("parsed", {}).get("partial", None) \
+            if isinstance(data.get("parsed"), dict) else None
+
     # prefer a named per-query map from ANY surviving line before falling
     # back to the compact name-asc array (which needs a names source)
     for data in candidates:
         if "queries" in data:
-            return {k: float(v) for k, v in data["queries"].items()}
+            return ({k: float(v) for k, v in data["queries"].items()},
+                    partial_of(data))
     for data in candidates:
         if "t" in data and isinstance(data["t"], list):
-            return _names_from(correctness_path, data["t"])
+            return _names_from(correctness_path, data["t"]), partial_of(data)
         if "parsed" in data and "t" in data.get("parsed", {}):
-            return _names_from(correctness_path, data["parsed"]["t"])
+            return (_names_from(correctness_path, data["parsed"]["t"]),
+                    partial_of(data))
     sys.exit(f"unrecognized bench format in {path}")
 
 
 def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
-    bench = load_bench(sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
+    bench, partial = load_bench(
+        sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
     base = parse_baseline()
     flagged, new, gone, crashed = [], [], [], []
     for q, sec in sorted(bench.items()):
@@ -103,12 +116,23 @@ def main():
     for q in gone:
         print(f"GONE {q:32s} in baseline but not in this bench run")
     print(f"\n{len(bench)} measured, {len(flagged)} over 2x baseline, "
-          f"{len(crashed)} crashed, {len(new)} new, {len(gone)} missing")
+          f"{len(crashed)} crashed, {len(new)} new, {len(gone)} missing"
+          + (", PARTIAL RUN" if partial else ""))
+    if partial:
+        print("\nWARNING: the bench line says partial=true — a truncated or "
+              "budget-cut capture, not a full gate pass.")
     if flagged:
         print("\nFLAGGED (>2x pinned baseline):")
         for q, sec, b, r in flagged:
             print(f"  {q}: {sec:.3f}s vs {b}s (x{r:.2f})")
-    if flagged or crashed:
+    if gone:
+        print("\nGONE queries are gate failures: a pinned query missing from "
+              "the run can hide a deregistered slow entry. Remove the pin "
+              "with a cited reason if the query was intentionally dropped.")
+    # gone → nonzero so deregistering a slow query can't silently pass;
+    # partial → nonzero so a truncated capture is never mistaken for a
+    # full pass (both per the r13 advisor findings)
+    if flagged or crashed or gone or partial:
         sys.exit(1)
 
 
