@@ -133,6 +133,66 @@ object Graphs {
     v
   }
 
+  // ---------------------------------------------------------------------
+  // Structural combinators (reference graphx/src/main/scala/org/apache/
+  // spark/graphx/Graph.scala — subgraph, mask, outerJoinVertices,
+  // reverse): the graph-algebra surface every graphx/lib algorithm
+  // composes with. On the (vertices(id, …), edges(src, dst, …))
+  // convention of [[pregel]] each is a thin filter/semi-join/projection
+  // — key-equality plans only, nothing driver-side, so they inherit
+  // whatever partitioning the caller's graph already has.
+  // ---------------------------------------------------------------------
+
+  /** Restrict the graph to vertices satisfying `vpred` and edges
+    * satisfying `epred` WHOSE BOTH ENDPOINTS survive the vertex
+    * predicate — the reference's subgraph contract (an edge never
+    * outlives an endpoint). Two semi-joins against the filtered vertex
+    * set; a broadcast when the surviving vertex set is small. */
+  def subgraph(vertices: DataFrame, edges: DataFrame,
+               vpred: org.apache.spark.sql.Column = lit(true),
+               epred: org.apache.spark.sql.Column = lit(true)): (DataFrame, DataFrame) = {
+    val v = vertices.filter(vpred)
+    val ids = v.select(col("id"))
+    val e = edges.filter(epred)
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(edges.columns.map(col): _*)
+    (v, e)
+  }
+
+  /** Project this graph onto `other`'s structure: keep THIS graph's
+    * vertex/edge attributes, but only for vertices and edges also
+    * present in `other` (reference Graph.mask — the idiom for running
+    * an algorithm on a subgraph and restricting the answer back). */
+  def mask(vertices: DataFrame, edges: DataFrame,
+           otherVertices: DataFrame, otherEdges: DataFrame): (DataFrame, DataFrame) = {
+    val v = vertices.join(otherVertices.select("id"), Seq("id"), "left_semi")
+    val e = edges.join(otherEdges.select("src", "dst"), Seq("src", "dst"), "left_semi")
+    (v, e)
+  }
+
+  /** Join an external per-vertex table into the vertex attributes,
+    * keeping EVERY vertex (reference Graph.outerJoinVertices — the
+    * degree/rank-attachment idiom): `other` is (id, attr); vertices
+    * missing from it see a NULL other-side column in `f`.
+    *
+    * @param f (vertex attr, other attr | null) → new attr
+    */
+  def outerJoinVertices(vertices: DataFrame, other: DataFrame)(
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): DataFrame =
+    vertices
+      .join(other.select(col("id"), col("attr").as("_other")), Seq("id"), "left")
+      .select(col("id"), f(col("attr"), col("_other")).as("attr"))
+
+  /** Reverse every edge's direction, keeping attributes (reference
+    * Graph.reverse). Pure projection — no shuffle. */
+  def reverse(edges: DataFrame): DataFrame =
+    edges.select(
+      (col("dst").as("src") +: col("src").as("dst") +:
+        edges.columns.filterNot(c => c == "src" || c == "dst")
+          .map(col).toSeq): _*)
+
   /** [[labelPropagation]] re-expressed THROUGH [[pregel]] — the factoring
     * proof (GraphsSpec asserts bit-identical output to the bespoke loop):
     * undirected edges message both endpoints, the merge is the

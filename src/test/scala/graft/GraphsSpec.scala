@@ -208,4 +208,57 @@ class GraphsSpec extends SparkTestBase {
     assert(run1 == run2, "tie-breaks must be deterministic")
     Seq(3L, 4L, 5L).foreach(i => assert(run1(i) == i, s"isolated $i must keep its own label"))
   }
+
+  test("structural combinators: subgraph drops edges with a filtered endpoint") {
+    import TestSpark.spark.implicits._
+    // path 0→1→2→3 with weights; keep ids < 3 and weight > 10
+    val verts = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("id", "attr")
+    val edges = Seq((0L, 1L, 5), (1L, 2L, 20), (2L, 3L, 30)).toDF("src", "dst", "w")
+    val (v, e) = Graphs.subgraph(verts, edges,
+      vpred = col("id") < 3, epred = col("w") > 10)
+    assert(v.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    // (0,1) fails epred; (2,3) loses endpoint 3; only (1,2) survives
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(es.toSeq == Seq((1L, 2L, 20)), s"got ${es.toSeq}")
+    assert(e.columns.toSeq == Seq("src", "dst", "w"), "column order preserved")
+  }
+
+  test("structural combinators: mask keeps this graph's attrs on the other's structure") {
+    import TestSpark.spark.implicits._
+    val verts = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "attr")
+    val edges = Seq((0L, 1L, 5), (1L, 2L, 7)).toDF("src", "dst", "w")
+    val oVerts = Seq((0L, 99), (1L, 99)).toDF("id", "x")
+    val oEdges = Seq((0L, 1L)).toDF("src", "dst")
+    val (v, e) = Graphs.mask(verts, edges, oVerts, oEdges)
+    assert(v.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(0L -> "a", 1L -> "b"), "attrs come from THIS graph")
+    assert(e.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((0L, 1L, 5)))
+  }
+
+  test("structural combinators: outerJoinVertices keeps every vertex, nulls for misses") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.coalesce
+    val verts = Seq((0L, 10L), (1L, 20L), (2L, 30L)).toDF("id", "attr")
+    val degrees = Seq((0L, 3L), (2L, 1L)).toDF("id", "attr")
+    val got = Graphs.outerJoinVertices(verts, degrees)(
+      (attr, deg) => attr + coalesce(deg, org.apache.spark.sql.functions.lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 13L, 1L -> 20L, 2L -> 31L), s"got $got")
+  }
+
+  test("structural combinators: reverse swaps direction, keeps attrs, and is an involution") {
+    import TestSpark.spark.implicits._
+    val edges = Seq((0L, 1L, 5), (1L, 2L, 7)).toDF("src", "dst", "w")
+    val rev = Graphs.reverse(edges)
+    assert(rev.columns.toSeq == Seq("src", "dst", "w"))
+    assert(rev.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      Set((1L, 0L, 5), (2L, 1L, 7)))
+    val back = Graphs.reverse(rev)
+    assert(back.exceptAll(edges).isEmpty && edges.exceptAll(back).isEmpty)
+    // in-degree via reverse + out-degree machinery matches hand count
+    val indeg = rev.groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(indeg == Map(1L -> 1L, 2L -> 1L))
+  }
 }
