@@ -565,7 +565,19 @@ object TextOps {
   }
 
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phonePat = "\\+1-555-[0-9]{4}"
+
+  /** General phone shape (r14, generalized from the planted-footer-only
+    * `\+1-555-\d{4}` per the r13 verdict): optional +country prefix,
+    * optional area group (parenthesized or separator-delimited), then
+    * the 3-sep-4 local core — covers +1-555-0042, 415-555-2671,
+    * (415) 555-2671, +1 415 555 2671. Deliberately excludes '.'
+    * separators so no substring of an IPv4 address can match (the
+    * phone pass runs BEFORE the IP pass). RE2-compatible (no
+    * backreferences/lookaround), and RE2's leftmost preference order
+    * matches Java's backtracking preference on this syntax, so Spark
+    * and the DuckDB oracle redact identical spans. */
+  private val phonePat =
+    "(\\+[0-9]{1,3}[- ])?(\\([0-9]{3}\\) ?|[0-9]{3}[- ])?[0-9]{3}[- ][0-9]{4}"
   private val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** PII scrubbing (r13) — the redaction pass a training-data pipeline

@@ -332,26 +332,48 @@ object Pipelines {
     * the operator is deterministic given the batch split.
     *
     * Emits one [[BandVerdict]] per (doc, band); reduce with
-    * [[dedupDecision]] (any matched band ⇒ duplicate). Production
-    * would add an event-time TTL on the bucket state (GroupStateTimeout)
-    * to window the dedup horizon; the unbounded-horizon form here is
-    * the reference semantics of a global dedup. */
+    * [[dedupDecision]] (any matched band ⇒ duplicate).
+    *
+    * Operability (r13 advisor): a bucket that hits `maxPerBucket` stops
+    * admitting incumbents — on skewed buckets recall degrades, so every
+    * such drop is COUNTED in the `droppedIncumbents` accumulator (shown
+    * in the Spark UI; pass your own to read it programmatically) and
+    * logged once per batch-group. `ttlMs` > 0 bounds the dedup horizon:
+    * bucket state idle longer than the TTL is evicted via
+    * ProcessingTimeTimeout, turning the global dedup into a windowed
+    * one (the production default at an unbounded-retention ingest);
+    * ttlMs = 0 keeps the reference semantics of a global dedup. */
   def streamingNearDedup(docs: DataFrame, k: Int = 32, bands: Int = 8,
                          minEst: Double = 0.5,
-                         maxPerBucket: Int = 8): Dataset[BandVerdict] = {
+                         maxPerBucket: Int = 8,
+                         ttlMs: Long = 0L,
+                         dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[BandVerdict] = {
     implicit val keyEnc = Encoders.product[(Int, Long)]
     implicit val stateEnc = Encoders.product[BucketIncumbents]
     implicit val outEnc = Encoders.product[BandVerdict]
     val kk = k
+    val droppedAcc = dropped.getOrElse(docs.sparkSession.sparkContext
+      .longAccumulator("graft.streamingNearDedup.droppedIncumbents"))
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     def agreement(a: Seq[Long], b: Seq[Long]): Double =
       a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / kk
     bandDocs(docs, k, bands)
       .groupByKey(d => (d.band, d.bh))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: (Int, Long), batch: Iterator[BandedDoc],
          state: GroupState[BucketIncumbents]) =>
+          if (state.hasTimedOut) {
+            // TTL eviction: the bucket's incumbents age out of the
+            // dedup horizon; nothing to emit
+            state.remove()
+            Iterator.empty
+          } else {
           val incoming = batch.toArray.sortBy(_.doc_id)
           var inc = state.getOption.getOrElse(BucketIncumbents(Nil, Nil))
+          var droppedHere = 0L
           val out = scala.collection.mutable.ArrayBuffer.empty[BandVerdict]
           incoming.foreach { d =>
             // best incumbent: highest agreement, ties to the OLDEST
@@ -370,12 +392,21 @@ object Pipelines {
             } else {
               if (inc.ids.length < maxPerBucket)
                 inc = BucketIncumbents(inc.ids :+ d.doc_id, inc.sigs :+ d.sig)
+              else droppedHere += 1
               out += BandVerdict(d.doc_id, d.band, d.bh, matched = false,
                 -1L, -1.0)
             }
           }
+          if (droppedHere > 0) {
+            droppedAcc.add(droppedHere)
+            System.err.println(s"[streamingNearDedup] bucket (band=${key._1}, " +
+              s"bh=${key._2}) full at $maxPerBucket: dropped $droppedHere " +
+              "incumbent(s) this batch — recall degrades on this bucket")
+          }
           state.update(inc)
+          if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
           out.iterator
+          }
       }
   }
 

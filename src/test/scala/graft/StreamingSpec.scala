@@ -419,6 +419,68 @@ class StreamingSpec extends SparkTestBase {
       .select("match_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(101L))
   }
 
+  test("streaming near-dedup counts dropped incumbents on full buckets") {
+    val src = Files.createTempDirectory("graft-neardedup-drop-src").toString
+    import TestSpark.spark.implicits._
+    def text(seed: Int) =
+      (0 until 40).map(i => s"w${seed}_${(i * 7 + seed) % 13}").mkString(" ")
+    // identical texts share every band bucket; minEst > 1 makes them
+    // UNMATCHABLE, so doc 1 fills each bucket (maxPerBucket=1) and
+    // doc 2's insert attempt must be counted as a drop in all 8 bands
+    val docs = Seq((1L, text(5)), (2L, text(5))).toDF("doc_id", "text")
+    val schema = docs.schema
+    val droppedAcc = TestSpark.spark.sparkContext
+      .longAccumulator("test.neardedup.dropped")
+    val stream = Pipelines.streamingNearDedup(
+      TestSpark.spark.readStream.schema(schema).parquet(src),
+      k = 32, bands = 8, minEst = 1.1, maxPerBucket = 1,
+      dropped = Some(droppedAcc))
+    val q = Pipelines.startToMemory(stream.toDF(), "neardedup_drop_test", "append")
+    docs.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(droppedAcc.value == 8L,
+      s"doc 2 must be dropped from all 8 full band buckets, got ${droppedAcc.value}")
+    // with minEst impossible nothing matches — but every (doc, band)
+    // verdict still emits, so downstream accounting never loses a doc
+    val verdicts = spark.table("neardedup_drop_test")
+    assert(verdicts.count() == 16)
+    assert(verdicts.filter(col("matched")).count() == 0)
+  }
+
+  test("streaming near-dedup TTL evicts idle bucket state: a post-TTL copy is NOT matched") {
+    val src = Files.createTempDirectory("graft-neardedup-ttl-src").toString
+    import TestSpark.spark.implicits._
+    def text(seed: Int) =
+      (0 until 40).map(i => s"w${seed}_${(i * 7 + seed) % 13}").mkString(" ")
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    // NOTE: with ProcessingTimeTimeout registered the engine schedules
+    // timeout-evaluation batches on its own, so processAllAvailable()
+    // never drains — poll the sink for the expected row count instead.
+    def awaitRows(table: String, n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table(table).count() < n) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
+        Thread.sleep(100)
+      }
+    }
+    val stream = Pipelines.streamingNearDedup(
+      TestSpark.spark.readStream.schema(schema).parquet(src),
+      k = 32, bands = 8, minEst = 0.5, ttlMs = 500L)
+    val q = Pipelines.startToMemory(stream.toDF(), "neardedup_ttl_test", "append")
+    Seq((1L, text(3))).toDF("doc_id", "text").write.mode("append").parquet(src)
+    awaitRows("neardedup_ttl_test", 8)
+    Thread.sleep(1500) // > ttl: doc 1's bucket state must age out
+    Seq((2L, text(3))).toDF("doc_id", "text").write.mode("append").parquet(src)
+    awaitRows("neardedup_ttl_test", 16)
+    q.stop()
+    val verdicts = spark.table("neardedup_ttl_test")
+    // without the TTL doc 2 (an exact copy) would match in all 8 bands;
+    // with the state evicted it must claim the empty buckets instead
+    assert(verdicts.filter(col("doc_id") === 2L && col("matched")).count() == 0,
+      "TTL must have evicted doc 1's incumbency before doc 2 arrived")
+  }
+
   test("session windows via shared EventTimeOps match gaps-and-islands ground truth") {
     val ev = Tables.events(spark, sfDir)
     val sessions = EventTimeOps.sessionAgg(ev, "ts", "1 hour", "user_id")

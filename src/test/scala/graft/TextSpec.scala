@@ -253,6 +253,26 @@ class TextSpec extends SparkTestBase {
       .count() == 0, "raw PII survived redaction")
   }
 
+  test("pii01 generalized phone shapes redact whole; IPs and plain numbers stay intact") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "dial 415-555-2671 now"),
+      (2L, "office (415) 555-2671 ext 9"),
+      (3L, "intl +1 415 555 2671 works"),
+      (4L, "footer form +1-555-0042 kept"),
+      (5L, "ip 10.0.36.252 is not a phone"),
+      (6L, "year 2024 and zip 94107 alone are not phones")).toDF("doc_id", "t")
+    val got = graft.operators.TextOps.redactPii(docs, "t").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(4))).toMap
+    assert(got(1L) == ((1L, "dial [PHONE] now")), s"${got(1L)}")
+    assert(got(2L) == ((1L, "office [PHONE] ext 9")), s"${got(2L)}")
+    assert(got(3L) == ((1L, "intl [PHONE] works")), s"${got(3L)}")
+    assert(got(4L) == ((1L, "footer form [PHONE] kept")), s"${got(4L)}")
+    assert(got(5L) == ((0L, "ip [IP] is not a phone")), s"${got(5L)}")
+    assert(got(6L) == ((0L, "year 2024 and zip 94107 alone are not phones")),
+      s"${got(6L)}")
+  }
+
   test("pl01 composes gate -> dedup -> chunk with one aggregation shuffle, non-vacuous stages") {
     val docs = Tables.documents(spark, sfDir)
     // plan shape FIRST (before .cache() — the cache manager would
