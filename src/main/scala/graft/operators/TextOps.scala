@@ -567,17 +567,22 @@ object TextOps {
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** General phone shape (r14, generalized from the planted-footer-only
-    * `\+1-555-\d{4}` per the r13 verdict): optional +country prefix,
-    * optional area group (parenthesized or separator-delimited), then
-    * the 3-sep-4 local core — covers +1-555-0042, 415-555-2671,
-    * (415) 555-2671, +1 415 555 2671. Deliberately excludes '.'
-    * separators so no substring of an IPv4 address can match (the
-    * phone pass runs BEFORE the IP pass). RE2-compatible (no
-    * backreferences/lookaround), and RE2's leftmost preference order
-    * matches Java's backtracking preference on this syntax, so Spark
-    * and the DuckDB oracle redact identical spans. */
+    * `\+1-555-\d{4}` per the r13 verdict): three anchored alternatives —
+    * +country prefix, parenthesized area, or a word-boundary-guarded
+    * bare form — each ending at a word boundary, covering +1-555-0042,
+    * 415-555-2671, (415) 555-2671, +1 415 555 2671. The `\b` guards
+    * (ASCII word boundary in BOTH Java and RE2) keep the core
+    * 3-sep-4 window from firing INSIDE longer digit runs (ZIP+4
+    * '94107-1234', spaced card numbers), and '.' separators are
+    * excluded so no IPv4 substring can match (the phone pass runs
+    * BEFORE the IP pass). No backreferences/lookaround, and RE2's
+    * leftmost preference order matches Java's backtracking preference
+    * on this syntax, so Spark and the DuckDB oracle redact identical
+    * spans. */
   private val phonePat =
-    "(\\+[0-9]{1,3}[- ])?(\\([0-9]{3}\\) ?|[0-9]{3}[- ])?[0-9]{3}[- ][0-9]{4}"
+    "\\+[0-9]{1,3}[- ](\\([0-9]{3}\\) ?|[0-9]{3}[- ])?[0-9]{3}[- ][0-9]{4}\\b" +
+      "|\\([0-9]{3}\\) ?[0-9]{3}[- ][0-9]{4}\\b" +
+      "|\\b[0-9]{3}[- ]([0-9]{3}[- ])?[0-9]{4}\\b"
   private val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** PII scrubbing (r13) — the redaction pass a training-data pipeline
@@ -706,6 +711,11 @@ object TextOps {
     * pairs make the overlap non-vacuous at every SF. */
   val ct01EvalMod = 10
 
+  /** Gram width for [[ct01]] — shared by the Spark side and the oracle
+    * SQL so the two can never silently diverge. 13 is the public
+    * decontamination standard (the GPT-3 appendix recipe). */
+  val ct01N = 13
+
   /** Benchmark-contamination screen (r14) — the pretraining hygiene
     * check that keeps eval benchmarks out of the training set: every
     * training document's distinct 13-gram hashes are probed against the
@@ -720,8 +730,8 @@ object TextOps {
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
       |  FROM documents),
       |grams AS (
-      |  SELECT DISTINCT doc_id, md5(array_to_string(tk[i : i+12], ' ')) AS gh
-      |  FROM toks, unnest(range(1, greatest(len(tk) - 11, 1))) t(i)),
+      |  SELECT DISTINCT doc_id, md5(array_to_string(tk[i : i+${ct01N - 1}], ' ')) AS gh
+      |  FROM toks, unnest(range(1, greatest(len(tk) - ${ct01N - 2}, 1))) t(i)),
       |evalg AS (SELECT DISTINCT gh FROM grams WHERE doc_id % $ct01EvalMod = 0),
       |base AS (SELECT doc_id, gh FROM grams WHERE doc_id % $ct01EvalMod <> 0)
       |SELECT b.doc_id, count(*) AS n_grams, count(e.gh) AS n_hit,
@@ -731,23 +741,31 @@ object TextOps {
     val docs = Tables.documents(s, dir)
     contaminationScreen(
       docs.filter(col("doc_id") % ct01EvalMod =!= 0),
-      docs.filter(col("doc_id") % ct01EvalMod === 0))
+      docs.filter(col("doc_id") % ct01EvalMod === 0),
+      n = ct01N)
       .orderBy("doc_id")
   }
 
   /** ct01's computation over any (doc_id, text) frames: per training doc
-    * the distinct-13-gram count, how many of those grams appear anywhere
+    * the distinct-n-gram count, how many of those grams appear anywhere
     * in the eval set, and the ≥10% contamination flag. Scale shape: the
     * gram sets are hashed (md5 here so the oracle replays it; a
     * trusted deployment would use xxhash64 to keep the shuffle narrow)
     * and de-duplicated per doc MAP-SIDE with array_distinct before the
-    * explode, so the shuffle carries each (doc, gram) once; the eval
-    * side is an eval BENCHMARK — small by nature — so its distinct hash
-    * set broadcasts and the membership probe is a broadcast semi-join,
-    * never a shuffle of the corpus. Docs shorter than `n` tokens have no
-    * grams and drop out (same on both engines). */
+    * explode, so each (doc, gram) rides once; ONE pass over the
+    * training grams — a single left join against the eval gram set
+    * feeds a single per-doc aggregate counting rows (n_grams) and
+    * non-null hits (n_hit) together. With `broadcastEval` (default)
+    * the probe is a broadcast join, the right shape when the eval set
+    * is a fixed benchmark; the REGISTERED entry's doc_id%10 slice is a
+    * corpus-fraction STAND-IN for one (fine at bench SFs, and the
+    * driver's correctness SF), so a deployment whose eval side does
+    * grow with the corpus must pass broadcastEval=false and take the
+    * shuffled hash join. Docs shorter than `n` tokens have no grams
+    * and drop out (same on both engines). */
   def contaminationScreen(train: DataFrame, evalDocs: DataFrame,
-                          n: Int = 13): DataFrame = {
+                          n: Int = 13,
+                          broadcastEval: Boolean = true): DataFrame = {
     def grams(df: DataFrame): DataFrame = {
       val w = col("w")
       df.select(col("doc_id"), tokens(col("text")).as("w"))
@@ -759,13 +777,11 @@ object TextOps {
               .otherwise(typedlit(Seq.empty[String])))).as("gh"))
     }
     val tr = grams(train)
-    val ev = grams(evalDocs).select("gh").distinct()
-    val hits = tr.join(broadcast(ev), Seq("gh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    tr.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    val ev0 = grams(evalDocs).select("gh").distinct().withColumn("hit", lit(1))
+    val ev = if (broadcastEval) broadcast(ev0) else ev0
+    tr.join(ev, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
       .withColumn("contaminated", col("n_hit") * 10 >= col("n_grams"))
   }
 

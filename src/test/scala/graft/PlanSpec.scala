@@ -56,12 +56,14 @@ class PlanSpec extends SparkTestBase {
     assert(d17splits <= 2, s"d17 tokenize inlined $d17splits times:\n$d17p")
     assert(!d17p.contains("CartesianProduct") && !d17p.contains("NestedLoop"),
       s"d17 must join on the segment hash, not all-pairs:\n$d17p")
-    // ct01: the eval gram set is benchmark-sized — its membership probe
-    // must be a broadcast semi-join, never a shuffle of the corpus side
+    // ct01: ONE pass over the training grams (train tokenizer appears
+    // once, eval's once — the r14 self-review removed the double scan)
+    // and the eval membership probe broadcasts instead of shuffling the
+    // corpus side
     val ctp = plan(graft.operators.TextOps.ct01.run(spark, sfDir))
     val ctsplits = "split\\(".r.findAllIn(ctp).length
-    assert(ctsplits <= 3, s"ct01 tokenize inlined $ctsplits times:\n$ctp")
-    assert(ctp.contains("BroadcastHashJoin") && ctp.contains("LeftSemi"),
+    assert(ctsplits <= 2, s"ct01 tokenize inlined/recomputed $ctsplits times:\n$ctp")
+    assert(ctp.contains("BroadcastHashJoin"),
       s"ct01 eval probe must broadcast:\n$ctp")
   }
 

@@ -261,7 +261,9 @@ class TextSpec extends SparkTestBase {
       (3L, "intl +1 415 555 2671 works"),
       (4L, "footer form +1-555-0042 kept"),
       (5L, "ip 10.0.36.252 is not a phone"),
-      (6L, "year 2024 and zip 94107 alone are not phones")).toDF("doc_id", "t")
+      (6L, "year 2024 and zip 94107 alone are not phones"),
+      (7L, "zip plus four 94107-1234 is not a phone"),
+      (8L, "card 4111 1111 1111 1111 is not a phone")).toDF("doc_id", "t")
     val got = graft.operators.TextOps.redactPii(docs, "t").collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getString(4))).toMap
     assert(got(1L) == ((1L, "dial [PHONE] now")), s"${got(1L)}")
@@ -271,6 +273,12 @@ class TextSpec extends SparkTestBase {
     assert(got(5L) == ((0L, "ip [IP] is not a phone")), s"${got(5L)}")
     assert(got(6L) == ((0L, "year 2024 and zip 94107 alone are not phones")),
       s"${got(6L)}")
+    // the word-boundary guards: the 3-sep-4 core must not fire INSIDE
+    // longer digit runs (ZIP+4, spaced card numbers)
+    assert(got(7L) == ((0L, "zip plus four 94107-1234 is not a phone")),
+      s"${got(7L)}")
+    assert(got(8L) == ((0L, "card 4111 1111 1111 1111 is not a phone")),
+      s"${got(8L)}")
   }
 
   test("pl01 composes gate -> dedup -> chunk with one aggregation shuffle, non-vacuous stages") {
