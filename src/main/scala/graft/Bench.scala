@@ -345,13 +345,26 @@ object Bench {
       // each round and any residual adjacency cost lands on at most
       // one of a query's samples — the median discards it. Output
       // stays name-asc (the shuffle only reorders execution).
+      //
+      // EXCEPT round 2, which runs in ASCENDING round-1-time order
+      // (cheapest first): a query's round-1 sample is its COLD sample,
+      // and a budget cut mid-round-2 used to leave every unreached
+      // query reporting that single cold number (a cheap query's cold
+      // sample alone can read 4x its warm pin — the r13 driver
+      // artifact's flag signature). Cheap-first, the entire
+      // flag-prone cheap class banks its warm second sample in the
+      // first minute of round 2, and the expensive tail a cut strands
+      // on one sample is exactly the driftProne set the iso pass
+      // already gave a clean min-reported sample. Twins ride with
+      // their entries wherever they land; the budget-exempt backstop
+      // covers any twin the cut skips.
       val baseOrder = new scala.util.Random(42L + r).shuffle(names)
-      // Twins only sample from round 2, so round 2 runs the twin-bearing
-      // entries FIRST (still shuffled among themselves): a budget cut
-      // mid-round-2 then costs late plain samples, never a t_prod hole.
       val order =
-        if (r == 2) baseOrder.filter(prodFns.contains) ++
-          baseOrder.filterNot(prodFns.contains)
+        if (r == 2) names.sortBy { n =>
+          Option(samples.get(n)).getOrElse(Nil)
+            .collectFirst { case ("1", s) if s >= 0 => s }
+            .getOrElse(Double.MaxValue)
+        }
         else baseOrder
       for (n <- order if !stopped) {
         if (r > 1 && elapsed > budgetSec) {
