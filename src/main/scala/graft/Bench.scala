@@ -330,7 +330,11 @@ object Bench {
         "(round 1 always completes; later rounds stop at the first query " +
         "past the budget)")
     val start = System.nanoTime()
-    def elapsed: Double = (System.nanoTime() - start) / 1e9
+    // wall-clock spent in the budget-EXEMPT iso pass is credited back,
+    // so exempt work consumes none of the later rounds' budget (it is
+    // the published number for its queries either way)
+    @volatile var exemptSec = 0.0
+    def elapsed: Double = (System.nanoTime() - start) / 1e9 - exemptSec
     // Round 1 always completes (full coverage — every query gets at
     // least one sample). Later rounds run query-by-query until the
     // budget is EXHAUSTED rather than being skipped by a prediction: a
@@ -361,9 +365,14 @@ object Bench {
       val baseOrder = new scala.util.Random(42L + r).shuffle(names)
       val order =
         if (r == 2) names.sortBy { n =>
-          Option(samples.get(n)).getOrElse(Nil)
+          val r1 = Option(samples.get(n)).getOrElse(Nil)
             .collectFirst { case ("1", s) if s >= 0 => s }
-            .getOrElse(Double.MaxValue)
+            .getOrElse(Double.MaxValue / 4)
+          // driftProne entries already hold a clean iso-pass sample and
+          // publish the MIN — their warm round-2 sample is the least
+          // urgent, so they all go LAST and the cut-exposed front of
+          // round 2 is purely the median-reported cheap class
+          if (driftProne(n)) Double.MaxValue / 2 + r1 else r1
         }
         else baseOrder
       for (n <- order if !stopped) {
@@ -387,7 +396,9 @@ object Bench {
       // in a contended window. Bounded (~90 s at sf0.1) and exempt from
       // the budget: it IS the published number for these queries.
       if (r == 1 && !stopped) {
+        val iso0 = System.nanoTime()
         for (n <- names.filter(driftProne).sorted) exec("iso", n, withTwin = false)
+        exemptSec += (System.nanoTime() - iso0) / 1e9
       }
     }
     // Twin-coverage backstop: twins normally sample in round 2+, so a
