@@ -338,6 +338,69 @@ class TextSpec extends SparkTestBase {
     assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
   }
 
+  test("d17 matches a driver-side reference implementation on a seeded random corpus") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(1414L)
+    // small vocab forces plenty of cross-doc segment collisions
+    val docs = (0L until 80L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, (0 until n).map(_ => s"w${rnd.nextInt(4)}").mkString(" "))
+    }
+    val width = 3
+    // reference: segment → md5 → global keep-first by (doc_id, seg_idx)
+    val refSegs = docs.flatMap { case (id, text) =>
+      val w = text.trim.split("\\s+").toSeq
+      val nSeg = (w.size + width - 1) / width
+      (0 until nSeg).map { s =>
+        val seg = w.slice(s * width, s * width + width).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(seg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (id, s.toLong, md)
+      }
+    }
+    val byHash = refSegs.groupBy(_._3)
+    val ref = refSegs.map { case (id, s, h) =>
+      val grp = byHash(h)
+      (id, s, h, grp.size.toLong, grp.minBy(g => (g._1, g._2)) == ((id, s, h)))
+    }.toSet
+    val got = graft.operators.TextOps
+      .segmentDedup(docs.toDF("doc_id", "text"), width).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == ref, s"diff: ${(got diff ref).take(3)} / ${(ref diff got).take(3)}")
+  }
+
+  test("ct01 matches a driver-side reference implementation on a seeded random corpus") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(2828L)
+    val n = 4
+    val docs = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(15)
+      (i, (0 until len).map(_ => s"w${rnd.nextInt(3)}").mkString(" "))
+    }
+    def gramsOf(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      if (w.size < n) Set.empty
+      else (0 to w.size - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+    }
+    val isEval = (id: Long) => id % 5 == 0
+    val evalGrams = docs.filter(d => isEval(d._1)).flatMap(d => gramsOf(d._2)).toSet
+    val ref = docs.filterNot(d => isEval(d._1)).flatMap { case (id, text) =>
+      val g = gramsOf(text)
+      if (g.isEmpty) None
+      else {
+        val hit = g.count(evalGrams)
+        Some((id, g.size.toLong, hit.toLong, hit * 10 >= g.size))
+      }
+    }.toSet
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.TextOps.contaminationScreen(
+      df.filter(col("doc_id") % 5 =!= 0), df.filter(col("doc_id") % 5 === 0), n = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == ref, s"diff: ${(got diff ref).take(3)} / ${(ref diff got).take(3)}")
+  }
+
   test("ct01 contamination screen: exact distinct-gram hit counts and the 10% gate") {
     import TestSpark.spark.implicits._
     val evalDocs = Seq((100L, "q w e r t")).toDF("doc_id", "text")
