@@ -680,11 +680,15 @@ object TextOps {
     * global copy count and the keep-first flag. Scale shape: the token
     * array is STAGED as an attribute (the t10 inlining lesson), segments
     * explode from a closed-form count, and the winner election is one
-    * groupBy on the segment hash whose result joins back on the same
-    * key — both shuffles hash-partition on `seg_hash`, so AQE reuses the
-    * exchange; per-bucket volume is the duplicate multiplicity, never a
-    * cross product. At 100 TB the hash (16 bytes) rides the shuffle
-    * instead of the segment text. */
+    * groupBy on the segment hash whose result joins back on the SAME
+    * key. At bench SFs AQE plans the join as a broadcast (observed:
+    * BroadcastHashJoin, segments side built); past the broadcast
+    * threshold it falls back to a shuffled join where the probe-side
+    * exchange is the identical subplan already feeding the aggregate —
+    * either way candidates meet only inside equal hash buckets, whose
+    * volume is the duplicate multiplicity, never a cross product. At
+    * 100 TB the hash (32-char md5 hex; a trusted deployment would use
+    * 8-byte xxhash64) rides the shuffle instead of the segment text. */
   def segmentDedup(docs: DataFrame, width: Int): DataFrame = {
     val w = col("w")
     val segs = docs
