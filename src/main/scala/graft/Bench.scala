@@ -113,12 +113,19 @@ object Bench {
     @volatile var pairsSharedCold = -1.0
     val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    // Iterative trainers and driver-iterated loops whose numbers have
-    // drifted 40-170% under host contention with unchanged code (the
-    // r10-r13 verdict cycles): dedicated quiet pass + min reporting,
-    // see the object doc. r14 extends the set to the remaining
-    // driver-iterated / contention-flagged entries (lp01, pic01, lda01,
-    // nb01, the mm parser family) per the r13 verdict.
+    // DRIVER-ITERATED entries: queries whose wall time is many small
+    // jobs (one per training round / tree level / relaxation step), so
+    // every iteration pays driver scheduling latency and host
+    // contention compounds per round instead of amortizing — the class
+    // that drifted 40-170% with unchanged code across the r10-r13
+    // verdict cycles. Each gets the dedicated quiet pass + min
+    // reporting (see the object doc). r14 completes the set by the
+    // RULE (driver-iterated loop) rather than by which members
+    // happened to flag so far: the r13-verdict additions (lp01, pic01,
+    // lda01, nb01, the mm parser family) plus the remaining iterative
+    // trainers (logistic/isotonic/lasso/SVM loops, tree level loops,
+    // Lloyd's, semantic dedup's composed stages, Bellman-Ford,
+    // frequent-itemset passes).
     val driftProne: Set[String] = Set(
       "t05_word2vec", "q59_spearman", "scc01_strong_components",
       "r01_svdpp", "r02_als", "r03_als_nonneg", "gm01_gaussian_mixture",
@@ -126,7 +133,10 @@ object Bench {
       "gbt02_gbt_logloss", "gbt03_gbt_lad",
       "lp01_label_propagation", "pic01_power_iteration", "lda01_topics",
       "nb01_naive_bayes", "mm02_frame_sample", "mm03_audio_windows",
-      "mm04_wav_parse", "mm05_bmp_parse", "mm06_y4m_parse")
+      "mm04_wav_parse", "mm05_bmp_parse", "mm06_y4m_parse",
+      "rg02_logistic", "rg03_isotonic", "rg04_lasso", "svm01_linear_svm",
+      "dt01_decision_tree", "dt02_entropy_tree", "d08_kmeans",
+      "d09_semantic_dedup", "gp01_shortest_paths", "fp01_freq_itemsets")
 
     // LOWER median: with an even sample count (e.g. one cold + one warm
     // round before the budget cut) report the faster middle sample —
