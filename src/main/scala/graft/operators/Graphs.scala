@@ -185,6 +185,20 @@ object Graphs {
       .join(other.select(col("id"), col("attr").as("_other")), Seq("id"), "left")
       .select(col("id"), f(col("attr"), col("_other")).as("attr"))
 
+  /** Per-vertex degree tables (reference GraphOps.degrees /
+    * inDegrees / outDegrees — the companions every ranking/orientation
+    * algorithm joins in via [[outerJoinVertices]]): one partial-agg
+    * groupBy each; vertices with no qualifying edge are absent, the
+    * reference contract (outer-join them back for a 0 default). */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("attr"))
+  def inDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("attr"))
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("attr"))
+
   /** Reverse every edge's direction, keeping attributes (reference
     * Graph.reverse). Pure projection — no shuffle. */
   def reverse(edges: DataFrame): DataFrame =

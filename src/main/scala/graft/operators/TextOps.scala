@@ -689,10 +689,18 @@ object TextOps {
     * volume is the duplicate multiplicity, never a cross product. At
     * 100 TB the hash (32-char md5 hex; a trusted deployment would use
     * 8-byte xxhash64) rides the shuffle instead of the segment text. */
-  def segmentDedup(docs: DataFrame, width: Int): DataFrame = {
+  /** @param normalize apply the standard dedup-preprocessing fold
+    *        before segmentation (Lee et al. 2022 §3: case-fold +
+    *        whitespace-collapse), so segments differing only in casing
+    *        or spacing hash equal. The REGISTERED entry keeps raw text
+    *        (its oracle replays the raw bytes); pipelines wanting the
+    *        normalized behavior opt in. */
+  def segmentDedup(docs: DataFrame, width: Int,
+                   normalize: Boolean = false): DataFrame = {
     val w = col("w")
+    val t0 = if (normalize) lower(col("text")) else col("text")
     val segs = docs
-      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), tokens(t0).as("w"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0),

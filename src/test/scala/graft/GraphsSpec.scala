@@ -247,6 +247,23 @@ class GraphsSpec extends SparkTestBase {
     assert(got == Map(0L -> 13L, 1L -> 20L, 2L -> 31L), s"got $got")
   }
 
+  test("degrees/inDegrees/outDegrees match hand counts and compose with outerJoinVertices") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    // 0→1, 0→2, 1→2, plus isolated 9
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graphs.outDegrees(edges)) == Map(0L -> 2L, 1L -> 1L))
+    assert(m(Graphs.inDegrees(edges)) == Map(1L -> 1L, 2L -> 2L))
+    assert(m(Graphs.degrees(edges)) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // the reference idiom: attach degrees to every vertex, 0 for missing
+    val verts = Seq((0L, 0L), (1L, 0L), (2L, 0L), (9L, 0L)).toDF("id", "attr")
+    val attached = Graphs.outerJoinVertices(verts, Graphs.degrees(edges))(
+      (_, deg) => coalesce(deg, lit(0L)))
+    assert(m(attached) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 9L -> 0L))
+  }
+
   test("structural combinators: reverse swaps direction, keeps attrs, and is an involution") {
     import TestSpark.spark.implicits._
     val edges = Seq((0L, 1L, 5), (1L, 2L, 7)).toDF("src", "dst", "w")

@@ -336,6 +336,15 @@ class TextSpec extends SparkTestBase {
     val again = graft.operators.TextOps.segmentDedup(docs, width = 3)
     val first = graft.operators.TextOps.segmentDedup(docs, width = 3)
     assert(first.exceptAll(again).isEmpty && again.exceptAll(first).isEmpty)
+    // normalize=true folds case and spacing before hashing (Lee et al.
+    // preprocessing), so casing/spacing twins dedup; raw mode keeps them
+    val twins = Seq((1L, "The Quick Fox"), (2L, "the  quick   fox"))
+      .toDF("doc_id", "text")
+    val raw = graft.operators.TextOps.segmentDedup(twins, width = 3)
+    assert(raw.filter(col("n_copies") === 2).count() == 0, "raw mode must not fold")
+    val norm = graft.operators.TextOps.segmentDedup(twins, width = 3, normalize = true)
+    val nm = norm.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(nm == Map(1L -> true, 2L -> false), s"normalized twins must dedup: $nm")
   }
 
   test("d17 matches a driver-side reference implementation on a seeded random corpus") {
