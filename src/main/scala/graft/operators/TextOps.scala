@@ -718,6 +718,87 @@ object TextOps {
           col("win.seg_idx") === col("seg_idx")).as("keep"))
   }
 
+  /** Boundary modulus for [[d18]]: a token opens a new chunk when its
+    * cross-engine char fold ≡ 0 (mod 8) — expected chunk length ~8
+    * tokens. Shared by the Spark side and the oracle SQL. */
+  val d18BoundaryMod = 8
+
+  /** Content-defined chunking dedup (r14) — the ALIGNMENT-ROBUST
+    * sibling of [[d17]]: d17's fixed windows miss a duplicated passage
+    * that re-occurs at a shifted word offset (its windows tile from
+    * position 0), while CDC (the rsync/LBFS/backup-dedup technique)
+    * derives chunk boundaries from the CONTENT — a token opens a new
+    * chunk iff its hash ≡ 0 mod [[d18BoundaryMod]] — so identical runs
+    * produce identical interior chunks at ANY offset. Chunking is
+    * row-local HOFs (map-only, zero shuffle); dedup is d17's one hash
+    * groupBy + one same-key join. The boundary hash is t04/ht01's
+    * cross-engine djb2 fold, which is what lets the FULL value oracle
+    * replay boundary selection, slicing, md5 and keep-first exactly. */
+  val d18 = Q.sql(
+    "d18_cdc_dedup",
+    s"""WITH words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |  FROM documents),
+      |marked AS (
+      |  SELECT doc_id, w,
+      |    list_filter(range(1, len(w)+1), i ->
+      |      (CASE WHEN w[i]='' THEN 0 ELSE list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(w[i],''), c -> CAST(unicode(c) AS BIGINT))),
+      |         (a,cp) -> (a*33+cp) % 2147483647) END) % $d18BoundaryMod = 0) AS bp
+      |  FROM words),
+      |st AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(bp) > 0 AND bp[1] = 1 THEN bp
+      |         ELSE list_prepend(1, bp) END AS starts
+      |  FROM marked),
+      |segs AS (
+      |  SELECT doc_id, j-1 AS seg_idx,
+      |    md5(array_to_string(
+      |      w[starts[j] : coalesce(starts[j+1], len(w)+1) - 1], ' ')) AS seg_hash
+      |  FROM st, unnest(range(1, len(starts)+1)) t(j))
+      |SELECT doc_id, seg_idx, seg_hash,
+      |  count(*) OVER (PARTITION BY seg_hash) AS n_copies,
+      |  row_number() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) = 1 AS keep
+      |FROM segs ORDER BY doc_id, seg_idx""".stripMargin) { (s, dir) =>
+    cdcDedup(Tables.documents(s, dir), d18BoundaryMod).orderBy("doc_id", "seg_idx")
+  }
+
+  /** d18's computation over any (doc_id, text) frame: content-defined
+    * chunks (boundary = wordFold(token) % mod == 0, the first chunk
+    * starting at position 1 regardless), global keep-first + copy
+    * counts by chunk hash. STAGED projections keep w/bp/starts as
+    * attribute references (the t10 inlining lesson — each is consumed
+    * by several non-cheap lambdas). */
+  def cdcDedup(docs: DataFrame, boundaryMod: Int): DataFrame = {
+    val w = col("w")
+    val tokFold = (t: org.apache.spark.sql.Column) =>
+      when(t === "", 0L).otherwise(graft.functions.TextFunctions.wordFold(t))
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), w,
+        filter(sequence(lit(1), size(w)),
+          i => pmod(tokFold(element_at(w, i)), lit(boundaryMod.toLong)) === 0)
+          .as("bp"))
+      .select(col("doc_id"), w,
+        array_distinct(concat(array(lit(1)), col("bp"))).as("starts"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("starts")) - 1), j => {
+          val s0 = get(col("starts"), j)
+          val e0 = coalesce(get(col("starts"), j + 1), size(w) + 1)
+          md5(array_join(slice(w, s0, e0 - s0), " "))
+        })).as(Seq("seg_idx", "seg_hash")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        col("seg_hash"))
+    val winners = segs.groupBy("seg_hash").agg(
+      min(struct(col("doc_id"), col("seg_idx"))).as("win"),
+      count(lit(1)).as("n_copies"))
+    segs.join(winners, "seg_hash")
+      .select(col("doc_id"), col("seg_idx"), col("seg_hash"), col("n_copies"),
+        (col("win.doc_id") === col("doc_id") &&
+          col("win.seg_idx") === col("seg_idx")).as("keep"))
+  }
+
   /** Eval-set membership modulus for [[ct01]]: documents with
     * doc_id % 10 == 0 play the held-out benchmark; the planted near-dup
     * pairs make the overlap non-vacuous at every SF. */
@@ -798,5 +879,5 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01,
-    pl01, t10, pii01, d17, ct01)
+    pl01, t10, pii01, d17, d18, ct01)
 }

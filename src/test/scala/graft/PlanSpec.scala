@@ -51,11 +51,16 @@ class PlanSpec extends SparkTestBase {
     // d17: the split feeds a per-element slice — inlining it recomputes
     // the tokenizer O(segments) per row (the t10 lesson); the dedup
     // itself is one hash aggregate + one join on the SAME key
-    val d17p = plan(graft.operators.TextOps.d17.run(spark, sfDir))
-    val d17splits = "split\\(".r.findAllIn(d17p).length
-    assert(d17splits <= 2, s"d17 tokenize inlined $d17splits times:\n$d17p")
-    assert(!d17p.contains("CartesianProduct") && !d17p.contains("NestedLoop"),
-      s"d17 must join on the segment hash, not all-pairs:\n$d17p")
+    for (q <- Seq(graft.operators.TextOps.d17, graft.operators.TextOps.d18)) {
+      val p = plan(q.run(spark, sfDir))
+      // d18's wordFold legitimately splits each token into chars inside
+      // its boundary lambda; the guard is on the TOKENIZER split of the
+      // raw text column, which must stay staged (evaluated once)
+      val docSplits = "split\\(text".r.findAllIn(p).length
+      assert(docSplits <= 2, s"${q.name} tokenize inlined $docSplits times:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"${q.name} must join on the segment hash, not all-pairs:\n$p")
+    }
     // ct01: ONE pass over the training grams (train tokenizer appears
     // once, eval's once — the r14 self-review removed the double scan)
     // and the eval membership probe broadcasts instead of shuffling the

@@ -379,6 +379,40 @@ class TextSpec extends SparkTestBase {
     assert(got == ref, s"diff: ${(got diff ref).take(3)} / ${(ref diff got).take(3)}")
   }
 
+  test("d18 CDC chunks align at any offset: interior duplicates found where d17 misses them") {
+    import TestSpark.spark.implicits._
+    // classify words by the same djb2 fold the operator uses
+    def fold(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 33 + c.toLong) % 2147483647L)
+    val words = (0 until 200).map(i => s"t$i")
+    val bWords = words.filter(w => fold(w) % 8 == 0)
+    val xWords = words.filter(w => fold(w) % 8 != 0)
+    assert(bWords.size >= 2 && xWords.size >= 6, "word pool too small")
+    val (b1, b2) = (bWords(0), bWords(1))
+    val Seq(x1, x2, x3, x4, x5, p) = xWords.take(6)
+    // A's chunks: [x1 x2][b1 x3 x4][b2 x5]; B = p-prefixed A, so its
+    // chunks are [p x1 x2][b1 x3 x4][b2 x5] — the two INTERIOR chunks
+    // are identical to A's despite the 1-token offset
+    val a = s"$x1 $x2 $b1 $x3 $x4 $b2 $x5"
+    val docs = Seq((1L, a), (2L, s"$p $a")).toDF("doc_id", "text")
+    val cdc = graft.operators.TextOps
+      .cdcDedup(docs, graft.operators.TextOps.d18BoundaryMod).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(cdc.size == 6, s"3 chunks per doc expected: $cdc")
+    assert(cdc((1L, 1L)) == ((2L, true)) && cdc((2L, 1L)) == ((2L, false)),
+      s"interior chunk [b1 x3 x4] must dedup across the offset: $cdc")
+    assert(cdc((1L, 2L)) == ((2L, true)) && cdc((2L, 2L)) == ((2L, false)),
+      s"interior chunk [b2 x5] must dedup across the offset: $cdc")
+    assert(cdc((1L, 0L)) == ((1L, true)) && cdc((2L, 0L)) == ((1L, true)),
+      "the offset-bearing first chunks differ and both survive")
+    // the SAME pair through d17's aligned windows: no duplicate at all —
+    // the alignment sensitivity d18 exists to fix
+    val aligned = graft.operators.TextOps.segmentDedup(docs, width = 3)
+    assert(aligned.filter(col("n_copies") > 1).count() == 0,
+      "aligned windows must miss the shifted duplicate (else this spec is vacuous)")
+  }
+
   test("ct01 matches a driver-side reference implementation on a seeded random corpus") {
     import TestSpark.spark.implicits._
     val rnd = new scala.util.Random(2828L)
