@@ -270,10 +270,24 @@ object Bench {
       System.gc()
     }
 
-    // warmup: one scan-agg absorbs session/codegen/scan setup cost
+    // warmup: one scan-agg absorbs session setup, then every table is
+    // touched once so no query's ROUND-1 sample carries a table's
+    // parquet-footer/scan initialization. (Measured caveat: a query's
+    // first execution still pays its OWN stage codegen/JIT — q21's
+    // cold sample stays ~1.4 s vs 0.17 warm with customer pre-touched —
+    // which is exactly why round 2 runs cheap-first: the warm second
+    // sample, not the warmup, is what retires the cold number.)
     try SparkEntry.queries("q01_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings")) {
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables(spark, sfDir, t)
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    }
 
     // prime + time the shared covariance stage cold (only when one of
     // its consumers is in this run): all four consumers' samples are
@@ -344,7 +358,13 @@ object Bench {
     // so exempt work consumes none of the later rounds' budget (it is
     // the published number for its queries either way)
     @volatile var exemptSec = 0.0
-    def elapsed: Double = (System.nanoTime() - start) / 1e9 - exemptSec
+    def rawElapsed: Double = (System.nanoTime() - start) / 1e9
+    def elapsed: Double = rawElapsed - exemptSec
+    // HARD raw-wall cap: budget + exempt credit + the twin backstop
+    // could otherwise stack past the external kill margin the 700 s
+    // default was derived from (~840 s). 780 leaves room for the
+    // bounded backstop and the final emit before any kill arrives.
+    val wallCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL", "780").toDouble
     // Round 1 always completes (full coverage — every query gets at
     // least one sample). Later rounds run query-by-query until the
     // budget is EXHAUSTED rather than being skipped by a prediction: a
@@ -367,12 +387,15 @@ object Bench {
       // sample alone can read 4x its warm pin — the r13 driver
       // artifact's flag signature). Cheap-first, the entire
       // flag-prone cheap class banks its warm second sample in the
-      // first minute of round 2, and the expensive tail a cut strands
-      // on one sample is exactly the driftProne set the iso pass
-      // already gave a clean min-reported sample. Twins ride with
-      // their entries wherever they land; the budget-exempt backstop
-      // covers any twin the cut skips.
-      val baseOrder = new scala.util.Random(42L + r).shuffle(names)
+      // first minute of round 2. The tail a cut can strand is (a) the
+      // driftProne set, which already holds a clean min-reported iso
+      // sample, and (b) the most EXPENSIVE median-reported queries —
+      // benign by construction, because a query's cold/warm ratio
+      // shrinks as compute dominates setup (measured ≤1.25x cold/pin
+      // for every non-driftProne query over 1.5 s; the large ratios
+      // all live in the sub-second class that runs first).
+      // Twins ride with their entries wherever they land; the
+      // budget-exempt backstop covers any twin the cut skips.
       val order =
         if (r == 2) names.sortBy { n =>
           val r1 = Option(samples.get(n)).getOrElse(Nil)
@@ -384,11 +407,12 @@ object Bench {
           // round 2 is purely the median-reported cheap class
           if (driftProne(n)) Double.MaxValue / 2 + r1 else r1
         }
-        else baseOrder
+        else new scala.util.Random(42L + r).shuffle(names)
       for (n <- order if !stopped) {
-        if (r > 1 && elapsed > budgetSec) {
+        if (r > 1 && (elapsed > budgetSec || rawElapsed > wallCapSec)) {
           System.err.println(
-            f"[bench] budget exhausted at ${elapsed}%.1f s (round $r); stopping")
+            f"[bench] budget exhausted at ${elapsed}%.1f s non-exempt / " +
+              f"${rawElapsed}%.1f s wall (round $r); stopping")
           stopped = true
         } else {
           // twins run from round 2 (same warm state — the entry just
@@ -403,7 +427,8 @@ object Bench {
       // round 1: fixed name-asc order, GC + warmed JVM, no twins — one
       // clean back-to-back sample each, so the min-reported number has a
       // sample taken OUTSIDE the interleave even when later rounds land
-      // in a contended window. Bounded (~90 s at sf0.1) and exempt from
+      // in a contended window. Bounded (~130 s at sf0.1 for the 31
+      // entries; wall time credited back to the budget) and exempt from
       // the budget: it IS the published number for these queries.
       if (r == 1 && !stopped) {
         val iso0 = System.nanoTime()

@@ -688,8 +688,9 @@ object TextOps {
     * either way candidates meet only inside equal hash buckets, whose
     * volume is the duplicate multiplicity, never a cross product. At
     * 100 TB the hash (32-char md5 hex; a trusted deployment would use
-    * 8-byte xxhash64) rides the shuffle instead of the segment text. */
-  /** @param normalize apply the standard dedup-preprocessing fold
+    * 8-byte xxhash64) rides the shuffle instead of the segment text.
+    *
+    * @param normalize apply the standard dedup-preprocessing fold
     *        before segmentation (Lee et al. 2022 §3: case-fold +
     *        whitespace-collapse), so segments differing only in casing
     *        or spacing hash equal. The REGISTERED entry keeps raw text

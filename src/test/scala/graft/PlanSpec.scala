@@ -55,9 +55,13 @@ class PlanSpec extends SparkTestBase {
       val p = plan(q.run(spark, sfDir))
       // d18's wordFold legitimately splits each token into chars inside
       // its boundary lambda; the guard is on the TOKENIZER split of the
-      // raw text column, which must stay staged (evaluated once)
-      val docSplits = "split\\(text".r.findAllIn(p).length
-      assert(docSplits <= 2, s"${q.name} tokenize inlined $docSplits times:\n$p")
+      // raw text column — rendered `split(trim(text#N)...` in the plan —
+      // which must stay staged (two occurrences: the two scan branches
+      // of the groupBy/join; inlining would multiply it per segment)
+      val docSplits = "split\\(trim\\(text".r.findAllIn(p).length
+      assert(docSplits >= 1 && docSplits <= 2,
+        s"${q.name} tokenizer staged $docSplits times (0 = guard regex rotted, " +
+          s">2 = staging collapsed):\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
         s"${q.name} must join on the segment hash, not all-pairs:\n$p")
     }
