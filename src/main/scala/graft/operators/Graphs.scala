@@ -52,6 +52,58 @@ object Graphs {
     ranks
   }
 
+  /** [[pageRank]] run to CONVERGENCE instead of a fixed round count
+    * (reference graphx/src/main/scala/org/apache/spark/graphx/lib/
+    * PageRank.scala:135 `runUntilConvergence` — tolerance-driven
+    * dynamic iteration; the reference halts when no vertex has a
+    * delta > tol left to send, the same early-stop machinery
+    * [[pregel]]'s activeMessages==0 check exposes). Each round is
+    * [[pageRank]]'s one-job plan plus one bounded max-|Δrank|
+    * aggregate (the halt decision needs a driver-side scalar either
+    * way); rounds stop once max |Δrank| ≤ tol or `maxIter` is hit. At
+    * tol = 0 floating-point ranks keep moving, so it degenerates to
+    * exactly `maxIter` fixed rounds with per-round plans identical to
+    * [[pageRank]] — GraphsSpec's bit-equality anchor. */
+  def pageRankUntilConvergence(vertices: DataFrame, edges: DataFrame,
+                               tol: Double, maxIter: Int = 100,
+                               damping: Double = 0.85): DataFrame =
+    pageRankUntilConvergenceTracked(vertices, edges, tol, maxIter, damping)._1
+
+  /** [[pageRankUntilConvergence]] plus the number of rounds actually
+    * run — the observable the early-stop spec asserts on. */
+  def pageRankUntilConvergenceTracked(vertices: DataFrame, edges: DataFrame,
+                                      tol: Double, maxIter: Int = 100,
+                                      damping: Double = 0.85): (DataFrame, Int) = {
+    val n = vertices.count().toDouble
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src").localCheckpoint()
+    var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIter && !converged) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val next = vertices.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / n))
+            .as("rank"))
+        .localCheckpoint()
+      val maxDelta = next
+        .join(ranks.select(col("id"), col("rank").as("prev")), "id")
+        .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+      ranks = next
+      rounds += 1
+      converged = maxDelta <= tol
+    }
+    (ranks, rounds)
+  }
+
   /** One round of vertex-centric message passing (reference
     * graphx/src/main/scala/org/apache/spark/graphx/Graph.scala's
     * aggregateMessages surface): joins vertex state onto both edge
@@ -147,7 +199,12 @@ object Graphs {
     * satisfying `epred` WHOSE BOTH ENDPOINTS survive the vertex
     * predicate — the reference's subgraph contract (an edge never
     * outlives an endpoint). Two semi-joins against the filtered vertex
-    * set; a broadcast when the surviving vertex set is small. */
+    * set; a broadcast when the surviving vertex set is small.
+    *
+    * NARROWING vs the reference: `epred` here sees EDGE COLUMNS ONLY
+    * (src, dst, edge attrs) — the cheap path. The reference's epred is
+    * a full triplet predicate that may also reference endpoint
+    * attributes; port those to [[subgraphTriplets]]. */
   def subgraph(vertices: DataFrame, edges: DataFrame,
                vpred: org.apache.spark.sql.Column = lit(true),
                epred: org.apache.spark.sql.Column = lit(true)): (DataFrame, DataFrame) = {
@@ -156,6 +213,29 @@ object Graphs {
     val e = edges.filter(epred)
       .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(edges.columns.map(col): _*)
+    (v, e)
+  }
+
+  /** [[subgraph]] with the reference's FULL triplet edge predicate
+    * (Graph.scala's subgraph epred is EdgeTriplet => Boolean — it may
+    * reference BOTH endpoint attributes, e.g. "keep edges whose
+    * endpoints share an attribute"; [[subgraph]]'s epred sees edge
+    * columns only, a documented narrowing). Here `epred` evaluates
+    * over the TRIPLET columns — src, dst, the edge attrs, `src_attr`,
+    * `dst_attr` — at the cost of the [[aggregateMessages]] attribute-
+    * attachment join pair instead of two semi-joins; joining against
+    * the vpred-FILTERED vertex set enforces the same both-endpoints-
+    * survive contract. */
+  def subgraphTriplets(vertices: DataFrame, edges: DataFrame,
+                       vpred: org.apache.spark.sql.Column = lit(true),
+                       epred: org.apache.spark.sql.Column = lit(true))
+      : (DataFrame, DataFrame) = {
+    val v = vertices.filter(vpred)
+    val e = edges
+      .join(v.select(col("id").as("src"), col("attr").as("src_attr")), "src")
+      .join(v.select(col("id").as("dst"), col("attr").as("dst_attr")), "dst")
+      .filter(epred)
       .select(edges.columns.map(col): _*)
     (v, e)
   }

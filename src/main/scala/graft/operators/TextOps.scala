@@ -444,19 +444,30 @@ object TextOps {
       |  array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
       |FROM grid, unnest(range(0, n_chunks)) t(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    val nChunks = when(n <= 64, lit(1L))
-      .otherwise(((n - 17).cast("long") / 48).cast("long") + 1L)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("w"), nChunks.as("n_chunks"))
+    chunkGrid(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")
+  }
+
+  /** t09's 64/48 overlapping chunk grid over any (doc_id, text) frame.
+    * The tokenizer split is STAGED as an attribute before anything
+    * consumes it (the t10 inlining lesson, applied here in r15): the
+    * former single-select shape referenced the split Column three times
+    * (`w` plus twice inside the chunk-count arithmetic), so the split —
+    * the dominant per-row cost — ran 3× per row in both t09 and pl01.
+    * `size` on an array ATTRIBUTE is O(1), so the chunk-count stage may
+    * collapse freely once `w` is staged. */
+  def chunkGrid(docs: DataFrame): DataFrame = {
+    val n = size(col("w"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        when(n <= 64, lit(1L))
+          .otherwise(((n - 17).cast("long") / 48).cast("long") + 1L).as("n_chunks"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
       .withColumn("w", slice(col("w"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
       .select(col("doc_id"), col("chunk_idx"),
         size(col("w")).cast("long").as("n_tokens"),
         array_join(col("w"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Composite training-data pipeline (r12): the end-to-end path a
@@ -490,22 +501,10 @@ object TextOps {
       |  array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
       |FROM grid, unnest(range(0, n_chunks)) t(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
-    val toks = tokens(col("text"))
     val kept = Tables.documents(s, dir)
-      .filter(size(toks) >= 30)
+      .filter(size(tokens(col("text"))) >= 30)
     val dedup = kept.groupBy("text").agg(min("doc_id").as("doc_id"))
-    val n = size(toks)
-    val nChunks = when(n <= 64, lit(1L))
-      .otherwise(((n - 17).cast("long") / 48).cast("long") + 1L)
-    dedup
-      .select(col("doc_id"), toks.as("w"), nChunks.as("n_chunks"))
-      .select(col("doc_id"), col("w"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
-      .withColumn("w", slice(col("w"), (col("chunk_idx") * 48 + 1).cast("int"), lit(64)))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("w")).cast("long").as("n_tokens"),
-        array_join(col("w"), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
+    chunkGrid(dedup).orderBy("doc_id", "chunk_idx")
   }
 
   /** Repetition-based quality signals (r13) — the Gopher-rules family
@@ -643,6 +642,104 @@ object TextOps {
         ipPat, "[IP]").as("redacted"))
       .drop(textCol)
 
+  /** The remaining Gopher document-level quality rules (r15 — Rae et
+    * al. 2021, "Scaling Language Models: ... Gopher", Appendix A;
+    * completing the public gate beside t02's length/punct/stopword
+    * ratios and t10's repetition rules): word-count bounds [50, 1e5],
+    * mean word length in [3, 10], symbol-to-word ratio ('#'/'...')
+    * ≤ 0.1, ≤ 90% of lines bullet-led, ≤ 30% of lines
+    * ellipsis-ended, ≥ 80% alphabetic words, and ≥ 2 distinct
+    * stop words present (the stop list is t02's corpus-aware list —
+    * Gopher's own {the, be, to, of, and, that, have, with} has ONE
+    * member in this corpus's 31-word vocabulary, which would
+    * fail every document; the rule's structure is what's ported).
+    * Every rule is emitted as EXACT integer counts plus an
+    * integer-comparison flag (mean word length as 3n ≤ chars ≤ 10n —
+    * no float division anywhere), so the oracle replays all of it;
+    * `keep` is the conjunction. Map-only: one staged projection, the
+    * same 100 TB shape as t10. Non-vacuous on this corpus through the
+    * word-count bound (documents run 10–99 words) and the ≥2-stops
+    * rule; the line/symbol/alpha rules are exercised by planted
+    * documents in TextSpec (this corpus has no newlines or symbols). */
+  val t11 = Q.sql(
+    "t11_quality_rules",
+    s"""WITH parts AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+      |         string_split(text, chr(10)) AS ln
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_word_chars,
+      |    CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_symbol_words,
+      |    CAST(len(ln) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ln, l -> starts_with(l, '•') OR starts_with(l, '- '))) AS BIGINT) AS n_bullet_lines,
+      |    CAST(len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS n_ellipsis_lines,
+      |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+      |    CAST(len(list_filter([${stops.map(w0 => s"'$w0'").mkString(",")}],
+      |        s -> list_contains(w, s))) AS BIGINT) AS n_stop_hits
+      |  FROM parts)
+      |SELECT doc_id, n_words, sum_word_chars, n_symbol_words, n_lines,
+      |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS wc_ok,
+      |  3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words AS mwl_ok,
+      |  10 * n_symbol_words <= n_words AS sym_ok,
+      |  10 * n_bullet_lines <= 9 * n_lines AS bullet_ok,
+      |  10 * n_ellipsis_lines <= 3 * n_lines AS ellipsis_ok,
+      |  5 * n_alpha_words >= 4 * n_words AS alpha_ok,
+      |  n_stop_hits >= 2 AS stops_ok,
+      |  (n_words BETWEEN 50 AND 100000)
+      |    AND (3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words)
+      |    AND (10 * n_symbol_words <= n_words)
+      |    AND (10 * n_bullet_lines <= 9 * n_lines)
+      |    AND (10 * n_ellipsis_lines <= 3 * n_lines)
+      |    AND (5 * n_alpha_words >= 4 * n_words)
+      |    AND (n_stop_hits >= 2) AS keep
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    qualityRules(Tables.documents(s, dir)).orderBy("doc_id")
+  }
+
+  /** t11's computation over any (doc_id, text) frame: the Gopher rule
+    * counts and flags, one map-only staged projection (tokens and lines
+    * staged as attributes — the t10 inlining lesson — then integer
+    * counts, then flags over count attributes, which collapse freely
+    * because integer comparisons are cheap). */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val ln = col("ln")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"),
+        split(col("text"), "\n").as("ln"))
+      .select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        aggregate(w, lit(0L), (a, x) => a + length(x)).as("sum_word_chars"),
+        size(filter(w, x => x.contains("#") || x.contains("...")))
+          .cast("long").as("n_symbol_words"),
+        size(ln).cast("long").as("n_lines"),
+        size(filter(ln, l => l.startsWith("•") || l.startsWith("- ")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(ln, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("long").as("n_ellipsis_lines"),
+        size(filter(w, x => x.rlike("[a-zA-Z]")))
+          .cast("long").as("n_alpha_words"),
+        size(filter(typedlit(stops), s0 => array_contains(w, s0)))
+          .cast("long").as("n_stop_hits"))
+      .select(col("doc_id"), col("n_words"), col("sum_word_chars"),
+        col("n_symbol_words"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_hits"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("wc_ok"),
+        (lit(3) * col("n_words") <= col("sum_word_chars") &&
+          col("sum_word_chars") <= lit(10) * col("n_words")).as("mwl_ok"),
+        (lit(10) * col("n_symbol_words") <= col("n_words")).as("sym_ok"),
+        (lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines")).as("bullet_ok"),
+        (lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines")).as("ellipsis_ok"),
+        (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")).as("alpha_ok"),
+        (col("n_stop_hits") >= 2).as("stops_ok"))
+      .withColumn("keep",
+        col("wc_ok") && col("mwl_ok") && col("sym_ok") && col("bullet_ok") &&
+          col("ellipsis_ok") && col("alpha_ok") && col("stops_ok"))
+  }
+
   /** Segment width (words) for [[d17]]: the synthetic corpus has no
     * newline structure, so fixed non-overlapping word windows stand in
     * for paragraphs. 20 words gives most documents 2–5 segments —
@@ -674,6 +771,11 @@ object TextOps {
       |  row_number() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) = 1 AS keep
       |FROM segs ORDER BY doc_id, seg_idx""".stripMargin) { (s, dir) =>
     segmentDedup(Tables.documents(s, dir), d17SegWidth).orderBy("doc_id", "seg_idx")
+  }.withProd { (s, dir) =>
+    // production twin: identical plan with the 8-byte xxhash64 segment
+    // hash riding the shuffle instead of oracle-imposed 32-char md5 hex
+    segmentDedup(Tables.documents(s, dir), d17SegWidth, prodHash = true)
+      .orderBy("doc_id", "seg_idx")
   }
 
   /** d17's computation over any (doc_id, text) frame: per-segment hash,
@@ -695,18 +797,26 @@ object TextOps {
     *        whitespace-collapse), so segments differing only in casing
     *        or spacing hash equal. The REGISTERED entry keeps raw text
     *        (its oracle replays the raw bytes); pipelines wanting the
-    *        normalized behavior opt in. */
+    *        normalized behavior opt in.
+    * @param prodHash ship the PRODUCTION segment hash — 8-byte xxhash64
+    *        instead of 32-char md5 hex — through the groupBy/join
+    *        shuffle. md5 exists only so the DuckDB oracle can replay
+    *        the hash; the d17 prod twin runs this path so the narrower
+    *        shuffle is a measured number (t_prod), not a comment. */
   def segmentDedup(docs: DataFrame, width: Int,
-                   normalize: Boolean = false): DataFrame = {
+                   normalize: Boolean = false,
+                   prodHash: Boolean = false): DataFrame = {
     val w = col("w")
     val t0 = if (normalize) lower(col("text")) else col("text")
+    def segHash(s: org.apache.spark.sql.Column) =
+      if (prodHash) xxhash64(s) else md5(s)
     val segs = docs
       .select(col("doc_id"), tokens(t0).as("w"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0),
             ((size(w) + lit(width - 1)) / lit(width)).cast("int") - 1),
-          i => md5(array_join(slice(w, i * width + 1, lit(width)), " "))))
+          i => segHash(array_join(slice(w, i * width + 1, lit(width)), " "))))
           .as(Seq("seg_idx", "seg_hash")))
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
         col("seg_hash"))
@@ -763,6 +873,10 @@ object TextOps {
       |  row_number() OVER (PARTITION BY seg_hash ORDER BY doc_id, seg_idx) = 1 AS keep
       |FROM segs ORDER BY doc_id, seg_idx""".stripMargin) { (s, dir) =>
     cdcDedup(Tables.documents(s, dir), d18BoundaryMod).orderBy("doc_id", "seg_idx")
+  }.withProd { (s, dir) =>
+    // production twin: xxhash64 chunk hash through the dedup shuffle
+    cdcDedup(Tables.documents(s, dir), d18BoundaryMod, prodHash = true)
+      .orderBy("doc_id", "seg_idx")
   }
 
   /** d18's computation over any (doc_id, text) frame: content-defined
@@ -771,10 +885,13 @@ object TextOps {
     * counts by chunk hash. STAGED projections keep w/bp/starts as
     * attribute references (the t10 inlining lesson — each is consumed
     * by several non-cheap lambdas). */
-  def cdcDedup(docs: DataFrame, boundaryMod: Int): DataFrame = {
+  def cdcDedup(docs: DataFrame, boundaryMod: Int,
+               prodHash: Boolean = false): DataFrame = {
     val w = col("w")
     val tokFold = (t: org.apache.spark.sql.Column) =>
       when(t === "", 0L).otherwise(graft.functions.TextFunctions.wordFold(t))
+    def segHash(s: org.apache.spark.sql.Column) =
+      if (prodHash) xxhash64(s) else md5(s)
     val segs = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), w,
@@ -787,7 +904,7 @@ object TextOps {
         posexplode(transform(sequence(lit(0), size(col("starts")) - 1), j => {
           val s0 = get(col("starts"), j)
           val e0 = coalesce(get(col("starts"), j + 1), size(w) + 1)
-          md5(array_join(slice(w, s0, e0 - s0), " "))
+          segHash(array_join(slice(w, s0, e0 - s0), " "))
         })).as(Seq("seg_idx", "seg_hash")))
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
         col("seg_hash"))
@@ -838,6 +955,15 @@ object TextOps {
       docs.filter(col("doc_id") % ct01EvalMod === 0),
       n = ct01N)
       .orderBy("doc_id")
+  }.withProd { (s, dir) =>
+    // production twin: xxhash64 gram hashes — narrow probe rows and a
+    // narrow broadcast eval set instead of oracle-imposed md5 hex
+    val docs = Tables.documents(s, dir)
+    contaminationScreen(
+      docs.filter(col("doc_id") % ct01EvalMod =!= 0),
+      docs.filter(col("doc_id") % ct01EvalMod === 0),
+      n = ct01N, prodHash = true)
+      .orderBy("doc_id")
   }
 
   /** ct01's computation over any (doc_id, text) frames: per training doc
@@ -859,16 +985,21 @@ object TextOps {
     * and drop out (same on both engines). */
   def contaminationScreen(train: DataFrame, evalDocs: DataFrame,
                           n: Int = 13,
-                          broadcastEval: Boolean = true): DataFrame = {
+                          broadcastEval: Boolean = true,
+                          prodHash: Boolean = false): DataFrame = {
     def grams(df: DataFrame): DataFrame = {
       val w = col("w")
+      def gramHash(s: org.apache.spark.sql.Column) =
+        if (prodHash) xxhash64(s) else md5(s)
+      val empty =
+        if (prodHash) typedlit(Seq.empty[Long]) else typedlit(Seq.empty[String])
       df.select(col("doc_id"), tokens(col("text")).as("w"))
         .select(col("doc_id"),
           explode(array_distinct(
             when(size(w) >= n,
               transform(sequence(lit(0), size(w) - n),
-                i => md5(array_join(slice(w, i + 1, lit(n)), " "))))
-              .otherwise(typedlit(Seq.empty[String])))).as("gh"))
+                i => gramHash(array_join(slice(w, i + 1, lit(n)), " "))))
+              .otherwise(empty))).as("gh"))
     }
     val tr = grams(train)
     val ev0 = grams(evalDocs).select("gh").distinct().withColumn("hit", lit(1))
@@ -880,5 +1011,5 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(d01, t01, t02, t03, t04, t06, t07, t08, t09, ht01,
-    pl01, t10, pii01, d17, d18, ct01)
+    pl01, t10, t11, pii01, d17, d18, ct01)
 }

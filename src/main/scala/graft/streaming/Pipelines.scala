@@ -289,7 +289,14 @@ object Pipelines {
   // ------------------------------------------------- streaming near-dedup
 
   final case class BandedDoc(doc_id: Long, band: Int, bh: Long, sig: Seq[Long])
-  final case class BucketIncumbents(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  /** `updatedAtMs` = processing time of the last batch that touched the
+    * bucket: the TTL horizon is enforced on DATA batches against this
+    * stamp (exact regardless of when the engine schedules a timeout
+    * batch — the r14 advisor's finding), with the ProcessingTimeTimeout
+    * eviction kept as the memory-reclaim path for buckets no data ever
+    * touches again. */
+  final case class BucketIncumbents(ids: Seq[Long], sigs: Seq[Seq[Long]],
+                                    updatedAtMs: Long)
   /** One per (doc, band): did this band's bucket already hold a
     * near-duplicate incumbent? `match_id`/`est` are −1 when unmatched. */
   final case class BandVerdict(doc_id: Long, band: Int, bh: Long,
@@ -339,10 +346,15 @@ object Pipelines {
     * such drop is COUNTED in the `droppedIncumbents` accumulator (shown
     * in the Spark UI; pass your own to read it programmatically) and
     * logged once per batch-group. `ttlMs` > 0 bounds the dedup horizon:
-    * bucket state idle longer than the TTL is evicted via
-    * ProcessingTimeTimeout, turning the global dedup into a windowed
-    * one (the production default at an unbounded-retention ingest);
-    * ttlMs = 0 keeps the reference semantics of a global dedup. */
+    * a bucket idle longer than the TTL forgets its incumbents — checked
+    * EXACTLY on every data batch against the state's own
+    * `updatedAtMs` stamp (so the horizon never depends on the engine
+    * having scheduled a timeout batch for the key), with
+    * ProcessingTimeTimeout eviction as the memory-reclaim path for
+    * buckets nothing touches again — turning the global dedup into a
+    * windowed one (the production default at an unbounded-retention
+    * ingest); ttlMs = 0 keeps the reference semantics of a global
+    * dedup. */
   def streamingNearDedup(docs: DataFrame, k: Int = 32, bands: Int = 8,
                          minEst: Double = 0.5,
                          maxPerBucket: Int = 8,
@@ -372,7 +384,14 @@ object Pipelines {
             Iterator.empty
           } else {
           val incoming = batch.toArray.sortBy(_.doc_id)
-          var inc = state.getOption.getOrElse(BucketIncumbents(Nil, Nil))
+          // exact TTL horizon: incumbents from a bucket idle longer
+          // than ttlMs are discarded BEFORE matching, so a post-TTL
+          // duplicate can never match stale state even when no
+          // timeout-evaluation batch fired for the key in between
+          val nowMs = state.getCurrentProcessingTimeMs()
+          var inc = state.getOption
+            .filter(s => ttlMs <= 0 || nowMs - s.updatedAtMs <= ttlMs)
+            .getOrElse(BucketIncumbents(Nil, Nil, nowMs))
           var droppedHere = 0L
           val out = scala.collection.mutable.ArrayBuffer.empty[BandVerdict]
           incoming.foreach { d =>
@@ -391,7 +410,8 @@ object Pipelines {
                 inc.ids(bestI), bestE)
             } else {
               if (inc.ids.length < maxPerBucket)
-                inc = BucketIncumbents(inc.ids :+ d.doc_id, inc.sigs :+ d.sig)
+                inc = BucketIncumbents(inc.ids :+ d.doc_id, inc.sigs :+ d.sig,
+                  nowMs)
               else droppedHere += 1
               out += BandVerdict(d.doc_id, d.band, d.bh, matched = false,
                 -1L, -1.0)
@@ -403,7 +423,7 @@ object Pipelines {
               s"bh=${key._2}) full at $maxPerBucket: dropped $droppedHere " +
               "incumbent(s) this batch — recall degrades on this bucket")
           }
-          state.update(inc)
+          state.update(inc.copy(updatedAtMs = nowMs))
           if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
           out.iterator
           }

@@ -209,6 +209,55 @@ class GraphsSpec extends SparkTestBase {
     Seq(3L, 4L, 5L).foreach(i => assert(run1(i) == i, s"isolated $i must keep its own label"))
   }
 
+  test("pagerank-until-convergence stops early on a fast-mixing graph and matches fixed iteration at tol=0") {
+    import TestSpark.spark.implicits._
+    // fast-mixing: complete directed graph on 6 vertices — after one
+    // round every vertex already holds the uniform stationary rank, so
+    // a tolerance run must halt far before the cap
+    val n = 6
+    val vertices = (0L until n.toLong).toDF("id")
+    val edges = (for (a <- 0L until n.toLong; b <- 0L until n.toLong if a != b)
+      yield (a, b)).toDF("src", "dst")
+    val (ranks, rounds) = Graphs.pageRankUntilConvergenceTracked(
+      vertices, edges, tol = 1e-6, maxIter = 100)
+    assert(rounds < 100, s"fast-mixing graph must converge before the cap, ran $rounds")
+    assert(rounds >= 1)
+    val rs = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rs.values.sum - 1.0) < 1e-9)
+    rs.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-6))
+
+    // tol = 0 never converges in floats → exactly maxIter rounds with
+    // per-round plans identical to the fixed-iteration pageRank
+    val hubV = (0L to 4L).toDF("id")
+    val hubE = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
+    val (dyn, dynRounds) = Graphs.pageRankUntilConvergenceTracked(
+      hubV, hubE, tol = 0.0, maxIter = 10)
+    assert(dynRounds == 10)
+    val fixed = Graphs.pageRank(hubV, hubE, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = dyn.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == fixed, "tol=0 must reproduce the fixed-iteration ranks bit-identically")
+  }
+
+  test("structural combinators: subgraphTriplets evaluates the predicate over endpoint attributes") {
+    import TestSpark.spark.implicits._
+    // keep edges whose endpoints share an attribute — the triplet
+    // predicate the edge-columns-only subgraph cannot express
+    val verts = Seq((0L, "x"), (1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "attr")
+    val edges = Seq((0L, 1L, 5), (1L, 2L, 20), (2L, 3L, 30)).toDF("src", "dst", "w")
+    val (v, e) = Graphs.subgraphTriplets(verts, edges,
+      epred = col("src_attr") === col("dst_attr"))
+    assert(v.count() == 4)
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(es.toSeq == Seq((0L, 1L, 5), (2L, 3L, 30)), s"got ${es.toSeq}")
+    assert(e.columns.toSeq == Seq("src", "dst", "w"), "column order preserved")
+    // vpred still enforces both-endpoints-survive before epred sees the edge
+    val (v2, e2) = Graphs.subgraphTriplets(verts, edges,
+      vpred = col("id") =!= 3, epred = col("src_attr") === col("dst_attr"))
+    assert(v2.count() == 3)
+    assert(e2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+
   test("structural combinators: subgraph drops edges with a filtered endpoint") {
     import TestSpark.spark.implicits._
     // path 0→1→2→3 with weights; keep ids < 3 and weight > 10

@@ -232,6 +232,50 @@ class TextSpec extends SparkTestBase {
     assert(got(3L) == ((2L, 2L, 0L, 0L, true)), s"doc3 ${got(3L)}")
   }
 
+  test("t11 Gopher rules: each planted violation trips exactly its own flag") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      // 0: clean — 50 words, sane lengths, two stops, no lines/symbols
+      (0L, (Seq("the", "a") ++ (1 to 48).map(i => s"word$i")).mkString(" ")),
+      // 1: too short (10 words) — wc_ok fails, everything else passes
+      (1L, "the a tiny doc of ten small plain words here"),
+      // 2: mean word length > 10 — mwl_ok fails
+      (2L, (Seq("the", "a") ++ (1 to 48).map(_ => "extraordinarily")).mkString(" ")),
+      // 3: symbol-heavy — >10% words contain '#' or '...'
+      (3L, (Seq("the", "a") ++ (1 to 8).map(_ => "#tag") ++
+        (1 to 40).map(i => s"word$i")).mkString(" ")),
+      // 4: bullet-led lines — every line starts '- '
+      (4L, (1 to 5).map(i => s"- the a bullet item $i " +
+        (1 to 6).map(j => s"w$i$j").mkString(" ")).mkString("\n")),
+      // 5: ellipsis-ended lines — 2 of 5 lines end '...'
+      (5L, Seq("the a start", "trailing off...", "more words here...",
+        "solid line here", "the a final words " + (1 to 36).map(i => s"w$i").mkString(" "))
+        .mkString("\n")),
+      // 6: numeric — most words have no alphabetic char
+      (6L, (Seq("the", "a") ++ (1 to 48).map(i => (i * 137).toString)).mkString(" ")),
+      // 7: no stop words at all
+      (7L, (1 to 50).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.qualityRules(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = Seq("wc_ok", "mwl_ok", "sym_ok", "bullet_ok",
+      "ellipsis_ok", "alpha_ok", "stops_ok")
+      .map(f => f -> got(id).getAs[Boolean](f)).toMap
+    assert(flags(0L).values.forall(identity) && got(0L).getAs[Boolean]("keep"))
+    assert(!flags(1L)("wc_ok") && flags(1L)("mwl_ok") && flags(1L)("stops_ok"))
+    assert(!flags(2L)("mwl_ok") && flags(2L)("wc_ok"))
+    assert(!flags(3L)("sym_ok") && got(3L).getAs[Long]("n_symbol_words") == 8L)
+    assert(!flags(4L)("bullet_ok") && got(4L).getAs[Long]("n_bullet_lines") == 5L)
+    assert(!flags(5L)("ellipsis_ok") && got(5L).getAs[Long]("n_ellipsis_lines") == 2L
+      && got(5L).getAs[Long]("n_lines") == 5L)
+    assert(!flags(6L)("alpha_ok") && flags(6L)("wc_ok"))
+    assert(!flags(7L)("stops_ok") && got(7L).getAs[Long]("n_stop_hits") == 0L)
+    (1L to 7L).foreach(i => assert(!got(i).getAs[Boolean]("keep"), s"doc $i must be gated"))
+    // integer certificates: counts reconcile with the flag arithmetic
+    assert(got(2L).getAs[Long]("sum_word_chars") >
+      10 * got(2L).getAs[Long]("n_words"))
+  }
+
   test("pii01 redaction masks every planted email/phone/IP and leaves clean text alone") {
     import TestSpark.spark.implicits._
     val docs = Seq(
@@ -292,6 +336,18 @@ class TextSpec extends SparkTestBase {
     val exchanges0 = "Exchange hashpartitioning".r.findAllIn(plan0).length
     assert(exchanges0 == 1,
       s"expected exactly one hash shuffle, got $exchanges0:\n${plan0.take(900)}")
+    // r15: the tokenizer split is STAGED — once in the gate filter, once
+    // in the post-dedup chunk grid (the former single-select shape
+    // inlined it 3× post-shuffle; bounds guard against regex rot too)
+    val plSplits = "split\\(trim\\(text".r.findAllIn(plan0).length
+    assert(plSplits >= 1 && plSplits <= 2,
+      s"pl01 tokenizer staged $plSplits times (0 = guard regex rotted, " +
+        s">2 = staging collapsed):\n${plan0.take(900)}")
+    val t09plan = graft.operators.TextOps.t09.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val t09Splits = "split\\(trim\\(text".r.findAllIn(t09plan).length
+    assert(t09Splits == 1,
+      s"t09 tokenizer staged $t09Splits times:\n${t09plan.take(900)}")
     val out = graft.operators.TextOps.pl01.run(spark, sfDir).cache()
     val total = docs.count()
     val kept = docs
@@ -313,6 +369,27 @@ class TextSpec extends SparkTestBase {
     assert(out.filter(col("chunk_idx") === 0).count() == survivors)
     assert(out.filter(col("n_tokens") > 64 || col("n_tokens") < 1).count() == 0)
     out.unpersist()
+  }
+
+  test("d17/d18/ct01 production twins (xxhash64 shuffle) agree with the md5 entries verdict-for-verdict") {
+    // the twin changes ONLY the hash riding the shuffle (32-char md5 hex
+    // → 8-byte xxhash64); every verdict column must be identical
+    for (q <- Seq(graft.operators.TextOps.d17, graft.operators.TextOps.d18)) {
+      val entry = q.run(spark, sfDir)
+        .select("doc_id", "seg_idx", "n_copies", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val twin = q.prod.get(spark, sfDir)
+        .select("doc_id", "seg_idx", "n_copies", "keep")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(entry.toSeq == twin.toSeq,
+        s"${q.name} twin diverged from its entry")
+    }
+    val ct = graft.operators.TextOps.ct01
+    val ctEntry = ct.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val ctTwin = ct.prod.get(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(ctEntry.toSeq == ctTwin.toSeq, "ct01 twin diverged from its entry")
   }
 
   test("d17 segment dedup: keep-first by (doc_id, seg_idx), exact copy counts, partial tails") {
