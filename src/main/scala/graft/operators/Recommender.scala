@@ -551,5 +551,211 @@ object Recommender {
     als(pairs, dim = 8, iters = 5, nonnegative = true)
   }
 
-  val all: Seq[Q] = Seq(r01, r02, r03)
+  /** Per-key IMPLICIT-feedback normal-equations kernel (Hu, Koren &
+    * Volinsky, "Collaborative Filtering for Implicit Feedback
+    * Datasets", ICDM'08 — the reference's trainImplicit mode,
+    * mllib/recommendation/ALS.scala:338 and the NormalEquation
+    * addImplicit kernel at ml/recommendation/ALS.scala:453): the
+    * dense system ranges over ALL items, but decomposes as the SHARED
+    * Gramian G = ΣyyᵀY (identical for every key — passed in as a
+    * bounded dim² array) plus per-key corrections from the key's
+    * OBSERVED edges only:
+    *
+    *   (G + Σ_obs (c−1)·qqᵀ + λ·n·I) x = Σ_obs[r>0] c·q,
+    *   c = 1 + α·|r|  (the reference's |r| extension for r < 0),
+    *   preference p = 1 iff r > 0.
+    *
+    * λ·n (n = the key's observed-edge count) is graft's ALS-WR
+    * weighting, matching [[solveNormalEq]] — a documented delta from
+    * the reference's λ·(total factor count) quirk; it is the
+    * regularizer the monotone-objective certificate is proved
+    * against. */
+  private[graft] def solveImplicitNormalEq(rows: Iterator[(Double, Seq[Double])],
+                                    gram: Array[Double], dim: Int,
+                                    reg: Double, alpha: Double): Seq[Double] = {
+    val a = Array.ofDim[Double](dim, dim)
+    val b = new Array[Double](dim)
+    var x = 0
+    while (x < dim) {
+      var y = 0
+      while (y < dim) { a(x)(y) = gram(x * dim + y); y += 1 }
+      x += 1
+    }
+    var n = 0
+    rows.foreach { case (r, q) =>
+      n += 1
+      val c = 1.0 + alpha * math.abs(r)
+      var i = 0
+      while (i < dim) {
+        val qi = q(i)
+        var j = 0
+        while (j < dim) { a(i)(j) += (c - 1.0) * qi * q(j); j += 1 }
+        if (r > 0) b(i) += c * qi
+        i += 1
+      }
+    }
+    var d = 0
+    while (d < dim) { a(d)(d) += reg * n; d += 1 }
+    solveLinear(a, b).toSeq
+  }
+
+  /** Gramian Σ f fᵀ of a factor table as a dim² driver array — the
+    * BOUNDED shared state each implicit half-round broadcasts (the
+    * reference's computeYtY, ml/recommendation/ALS.scala:1111): one
+    * partial-aggregated explode of dim² cells per row, collected at
+    * dim² doubles regardless of corpus size. */
+  private def gramian(f: DataFrame, dim: Int): Array[Double] = {
+    // cell index is row-local and deterministic: posexplode of the
+    // flattened per-row outer product puts cell (a, b) at p = a·dim + b
+    val arr = f
+      .select(posexplode(flatten(transform(col("f"), x =>
+        transform(col("f"), y => x * y)))).as(Seq("p", "v")))
+      .groupBy("p").agg(sum("v").as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val out = new Array[Double](dim * dim)
+    var i = 0
+    while (i < out.length) { out(i) = arr.getOrElse(i, 0.0); i += 1 }
+    out
+  }
+
+  /** Implicit-feedback ALS trainer (reference trainImplicit,
+    * mllib/recommendation/ALS.scala:338; setImplicitPrefs/setAlpha at
+    * :130,138) returning the factor tables plus, when `track` is set,
+    * the confidence-weighted objective after every FULL round:
+    *
+    *   J(X,Y) = Σ_u Σ_i c_ui (p_ui − x_u·y_i)²
+    *          + λ (Σ_u n_u‖x_u‖² + Σ_i n_i‖y_i‖²),
+    *
+    * c_ui = 1 and p_ui = 0 off the observed edges. The dense Σ_u Σ_i
+    * ranges over every (user, item) pair, but measures EXACTLY with
+    * bounded work via Σ_u Σ_i (x_u·y_i)² = ⟨G_X, G_Y⟩_F (a dim²
+    * Frobenius dot of the two Gramians the half-rounds compute
+    * anyway) plus observed-edge corrections — one join + one
+    * aggregate:
+    *
+    *   J = ⟨G_X, G_Y⟩_F
+    *     + Σ_obs [c·(p − x·y)² − (x·y)² + λ(‖x_u‖² + ‖y_i‖²)].
+    *
+    * Each half-round solves its side's per-key system EXACTLY (the
+    * kernel above), so J is non-increasing at every half-step —
+    * the same alternating-exact-minimization argument as [[r02]],
+    * extended to the weighted objective (the ALS-WR argument the r14
+    * verdict cites): the provable certificate [[r04]] carries. */
+  def alsImplicitFactors(ratings: DataFrame, dim: Int = 8, iters: Int = 5,
+                         reg: Double = 0.1, alpha: Double = 1.0,
+                         seed: Long = 42L, track: Boolean = false)
+      : (DataFrame, DataFrame, Seq[Double]) = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
+      .localCheckpoint()
+
+    def halfRound(fixed: DataFrame, fixedKey: String, solveKey0: String,
+                  gram: Array[Double]): DataFrame = {
+      val base = r2.join(fixed, fixedKey)
+        .select(col(solveKey0), col(fixedKey), col("r"), col("f"))
+      val (d0, r0, a0, g0) = (dim, reg, alpha, gram) // plain captures, not `this`
+      base.as[(Long, Long, Double, Seq[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (key, rows) =>
+          val sorted = rows.toArray.sortBy(_._2)
+          (key, Recommender.solveImplicitNormalEq(
+            sorted.iterator.map(t => (t._3, t._4)), g0, d0, r0, a0))
+        }
+        .toDF(solveKey0, "f")
+    }
+
+    def obsTerm(uF: DataFrame, iF: DataFrame): Double = {
+      val xy = dot(col("p"), col("q"))
+      val c = lit(1.0) + lit(alpha) * abs(col("r"))
+      val p = when(col("r") > 0, lit(1.0)).otherwise(lit(0.0))
+      r2.join(uF.select(col("u"), col("f").as("p")), "u")
+        .join(iF.select(col("i"), col("f").as("q")), "i")
+        .agg(sum(
+          c * pow(p - xy, 2) - pow(xy, 2) +
+            lit(reg) * (dot(col("p"), col("p")) + dot(col("q"), col("q")))))
+        .head.getDouble(0)
+    }
+
+    val js = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var itemF = r2.select("i").distinct()
+      .select(col("i"), initArr(col("i"), dim, seed + 1).as("f"))
+      .localCheckpoint()
+    var userF: DataFrame = null
+    for (_ <- 1 to iters) {
+      val gY = gramian(itemF, dim)
+      userF = cut(halfRound(itemF, "i", "u", gY))
+      val gX = gramian(userF, dim)
+      itemF = cut(halfRound(userF, "u", "i", gX))
+      if (track) {
+        val gY2 = gramian(itemF, dim)
+        var frob = 0.0
+        var k = 0
+        while (k < gX.length) { frob += gX(k) * gY2(k); k += 1 }
+        js += frob + obsTerm(userF, itemF)
+      }
+    }
+    (userF, itemF, js.toSeq)
+  }
+
+  /** Registered IMPLICIT-feedback ALS pass (reference trainImplicit,
+    * ALS.scala:338) — the Hu-Koren-Volinsky confidence-weighted
+    * factorization over implicit interactions DERIVED FROM ORDER
+    * EVENTS: on r02's deterministic 200-customer slice, the implicit
+    * "rating" is the (customer, part) interaction count (how many
+    * lineitems — a purchase-frequency signal, the canonical implicit
+    * input), never an explicit score. r02's claim-oracle pattern:
+    *
+    *  - the (u, i) edge set and exact interaction moments
+    *    (Σ l_quantity, count): DuckDB re-derives row-for-row;
+    *  - `monotone_obj`: the confidence-weighted objective J measured
+    *    after every full round never increased — PROVABLE, because
+    *    each half-round solves its side's dense normal equations
+    *    exactly (alternating exact minimization on the weighted
+    *    objective; the Σ-over-all-pairs term is measured exactly via
+    *    the Gramian Frobenius identity, see [[alsImplicitFactors]]).
+    *
+    * RecommenderSpec pins observed-above-unobserved ranking on a
+    * planted interaction matrix, confidence monotonicity in α, seeded
+    * determinism, and the kernel against a driver-side dense solve. */
+  val r04 = Q.sql(
+    "r04_als_implicit",
+    """WITH r AS (
+      |  SELECT o_custkey AS u, l_partkey AS i,
+      |         CAST(sum(l_quantity) AS DOUBLE) AS r_sum, count(*) AS n
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 200
+      |  GROUP BY 1, 2)
+      |SELECT u, i, r_sum, n, TRUE AS monotone_obj
+      |FROM r ORDER BY u, i""".stripMargin) { (s, dir) =>
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(count(lit(1)).cast("double").as("r"),
+        sum("l_quantity").cast("double").as("r_sum"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    val (_, _, js) = alsImplicitFactors(pairs.select("u", "i", "r"),
+      dim = 8, iters = 5, track = true)
+    val monotone = js.nonEmpty &&
+      js.sliding(2).forall(p => p.length < 2 || p(1) <= p(0) * (1 + 1e-9) + 1e-9)
+    pairs
+      .select(col("u"), col("i"), col("r_sum"), col("n"),
+        lit(monotone).as("monotone_obj"))
+      .orderBy("u", "i")
+  }.withProd { (s, dir) =>
+    // production path: objective tracking OFF; emit the preference
+    // scores x·y over the training edges (the serving surface)
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(count(lit(1)).cast("double").as("r"))
+      .localCheckpoint()
+    val (userF, itemF, _) = alsImplicitFactors(pairs, dim = 8, iters = 5)
+    alsPredict(pairs, userF, itemF)
+  }
+
+  val all: Seq[Q] = Seq(r01, r02, r03, r04)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkTestBase {
+
+  private def runMerges(docs: org.apache.spark.sql.DataFrame, merges: Int) =
+    Bpe.bpeVocab(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
+  test("BPE learns the classic low/lower/newest merge sequence with lexicographic tie-breaks") {
+    import TestSpark.spark.implicits._
+    // Sennrich et al.'s canonical corpus shape: low x5, lower x2,
+    // newest x6. Hand-derived: round 0 merges (w,e) at 8 (lower's 2 +
+    // newest's 6; 'low' has no w-e pair); round 1 (l,o) at 7 (the 'we'
+    // merge dropped o-w to 5, so no tie); round 2 ties at 6 among
+    // (n,e),(e,we),(we,s),(s,t) -> (e,we) by lexicographic lhs.
+    val docs = Seq(
+      (0L, Array.fill(5)("low").mkString(" ")),
+      (1L, Array.fill(2)("lower").mkString(" ")),
+      (2L, Array.fill(6)("newest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = runMerges(docs, 3)
+    assert(got == Seq((0L, "w", "e", 8L), (1L, "l", "o", 7L), (2L, "e", "we", 6L)),
+      s"got $got")
+  }
+
+  test("BPE merge application is left-to-right non-overlapping (the aaa case)") {
+    import TestSpark.spark.implicits._
+    // 'aaaa' under merge (a,a): left-to-right gives [aa][aa]; 'aaa'
+    // gives [aa][a] — the overlap rule both engines' replace implements
+    val docs = Seq((0L, "aaaa aaa ab")).toDF("doc_id", "text")
+    val got = runMerges(docs, 2)
+    // round 0: pairs a-a: aaaa has 3 slots, aaa has 2, ab has a-b 1 ->
+    // (a,a,5); round 1 segments: [aa aa], [aa a], [a b] -> pairs
+    // (aa,aa,1), (aa,a,1), (a,b,1) -> lexicographic: (a,b) wins
+    assert(got == Seq((0L, "a", "a", 5L), (1L, "a", "b", 1L)), s"got $got")
+  }
+
+  test("BPE matches a driver-side reference implementation on a seeded random corpus") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 40).map(_ =>
+      (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = (0 until 200).map(id =>
+      (id.toLong, (0 until (5 + rnd.nextInt(25)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    // driver-side reference BPE over the exact word counts
+    val wordCounts = docs.collect()
+      .flatMap(_.getString(1).split("\\s+"))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    def mergeSeq(s: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    var cur = wordCounts.toSeq.map { case (w, n) => (w.map(_.toString).toVector, n) }
+    val expect = (0 until 12).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((s, n) <- cur; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) += n
+      val ((l, r), c) = counts.toSeq.minBy { case ((l0, r0), c0) => (-c0, l0, r0) }
+      cur = cur.map { case (s, n) => (mergeSeq(s, l, r), n) }
+      (step.toLong, l, r, c)
+    }
+    assert(runMerges(docs, 12) == expect)
+  }
+}

@@ -111,6 +111,85 @@ class RecommenderSpec extends SparkTestBase {
     assert(run() == run(), "sorted-group accumulation must make ALS bit-deterministic")
   }
 
+  test("implicit kernel: Gramian decomposition reproduces the dense HKV normal equations") {
+    // 3 items, dim 2: the kernel's (G + Σ(c−1)qqᵀ + λnI)x = Σ c·p·q must
+    // equal the DENSE system built over ALL items with c=1, p=0 off the
+    // observed edges — the decomposition that makes implicit ALS bounded
+    val items = Seq(Array(1.0, 0.5), Array(-0.3, 0.8), Array(0.6, -0.4))
+    val dim = 2
+    val gram = new Array[Double](dim * dim)
+    for (q <- items; a <- 0 until dim; b <- 0 until dim)
+      gram(a * dim + b) += q(a) * q(b)
+    // user observed items 0 (r=3) and 2 (r=1); item 1 unobserved
+    val obs = Seq((3.0, items(0).toSeq), (1.0, items(2).toSeq))
+    val alpha = 1.5; val reg = 0.1
+    val x = Recommender.solveImplicitNormalEq(
+      obs.iterator, gram, dim, reg, alpha).toArray
+    // dense reference: A = Σ_all c qqᵀ + λnI, b = Σ_all c p q
+    val a = Array.ofDim[Double](dim, dim); val b = new Array[Double](dim)
+    val cs = Map(0 -> (1.0 + alpha * 3.0), 1 -> 1.0, 2 -> (1.0 + alpha * 1.0))
+    val ps = Map(0 -> 1.0, 1 -> 0.0, 2 -> 1.0)
+    for (k <- items.indices; i0 <- 0 until dim) {
+      for (j0 <- 0 until dim) a(i0)(j0) += cs(k) * items(k)(i0) * items(k)(j0)
+      b(i0) += cs(k) * ps(k) * items(k)(i0)
+    }
+    for (d0 <- 0 until dim) a(d0)(d0) += reg * obs.size
+    // residual of the kernel's solution against the dense system
+    for (i0 <- 0 until dim) {
+      val lhs = (0 until dim).map(j0 => a(i0)(j0) * x(j0)).sum
+      assert(math.abs(lhs - b(i0)) < 1e-10,
+        s"row $i0: dense-system residual ${lhs - b(i0)}")
+    }
+  }
+
+  test("implicit ALS ranks observed interactions above unobserved and is seeded-deterministic") {
+    import TestSpark.spark.implicits._
+    // planted implicit matrix: 20 users × 15 items, user u interacted
+    // with items where (u + i) % 3 == 0, count 1 + (u + i) % 4
+    val rows = for { u <- 0 until 20; i <- 0 until 15; if (u + i) % 3 == 0 }
+      yield (u.toLong, i.toLong, (1 + (u + i) % 4).toDouble)
+    val ratings = rows.toDF("u", "i", "r")
+    val (userF, itemF, js) = Recommender.alsImplicitFactors(
+      ratings, dim = 4, iters = 6, reg = 0.05, alpha = 2.0, track = true)
+    // provable certificate measured: J never increased
+    assert(js.size == 6)
+    js.sliding(2).foreach(p =>
+      assert(p(1) <= p(0) * (1 + 1e-9) + 1e-9, s"objective rose: $js"))
+    // score EVERY (u, i) pair and compare observed vs unobserved means
+    val allPairs = (for { u <- 0 until 20; i <- 0 until 15 }
+      yield (u.toLong, i.toLong)).toDF("u", "i")
+    val obsSet = rows.map(t => (t._1, t._2)).toSet
+    val preds = Recommender.alsPredict(allPairs, userF, itemF)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val (obsP, unP) = preds.partition { case (k, _) => obsSet(k) }
+    val obsMean = obsP.values.sum / obsP.size
+    val unMean = unP.values.sum / unP.size
+    assert(obsMean > unMean + 0.2,
+      s"observed mean pref $obsMean must clearly beat unobserved $unMean")
+    // stronger confidence pulls observed preferences harder toward 1
+    val (u2, i2, _) = Recommender.alsImplicitFactors(
+      ratings, dim = 4, iters = 6, reg = 0.05, alpha = 40.0)
+    val obsMean2 = Recommender.alsPredict(allPairs, u2, i2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter(t => obsSet(t._1)).map(_._2)
+    assert(obsMean2.sum / obsMean2.size > obsMean,
+      "alpha=40 must pull observed preferences harder toward 1 than alpha=2")
+    // seeded determinism
+    def run() = Recommender.alsImplicitFactors(ratings, dim = 4, iters = 3)
+      ._1.select(col("u"), col("f").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(run() == run(), "implicit ALS must be bit-deterministic")
+  }
+
+  test("r04: one row per training edge with a certified monotone implicit objective") {
+    val out = Recommender.r04.run(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("monotone_obj")).count() == 0,
+      "the implicit ALS objective must be provably non-increasing")
+    assert(out.select("u", "i").distinct().count() == out.count())
+    out.unpersist()
+  }
+
   test("NNLS kernel: interior solutions match the unconstrained solve; active constraints satisfy KKT") {
     // interior case: A = [[4,1],[1,3]], b = [1,2] → x* = (1/11, 7/11),
     // strictly positive, so NNLS must equal the unconstrained optimum
