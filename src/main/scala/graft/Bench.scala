@@ -136,7 +136,11 @@ object Bench {
       "mm04_wav_parse", "mm05_bmp_parse", "mm06_y4m_parse",
       "rg02_logistic", "rg03_isotonic", "rg04_lasso", "svm01_linear_svm",
       "dt01_decision_tree", "dt02_entropy_tree", "d08_kmeans",
-      "d09_semantic_dedup", "gp01_shortest_paths", "fp01_freq_itemsets")
+      "d09_semantic_dedup", "gp01_shortest_paths", "fp01_freq_itemsets",
+      // r15 additions, by the same rule: r04 is an iterative trainer
+      // (2 solves + 2 Gramian jobs per round), t12 a per-merge-round
+      // driver loop (one pair-count job per merge)
+      "r04_als_implicit", "t12_bpe_vocab")
 
     // LOWER median: with an even sample count (e.g. one cold + one warm
     // round before the budget cut) report the faster middle sample —

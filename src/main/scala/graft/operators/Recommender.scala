@@ -666,13 +666,15 @@ object Recommender {
     }
 
     def obsTerm(uF: DataFrame, iF: DataFrame): Double = {
-      val xy = dot(col("p"), col("q"))
       val c = lit(1.0) + lit(alpha) * abs(col("r"))
       val p = when(col("r") > 0, lit(1.0)).otherwise(lit(0.0))
+      // xy staged as an attribute: composing the dot Column directly
+      // would inline the aggregate HOF into both consumers (t10 lesson)
       r2.join(uF.select(col("u"), col("f").as("p")), "u")
         .join(iF.select(col("i"), col("f").as("q")), "i")
+        .withColumn("xy", dot(col("p"), col("q")))
         .agg(sum(
-          c * pow(p - xy, 2) - pow(xy, 2) +
+          c * pow(p - col("xy"), 2) - pow(col("xy"), 2) +
             lit(reg) * (dot(col("p"), col("p")) + dot(col("q"), col("q")))))
         .head.getDouble(0)
     }

@@ -884,7 +884,9 @@ object TextOps {
     * starting at position 1 regardless), global keep-first + copy
     * counts by chunk hash. STAGED projections keep w/bp/starts as
     * attribute references (the t10 inlining lesson — each is consumed
-    * by several non-cheap lambdas). */
+    * by several non-cheap lambdas). `prodHash` ships 8-byte xxhash64
+    * chunk hashes through the dedup shuffle instead of oracle-imposed
+    * md5 hex (the d18 prod twin's measured path). */
   def cdcDedup(docs: DataFrame, boundaryMod: Int,
                prodHash: Boolean = false): DataFrame = {
     val w = col("w")
@@ -982,7 +984,9 @@ object TextOps {
     * driver's correctness SF), so a deployment whose eval side does
     * grow with the corpus must pass broadcastEval=false and take the
     * shuffled hash join. Docs shorter than `n` tokens have no grams
-    * and drop out (same on both engines). */
+    * and drop out (same on both engines). `prodHash` switches both
+    * sides' gram hashes to 8-byte xxhash64 — narrow probe rows and a
+    * narrow eval set (the ct01 prod twin's measured path). */
   def contaminationScreen(train: DataFrame, evalDocs: DataFrame,
                           n: Int = 13,
                           broadcastEval: Boolean = true,
