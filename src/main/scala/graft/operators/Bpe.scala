@@ -87,7 +87,7 @@ object Bpe {
   private def oracleSql(merges: Int): String = {
     val rounds = (0 until merges).map { k =>
       s"""p$k AS MATERIALIZED (
-         |  SELECT sym[i] AS l, sym[i+1] AS r, sum(n) AS cnt
+         |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
          |  FROM (SELECT string_split(trim(seg, '<>'), '><') AS sym, n FROM s$k),
          |       unnest(range(1, len(sym))) t(i)
          |  GROUP BY 1, 2),
