@@ -175,20 +175,31 @@ object Regression {
     * the correct answer, so the floor is the meaningful claim).
     * RegressionSpec pins planted separable recovery, determinism, the
     * probability surface, and the same floor independently. */
+  /** Shared (f_words, f_wlen, f_sym, y) language-feature projection over
+    * the documents corpus (rg02 + svm01, entries and twins): the
+    * tokenizer split is STAGED as an attribute (r15 — the t10/pl01
+    * lesson; the former per-entry copies inlined it 3x per row). */
+  private def langFeatures(docs: org.apache.spark.sql.DataFrame,
+                           keepLang: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val w = col("w")
+    val head = Seq(col("doc_id")) ++ (if (keepLang) Seq(col("lang")) else Nil)
+    docs
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("w"))
+      .select(head ++ Seq(
+        (size(w).cast("double") / 100.0).as("f_words"),
+        (aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("double") /
+          size(w) / 10.0).as("f_wlen"),
+        (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
+          length(col("text"))).as("f_sym"),
+        (col("lang") === "en").cast("double").as("y")): _*)
+  }
+
   val rg02 = Q.sql(
     "rg02_logistic",
     """SELECT doc_id, lang, TRUE AS acc_ge_majority
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import graft.functions.TextFunctions.tokens
-    val toks = tokens(col("text"))
-    val feats = Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      (size(toks).cast("double") / 100.0).as("f_words"),
-      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
-        size(toks) / 10.0).as("f_wlen"),
-      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
-        length(col("text"))).as("f_sym"),
-      (col("lang") === "en").cast("double").as("y"))
+    val feats = langFeatures(Tables.documents(s, dir), keepLang = true)
     val beta = logistic(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
       eta = 2.0, iters = 40)
     val margin = lit(beta(0)) + col("f_words") * lit(beta(1)) +
@@ -207,16 +218,7 @@ object Regression {
   }.withProd { (s, dir) =>
     // production path: train + serve the probability surface — no
     // confusion aggregate scoring accuracy against the majority floor
-    import graft.functions.TextFunctions.tokens
-    val toks = tokens(col("text"))
-    val feats = Tables.documents(s, dir).select(
-      col("doc_id"),
-      (size(toks).cast("double") / 100.0).as("f_words"),
-      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
-        size(toks) / 10.0).as("f_wlen"),
-      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
-        length(col("text"))).as("f_sym"),
-      (col("lang") === "en").cast("double").as("y"))
+    val feats = langFeatures(Tables.documents(s, dir), keepLang = false)
     val beta = logistic(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
       eta = 2.0, iters = 40)
     val margin = lit(beta(0)) + col("f_words") * lit(beta(1)) +
@@ -494,16 +496,7 @@ object Regression {
     "svm01_linear_svm",
     """SELECT doc_id, lang, TRUE AS acc_ge_majority
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import graft.functions.TextFunctions.tokens
-    val toks = tokens(col("text"))
-    val feats = Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      (size(toks).cast("double") / 100.0).as("f_words"),
-      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
-        size(toks) / 10.0).as("f_wlen"),
-      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
-        length(col("text"))).as("f_sym"),
-      (col("lang") === "en").cast("double").as("y"))
+    val feats = langFeatures(Tables.documents(s, dir), keepLang = true)
     val beta = svmHinge(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
       eta = 0.5, lambda = 0.01, iters = 40)
     val dec = lit(beta(0)) + col("f_words") * lit(beta(1)) +
@@ -522,16 +515,7 @@ object Regression {
   }.withProd { (s, dir) =>
     // production path: train + serve the decision surface — no
     // confusion aggregate scoring accuracy against the majority floor
-    import graft.functions.TextFunctions.tokens
-    val toks = tokens(col("text"))
-    val feats = Tables.documents(s, dir).select(
-      col("doc_id"),
-      (size(toks).cast("double") / 100.0).as("f_words"),
-      (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") /
-        size(toks) / 10.0).as("f_wlen"),
-      (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
-        length(col("text"))).as("f_sym"),
-      (col("lang") === "en").cast("double").as("y"))
+    val feats = langFeatures(Tables.documents(s, dir), keepLang = false)
     val beta = svmHinge(feats, Seq("f_words", "f_wlen", "f_sym"), "y",
       eta = 0.5, lambda = 0.01, iters = 40)
     val dec = lit(beta(0)) + col("f_words") * lit(beta(1)) +

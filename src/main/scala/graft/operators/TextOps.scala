@@ -61,18 +61,22 @@ object TextOps {
       |    * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val toks = tokens(col("text"))
-    val nWords = size(toks)
+    // the split STAGED as an attribute (r15 — the t10/pl01 lesson): the
+    // former single-select shape inlined the tokenizer 5× per row
+    // (counts, the length fold, the stopword filter, two denominators);
+    // size() over the staged array attribute is O(1)
+    val w = col("w")
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        nWords.cast("long").as("n_words"),
-        (aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("double") / nWords)
+        size(w).cast("long").as("n_words"),
+        (aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("double") / size(w))
           .as("avg_word_len"),
         (length(regexp_replace(col("text"), lit("[a-z0-9\\s]"), lit(""))).cast("double") /
           length(col("text"))).as("symbol_ratio"),
-        (size(filter(toks, w => w.isInCollection(stops))).cast("double") / nWords)
+        (size(filter(w, x => x.isInCollection(stops))).cast("double") / size(w))
           .as("stopword_ratio"))
       .orderBy("doc_id")
   }
