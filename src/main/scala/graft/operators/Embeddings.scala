@@ -220,37 +220,58 @@ object Embeddings {
   def gmmAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val base = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
     val (means, vars, weights) = gmmFit(base, k, iters)
-    val rs = gmmRespCols(means, vars, weights)
-    val best = (0 until k).map(j => struct(rs(j).as("r"), lit(-j).as("nc")))
-    base
+    val best = (0 until k).map(j =>
+      struct(col("rs")(j).as("r"), lit(-j).as("nc")))
+    gmmRespFrame(base, means, vars, weights)
       .select(col("vec_id"), greatest(best: _*).as("b"))
       .select(col("vec_id"), (-col("b.nc")).as("cluster"),
         round(col("b.r"), 6).as("resp"))
   }
 
-  /** E-step responsibility columns against the model as plan LITERALS,
-    * via the EXPANDED quadratic form: Σ(x−μ)²/v = Σx²·(1/v) −
-    * 2Σx·(μ/v) + Σμ²/v — two NATIVE float_dot products per component
-    * (graft.plans codegen), instead of nested zip_with/aggregate HOFs
-    * which run on the interpreted path and dominated the first
-    * implementation. Max-shifted softmax of the log-densities. */
-  def gmmRespCols(means: Array[Array[Double]], vars: Array[Array[Double]],
-                  weights: Array[Double]): Seq[Column] = {
+  /** E-step responsibilities against the model as plan LITERALS, via
+    * the EXPANDED quadratic form: Σ(x−μ)²/v = Σx²·(1/v) − 2Σx·(μ/v) +
+    * Σμ²/v — two NATIVE float_dot products per component (graft.plans
+    * codegen), instead of nested zip_with/aggregate HOFs which run on
+    * the interpreted path and dominated the first implementation.
+    * Max-shifted softmax of the log-densities.
+    *
+    * STAGED (r15 — the t10/pl01 inlining lesson at its worst: the
+    * former Seq[Column] form textually nested every reference — each
+    * of the k softmax outputs inlined its own logd, the k-way max (k
+    * more logd copies), and the z-sum (k·(k+1) more) — ~k²
+    * log-density subtrees per row instead of k; codegen CSE recovers
+    * only part of it). Here each tier — x², the k log-densities,
+    * their max, the k shifted exps, the z sum — becomes an ATTRIBUTE
+    * before the next consumes it, so every quantity is computed once
+    * per row; CollapseProject keeps the tiers apart because each
+    * alias is referenced by 2+ non-cheap consumers. Same per-row
+    * float ops on the same values → bit-identical responsibilities.
+    * Appends `out` (array of k responsibilities) to df, preserving
+    * its columns. */
+  def gmmRespFrame(df: DataFrame, means: Array[Array[Double]],
+                   vars: Array[Array[Double]], weights: Array[Double],
+                   out: String = "rs"): DataFrame = {
     val k = weights.length
-    val xx = transform(col("embedding"), x => x * x)
-    val logd: Seq[Column] = (0 until k).map { j =>
+    val keep = df.columns.map(col).toSeq
+    val ldCols = (0 until k).map { j =>
       val a = vars(j).map(v => (1.0 / v).toFloat).toSeq
       val b = means(j).zip(vars(j)).map { case (m, v) => (m / v).toFloat }.toSeq
       val cTerm = means(j).zip(vars(j)).map { case (m, v) => m * m / v }.sum
       val logDet = vars(j).map(math.log).sum
-      lit(math.log(weights(j)) - 0.5 * (logDet + cTerm)) -
-        lit(0.5) * call_function("float_dot", xx, typedlit(a)) +
-        call_function("float_dot", col("embedding"), typedlit(b))
+      (lit(math.log(weights(j)) - 0.5 * (logDet + cTerm)) -
+        lit(0.5) * call_function("float_dot", col("_xx"), typedlit(a)) +
+        call_function("float_dot", col("embedding"), typedlit(b))).as(s"_ld$j")
     }
-    val m = greatest(logd: _*)
-    val exps = logd.map(l => exp(l - m))
-    val z = exps.reduce(_ + _)
-    exps.map(_ / z)
+    val lds = (0 until k).map(j => col(s"_ld$j"))
+    val es = (0 until k).map(j => col(s"_e$j"))
+    df
+      .select(keep :+ transform(col("embedding"), x => x * x).as("_xx"): _*)
+      .select(keep ++ ldCols: _*)
+      .select(keep ++ lds :+ greatest(lds: _*).as("_m"): _*)
+      .select(keep ++ (0 until k).map(j =>
+        exp(col(s"_ld$j") - col("_m")).as(s"_e$j")): _*)
+      .select(keep ++ es :+ es.reduce(_ + _).as("_z"): _*)
+      .select(keep :+ array(es.map(_ / col("_z")): _*).as(out): _*)
   }
 
   /** The EM loop of [[gmmAssign]]: fit (means, vars, weights) over a
@@ -278,8 +299,7 @@ object Embeddings {
 
     val n = base.count().toDouble
     for (_ <- 1 to iters) {
-      val withR = base.withColumn("rs",
-        array(gmmRespCols(means, vars, weights): _*))
+      val withR = gmmRespFrame(base, means, vars, weights)
       // ONE pass: per-dim rows carry (Σ r·x, Σ r·x²) for every
       // component, plus Σ r (identical across dims — the component
       // mass, read from the p=0 row) — dim rows × 3k aggregates total
@@ -339,7 +359,6 @@ object Embeddings {
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     val (means, vars, weights) = gmmFit(base, k, iters = 6)
-    val rs = gmmRespCols(means, vars, weights)
     def hofLogd(j: Int): Column = {
       val mu = typedlit(means(j).toSeq)
       val vv = typedlit(vars(j).toSeq)
@@ -352,8 +371,9 @@ object Embeddings {
         lit(0.5) * q
     }
     val hof = array((0 until k).map(hofLogd): _*)
-    val best = (0 until k).map(j => struct(rs(j).as("r"), lit(-j).as("nc")))
-    base
+    val best = (0 until k).map(j =>
+      struct(col("rs")(j).as("r"), lit(-j).as("nc")))
+    gmmRespFrame(base, means, vars, weights)
       .select(col("vec_id"), greatest(best: _*).as("b"), hof.as("hl"))
       .select(col("vec_id"),
         // tolerance scales with the log-density magnitude: the float
