@@ -186,10 +186,14 @@ object Embeddings {
     }
     val sims = array(centroids.toIndexedSeq.map(hofCos): _*)
     // same map stage the production assignment runs: argmax via the
-    // native float_cosine greatest-struct, certified against the HOF sims
+    // native float_cosine greatest-struct, certified against the HOF
+    // sims — STAGED as an attribute so the k HOF cosines run once per
+    // row, not once per reference (r15, the t10 lesson)
     withCluster(emb.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("cluster"), sims.as("sims"))
       .select(col("vec_id"),
-        (element_at(sims, col("cluster") + 1) >= array_max(sims) - lit(1e-6))
+        (element_at(col("sims"), col("cluster") + 1) >=
+          array_max(col("sims")) - lit(1e-6))
           .as("assigned_argmax"))
       .orderBy("vec_id")
   }.withProd { (s, dir) =>
