@@ -464,10 +464,13 @@ object Trees {
     ((0 until nTrees).map(t => Model(splits(t), leaves(t), depth)), df)
   }
 
-  /** Plurality vote over the trees' prediction expressions, ties to the
-    * lexicographically smallest class (deterministic). */
-  def voteExpr(models: Seq[Model], b: Column): Column = {
-    val preds = array(models.map(m => classifyExpr(m, b)): _*)
+  /** Plurality vote over a per-tree prediction ARRAY column, ties to
+    * the lexicographically smallest class (deterministic). Pass a
+    * STAGED attribute (r15 — the t10 lesson): `preds` is referenced by
+    * array_distinct plus once per distinct class inside the fold, so a
+    * composed classifier array would re-evaluate every tree's
+    * when-chain per reference. */
+  def voteFromPreds(preds: Column): Column = {
     // count occurrences of each distinct prediction, pick (max count, min class)
     val best = aggregate(
       array_distinct(preds),
@@ -480,6 +483,12 @@ object Trees {
       })
     best.getField("cls")
   }
+
+  /** Compose-form of [[voteFromPreds]] over the models' classifier
+    * expressions — convenient for small frames/tests; hot paths should
+    * stage the prediction array first (rf01 does). */
+  def voteExpr(models: Seq[Model], b: Column): Column =
+    voteFromPreds(array(models.map(m => classifyExpr(m, b)): _*))
 
   /** The whole depth-3 Gini induction of [[dt01]] replayed in SQL: the
     * same fixed-width bins from one global min/max, then per level the
@@ -838,8 +847,12 @@ object Trees {
       // drift shows as this targeted assert, not an opaque hash mismatch
       guardGainGaps = true)
     // vote over the trainer's own binned frame (r10): no second min/max
-    // pass, no re-scan of lineitem
-    frame.select(col("label").as("actual"), voteExpr(models, col("b")).as("pred"))
+    // pass, no re-scan of lineitem; the per-tree prediction array is
+    // STAGED so each tree's when-chain evaluates once per row (r15)
+    frame
+      .select(col("label").as("actual"),
+        array(models.map(m => classifyExpr(m, col("b"))): _*).as("preds"))
+      .select(col("actual"), voteFromPreds(col("preds")).as("pred"))
       .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
       .orderBy("actual", "pred")
   }
