@@ -27,11 +27,12 @@ class PlanSpec extends SparkTestBase {
     assert(p5.contains("BroadcastHashJoin"), s"q05 lost its broadcasts:\n$p5")
   }
 
-  test("t10/pii01 plan as scan + ONE map-only projection stage (no join, no hash exchange)") {
+  test("t10/t11/pii01 plan as scan + ONE map-only projection stage (no join, no hash exchange)") {
     // the oracle's ORDER BY costs one range exchange; anything else —
     // a hash exchange, a join, an aggregate — would mean the 'map-only'
     // 100 TB claim in SURVEY §2 is false
-    for (q <- Seq(graft.operators.TextOps.t10, graft.operators.TextOps.pii01)) {
+    for (q <- Seq(graft.operators.TextOps.t10, graft.operators.TextOps.t11,
+                  graft.operators.TextOps.pii01)) {
       val p = plan(q.run(spark, sfDir))
       assert(!p.contains("Exchange hashpartitioning"),
         s"${q.name} gained a hash shuffle:\n$p")
