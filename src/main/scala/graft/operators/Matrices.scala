@@ -198,6 +198,43 @@ object Matrices {
     * MILLIONS of columns (quadratic in columns, not rows); at
     * embedding-width columns the exact Gramian is both cheaper and
     * deterministic, so that is the registered path. */
+  /** cs01's distributed upper-triangle Gramian, collected at dim²/2
+    * cells. `exactDecimal` = the oracle-replayable order-independent
+    * decimal accumulation (d14's rule — the REGISTERED path);
+    * production would take the plain double sum (same one-pass shape,
+    * no per-product decimal conversion riding the hot loop) — the cs01
+    * prod twin measures that delta. */
+  private def gramianUpper(emb: DataFrame, dim: Int,
+                           exactDecimal: Boolean): Map[(Int, Int), Double] = {
+    val prod = col("xi") * col("xj")
+    val sumExpr =
+      if (exactDecimal) sum(prod.cast("decimal(18,12)")).cast("double")
+      else sum(prod)
+    emb
+      .select(transform(col("embedding"), v => v.cast("double")).as("x"))
+      .select(col("x"), posexplode(col("x")).as(Seq("pi", "xi")))
+      .select(col("pi"), col("xi"),
+        posexplode(slice(col("x"), col("pi") + 1, lit(dim))).as(Seq("pj", "xj")))
+      .groupBy(col("pi").cast("int").as("i"),
+        (col("pi") + col("pj")).cast("int").as("j"))
+      .agg(sumExpr.as("s"))
+      // bounded collect: dim(dim+1)/2 = 2080 cells, corpus-size-invariant
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+  }
+
+  /** (i, j, cos_sim) rows for the upper triangle from a collected
+    * Gramian — bounded driver arithmetic, d14's rounding rule. */
+  private def cosineRows(s: org.apache.spark.sql.SparkSession,
+                         g: Map[(Int, Int), Double], dim: Int): DataFrame = {
+    import s.implicits._
+    val nrm = Array.tabulate(dim)(i => math.sqrt(g((i, i))))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    (for { i <- 0 until dim; j <- i + 1 until dim }
+      yield (i, j, r6(g((i, j)) / (nrm(i) * nrm(j)))))
+      .toDF("i", "j", "cos_sim").orderBy("i", "j")
+  }
+
   val cs01: Q = Q.sql(
     "cs01_column_similarities",
     """WITH x AS (
@@ -214,33 +251,23 @@ object Matrices {
       |FROM g JOIN d da ON g.i = da.p JOIN d db ON g.j = db.p
       |WHERE g.i < g.j
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    val dim = 64
     // join-free Gramian: each row expands to its own dim(dim+1)/2 upper-
     // triangle products via nested posexplode (covarianceUpper's shape) —
-    // one map + partial agg, no shuffle of the exploded table
-    val g = Tables.embeddings(s, dir)
-      .select(transform(col("embedding"), v => v.cast("double")).as("x"))
-      .select(col("x"), posexplode(col("x")).as(Seq("pi", "xi")))
-      .select(col("pi"), col("xi"),
-        posexplode(slice(col("x"), col("pi") + 1, lit(dim))).as(Seq("pj", "xj")))
-      .groupBy(col("pi").cast("int").as("i"),
-        (col("pi") + col("pj")).cast("int").as("j"))
-      .agg(sum((col("xi") * col("xj")).cast("decimal(18,12)"))
-        .cast("double").as("s"))
-      // bounded collect: dim(dim+1)/2 = 2080 cells, corpus-size-invariant
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    val nrm = Array.tabulate(dim)(i => math.sqrt(g((i, i))))
+    // one map + partial agg, no shuffle of the exploded table.
     // 6dp aggregate rounding + signed-zero normalization (d14's rule):
     // the double->decimal product cast rounds HALF_UP on Spark and
     // half-even in DuckDB; a halfway product at sf0.1 shifts the exact
     // sum ~1e-13 - far below the emit precision. Spark-side decimal
     // HALF_UP rounding replicated driver-side via BigDecimal.
-    def r6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-    (for { i <- 0 until dim; j <- i + 1 until dim }
-      yield (i, j, r6(g((i, j)) / (nrm(i) * nrm(j)))))
-      .toDF("i", "j", "cos_sim").orderBy("i", "j")
+    cosineRows(s,
+      gramianUpper(Tables.embeddings(s, dir), 64, exactDecimal = true), 64)
+  }.withProd { (s, dir) =>
+    // production twin: the same one-pass Gramian with plain DOUBLE
+    // accumulation — no per-product decimal conversion in the hot loop
+    // (the decimal path exists so the oracle can replay the sum
+    // order-independently; production trusts IEEE summation)
+    cosineRows(s,
+      gramianUpper(Tables.embeddings(s, dir), 64, exactDecimal = false), 64)
   }
 
   /** DIMSUM sampled column similarities (reference RowMatrix.scala:497
@@ -274,7 +301,8 @@ object Matrices {
     * expansion), and partial-aggregates (i, j) sums in exact decimal.
     */
   def dimsumColumnSimilarities(emb: DataFrame, idCol: String, dim: Int,
-                               threshold: Double, seed: Long): DataFrame = {
+                               threshold: Double, seed: Long,
+                               exactDecimal: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold")
     val gamma = 10.0 * math.log(dim.toDouble) / threshold
     val sg = math.sqrt(gamma)
@@ -307,8 +335,10 @@ object Matrices {
       .select(col("ea"),
         explode(slice(col("arr"), col("pa") + 2, lit(dim))).as("eb"))
       .groupBy(col("ea.i").as("i"), col("eb.i").as("j"))
-      .agg(sum((col("ea.s") * col("eb.s")).cast("decimal(18,12)"))
-        .cast("double").as("s"))
+      .agg((if (exactDecimal)
+              sum((col("ea.s") * col("eb.s")).cast("decimal(18,12)"))
+                .cast("double")
+            else sum(col("ea.s") * col("eb.s"))).as("s"))
       .select(col("i"), col("j"), (round(col("s"), 6) + 0.0).as("sim_est"))
   }
 
@@ -371,6 +401,12 @@ object Matrices {
         |FROM est ORDER BY i, j""".stripMargin) { (s, dir) =>
       dimsumColumnSimilarities(Tables.embeddings(s, dir), "vec_id",
         dim = 64, threshold = 0.5, seed = 42L)
+        .orderBy("i", "j")
+    }.withProd { (s, dir) =>
+      // production twin: identical sampling, plain DOUBLE accumulation
+      // (the decimal sum is oracle-imposed order-independence)
+      dimsumColumnSimilarities(Tables.embeddings(s, dir), "vec_id",
+        dim = 64, threshold = 0.5, seed = 42L, exactDecimal = false)
         .orderBy("i", "j")
     }
   }
