@@ -81,6 +81,32 @@ object Bpe {
     out.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** The SERVING side of [[bpeVocab]] — apply a learned merge list to
+    * tokenize text (Sennrich et al.'s subword encoding): each word is
+    * bracket-wrapped per character and the merges apply IN TRAINING
+    * ORDER as chained left-to-right string replaces (identical
+    * semantics to the trainer's own segmentation update), then the
+    * bracket string splits back into subword tokens. Entirely map-only
+    * — one codegen'd projection, zero shuffle — the 100 TB tokenization
+    * shape; the merge list rides in the plan as literals. Each word
+    * evaluates the whole chain once (the fold builds one nested
+    * expression per array element — no multi-reference inlining).
+    *
+    * @return (doc_id, subwords: array&lt;string&gt;) */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def segmented(word: org.apache.spark.sql.Column) =
+      merges.foldLeft(regexp_replace(word, "(.)", "<$1>")) {
+        case (acc, (l, r)) =>
+          replace(acc, lit("<" + l + "><" + r + ">"), lit("<" + l + r + ">"))
+      }
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        flatten(transform(col("w"), word =>
+          split(regexp_replace(segmented(word), "^<|>$", ""), "><")))
+          .as("subwords"))
+  }
+
   /** The oracle replays every round: s_k = segmentations after k
     * merges, p_k = weighted pair counts, m_k = round k's winner; all
     * MATERIALIZED so the chain can't inline exponentially. */

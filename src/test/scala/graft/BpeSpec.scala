@@ -38,6 +38,44 @@ class BpeSpec extends SparkTestBase {
     assert(got == Seq((0L, "a", "a", 5L), (1L, "a", "b", 1L)), s"got $got")
   }
 
+  test("BPE encode applies learned merges in training order: reference-equal, reconstruction-safe") {
+    import TestSpark.spark.implicits._
+    val docs = Seq(
+      (0L, Array.fill(5)("low").mkString(" ")),
+      (1L, "lower lowest newest low"),
+      (2L, Array.fill(6)("newest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = runMerges(docs, 4).map(t => (t._2, t._3))
+    val got = Bpe.encode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // driver-side reference: same left-to-right merge application
+    def mergeSeq(s: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    def ref(text: String): Seq[String] =
+      text.split("\\s+").toSeq.flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (seg, (l, r)) => mergeSeq(seg, l, r)
+        }
+      }
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      assert(got(id) == ref(text), s"doc $id")
+      // reconstruction: concatenating subwords recovers the raw words
+      assert(got(id).mkString == text.split("\\s+").mkString,
+        s"doc $id must reconstruct")
+    }
+    // the merges actually compress: fewer subwords than characters
+    assert(got(2L).length < "newest".length * 6)
+  }
+
   test("BPE matches a driver-side reference implementation on a seeded random corpus") {
     import TestSpark.spark.implicits._
     val rnd = new scala.util.Random(4242)
