@@ -103,7 +103,11 @@ object Bpe {
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"),
         flatten(transform(col("w"), word =>
-          split(regexp_replace(segmented(word), "^<|>$", ""), "><")))
+          // an empty token (whitespace-only doc) yields NO subwords —
+          // split("") would emit [""] where the char-map emits nothing
+          when(word === "", typedlit(Seq.empty[String]))
+            .otherwise(
+              split(regexp_replace(segmented(word), "^<|>$", ""), "><"))))
           .as("subwords"))
   }
 

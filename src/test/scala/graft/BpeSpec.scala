@@ -43,9 +43,11 @@ class BpeSpec extends SparkTestBase {
     val docs = Seq(
       (0L, Array.fill(5)("low").mkString(" ")),
       (1L, "lower lowest newest low"),
-      (2L, Array.fill(6)("newest").mkString(" ")))
+      (2L, Array.fill(6)("newest").mkString(" ")),
+      (3L, " ")) // whitespace-only doc: must encode to ZERO subwords
       .toDF("doc_id", "text")
-    val merges = runMerges(docs, 4).map(t => (t._2, t._3))
+    val merges = runMerges(docs.filter($"doc_id" =!= 3L), 4)
+      .map(t => (t._2, t._3))
     val got = Bpe.encode(docs, merges).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     // driver-side reference: same left-to-right merge application
