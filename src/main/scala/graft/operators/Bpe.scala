@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextFunctions.tokens
@@ -30,8 +30,24 @@ import graft.functions.TextFunctions.tokens
   * the DuckDB SQL unrolls the rounds as materialized CTEs (lp01's
   * pattern). Sentinels require '&lt;'/'&gt;'-free tokens — given on this
   * corpus ([a-z] only); a general deployment would map bytes first.
+  * Both the trainer and [[encode]] ENFORCE that precondition in-plan
+  * (r15 advisor): a token containing a bracket raises an error at the
+  * vocabulary boundary instead of silently mis-segmenting — the check
+  * rides the existing projection (no extra job, no hot-path regex).
   */
 object Bpe {
+
+  /** In-plan sentinel guard: `word` must not contain the '&lt;'/'&gt;'
+    * bracket sentinels the segmentation strings are built from — a
+    * bracketed token would let a pair replace span symbol boundaries
+    * and corrupt the segmentation with no error. Evaluates to `word`
+    * or raises. */
+  private def guarded(word: Column): Column =
+    when(contains(word, lit("<")) || contains(word, lit(">")),
+      raise_error(concat(
+        lit("BPE tokens must not contain '<' or '>' (map bytes first): "),
+        word)).cast("string"))
+      .otherwise(word)
 
   /** Merge rounds for [[t12]] — far below the corpus's ~100+ available
     * pair slots at every SF, so a winning pair always exists; shared
@@ -46,7 +62,7 @@ object Bpe {
     var segs = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(regexp_replace(col("w"), "(.)", "<$1>").as("seg"), col("n"))
+      .select(regexp_replace(guarded(col("w")), "(.)", "<$1>").as("seg"), col("n"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (step <- 0 until merges) {
@@ -94,8 +110,11 @@ object Bpe {
     *
     * @return (doc_id, subwords: array&lt;string&gt;) */
   def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (l, r) =>
+      !(l + r).exists(c => c == '<' || c == '>') },
+      "BPE merge symbols must not contain '<' or '>'")
     def segmented(word: org.apache.spark.sql.Column) =
-      merges.foldLeft(regexp_replace(word, "(.)", "<$1>")) {
+      merges.foldLeft(regexp_replace(guarded(word), "(.)", "<$1>")) {
         case (acc, (l, r)) =>
           replace(acc, lit("<" + l + "><" + r + ">"), lit("<" + l + r + ">"))
       }

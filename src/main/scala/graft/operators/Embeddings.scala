@@ -251,10 +251,19 @@ object Embeddings {
     * alias is referenced by 2+ non-cheap consumers. Same per-row
     * float ops on the same values → bit-identical responsibilities.
     * Appends `out` (array of k responsibilities) to df, preserving
-    * its columns. */
+    * its columns. Intermediate tier names are derived collision-free
+    * from df.columns (r15 advisor: the former fixed `_xx`/`_ld*`/…
+    * names broke on frames that already carried one); `out` colliding
+    * with an existing column fails loudly. */
   def gmmRespFrame(df: DataFrame, means: Array[Array[Double]],
                    vars: Array[Array[Double]], weights: Array[Double],
                    out: String = "rs"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists — pass a different `out`")
+    // shortest underscore run no caller column starts with → every
+    // s"${p}..." temp name is fresh by construction
+    val p = Iterator.iterate("_")(_ + "_")
+      .find(u => !df.columns.exists(_.startsWith(u))).get
     val k = weights.length
     val keep = df.columns.map(col).toSeq
     val ldCols = (0 until k).map { j =>
@@ -263,19 +272,19 @@ object Embeddings {
       val cTerm = means(j).zip(vars(j)).map { case (m, v) => m * m / v }.sum
       val logDet = vars(j).map(math.log).sum
       (lit(math.log(weights(j)) - 0.5 * (logDet + cTerm)) -
-        lit(0.5) * call_function("float_dot", col("_xx"), typedlit(a)) +
-        call_function("float_dot", col("embedding"), typedlit(b))).as(s"_ld$j")
+        lit(0.5) * call_function("float_dot", col(s"${p}xx"), typedlit(a)) +
+        call_function("float_dot", col("embedding"), typedlit(b))).as(s"${p}ld$j")
     }
-    val lds = (0 until k).map(j => col(s"_ld$j"))
-    val es = (0 until k).map(j => col(s"_e$j"))
+    val lds = (0 until k).map(j => col(s"${p}ld$j"))
+    val es = (0 until k).map(j => col(s"${p}e$j"))
     df
-      .select(keep :+ transform(col("embedding"), x => x * x).as("_xx"): _*)
+      .select(keep :+ transform(col("embedding"), x => x * x).as(s"${p}xx"): _*)
       .select(keep ++ ldCols: _*)
-      .select(keep ++ lds :+ greatest(lds: _*).as("_m"): _*)
+      .select(keep ++ lds :+ greatest(lds: _*).as(s"${p}m"): _*)
       .select(keep ++ (0 until k).map(j =>
-        exp(col(s"_ld$j") - col("_m")).as(s"_e$j")): _*)
-      .select(keep ++ es :+ es.reduce(_ + _).as("_z"): _*)
-      .select(keep :+ array(es.map(_ / col("_z")): _*).as(out): _*)
+        exp(col(s"${p}ld$j") - col(s"${p}m")).as(s"${p}e$j")): _*)
+      .select(keep ++ es :+ es.reduce(_ + _).as(s"${p}z"): _*)
+      .select(keep :+ array(es.map(_ / col(s"${p}z")): _*).as(out): _*)
   }
 
   /** The EM loop of [[gmmAssign]]: fit (means, vars, weights) over a

@@ -60,9 +60,11 @@ object Graphs {
     * [[pregel]]'s activeMessages==0 check exposes). Each round is
     * [[pageRank]]'s one-job plan plus one bounded max-|Δrank|
     * aggregate (the halt decision needs a driver-side scalar either
-    * way); rounds stop once max |Δrank| ≤ tol or `maxIter` is hit. At
-    * tol = 0 floating-point ranks keep moving, so it degenerates to
-    * exactly `maxIter` fixed rounds with per-round plans identical to
+    * way); rounds stop once max |Δrank| ≤ tol or `maxIter` is hit.
+    * tol ≤ 0 is an EXPLICIT fixed-iteration mode (r15 advisor: "tol=0
+    * never converges in floats" is not guaranteed — ranks can hit an
+    * exact floating-point fixed point): exactly `maxIter` rounds, the
+    * per-round delta aggregate skipped, per-round plans identical to
     * [[pageRank]] — GraphsSpec's bit-equality anchor. */
   def pageRankUntilConvergence(vertices: DataFrame, edges: DataFrame,
                                tol: Double, maxIter: Int = 100,
@@ -94,12 +96,14 @@ object Graphs {
             lit(damping) * (coalesce(col("c"), lit(0.0)) + col("dm") / n))
             .as("rank"))
         .localCheckpoint()
-      val maxDelta = next
-        .join(ranks.select(col("id"), col("rank").as("prev")), "id")
-        .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+      if (tol > 0) {
+        val maxDelta = next
+          .join(ranks.select(col("id"), col("rank").as("prev")), "id")
+          .agg(max(abs(col("rank") - col("prev")))).head.getDouble(0)
+        converged = maxDelta <= tol
+      }
       ranks = next
       rounds += 1
-      converged = maxDelta <= tol
     }
     (ranks, rounds)
   }
@@ -226,15 +230,28 @@ object Graphs {
     * `dst_attr` — at the cost of the [[aggregateMessages]] attribute-
     * attachment join pair instead of two semi-joins; joining against
     * the vpred-FILTERED vertex set enforces the same both-endpoints-
-    * survive contract. */
+    * survive contract.
+    *
+    * The vertex attribute column is `attrCol` (default "attr", taken
+    * from the vertices frame — r15 advisor: the name was hardcoded);
+    * the injected triplet columns are `src_attr`/`dst_attr`, and the
+    * edges frame must not already carry them (the attachment joins
+    * would otherwise produce ambiguous references under epred) — that
+    * collision fails loudly here instead. */
   def subgraphTriplets(vertices: DataFrame, edges: DataFrame,
                        vpred: org.apache.spark.sql.Column = lit(true),
-                       epred: org.apache.spark.sql.Column = lit(true))
+                       epred: org.apache.spark.sql.Column = lit(true),
+                       attrCol: String = "attr")
       : (DataFrame, DataFrame) = {
+    require(vertices.columns.contains(attrCol),
+      s"vertices has no '$attrCol' column (columns: ${vertices.columns.mkString(", ")})")
+    val clash = edges.columns.toSet.intersect(Set("src_attr", "dst_attr"))
+    require(clash.isEmpty,
+      s"edges already carries ${clash.mkString(", ")} — rename before subgraphTriplets")
     val v = vertices.filter(vpred)
     val e = edges
-      .join(v.select(col("id").as("src"), col("attr").as("src_attr")), "src")
-      .join(v.select(col("id").as("dst"), col("attr").as("dst_attr")), "dst")
+      .join(v.select(col("id").as("src"), col(attrCol).as("src_attr")), "src")
+      .join(v.select(col("id").as("dst"), col(attrCol).as("dst_attr")), "dst")
       .filter(epred)
       .select(edges.columns.map(col): _*)
     (v, e)

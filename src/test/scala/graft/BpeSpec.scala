@@ -26,6 +26,28 @@ class BpeSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("BPE sentinel guard: bracketed tokens raise instead of silently mis-segmenting") {
+    import TestSpark.spark.implicits._
+    // '<' / '>' collide with the segmentation sentinels — before the
+    // guard (r15 advisor) a pair replace could span symbol boundaries
+    val bad = Seq((0L, "ok a<b ok")).toDF("doc_id", "text")
+    val e1 = intercept[Exception] { Bpe.bpeVocab(bad, 1).collect() }
+    assert(e1.getMessage.contains("must not contain"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Bpe.encode(bad, Seq(("a", "b"))).collect()
+    }
+    assert(e2.getMessage.contains("must not contain"), e2.getMessage)
+    // merge symbols themselves are guarded driver-side
+    val ok = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      Bpe.encode(ok, Seq(("a", "b>")))
+    }
+    assert(e3.getMessage.contains("merge symbols"), e3.getMessage)
+    // and clean corpora are unaffected
+    assert(Bpe.encode(ok, Seq(("a", "b"))).collect()
+      .map(_.getSeq[String](1)).forall(_ == Seq("ab", "ab")))
+  }
+
   test("BPE merge application is left-to-right non-overlapping (the aaa case)") {
     import TestSpark.spark.implicits._
     // 'aaaa' under merge (a,a): left-to-right gives [aa][aa]; 'aaa'

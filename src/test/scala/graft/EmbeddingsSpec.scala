@@ -137,6 +137,37 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(first == again, "EM must be deterministic")
   }
 
+  test("gmmRespFrame temp names never collide with caller columns; taken `out` fails loudly") {
+    import org.apache.spark.sql.functions._
+    val rows: java.util.List[Row] = new java.util.ArrayList()
+    rows.add(Row(0L, Seq(1.0f, 0.0f))); rows.add(Row(1L, Seq(0.0f, 1.0f)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val base = spark.createDataFrame(rows, schema)
+    val means = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vars = Array(Array(0.1, 0.1), Array(0.1, 0.1))
+    val ws = Array(0.5, 0.5)
+    val clean = Embeddings.gmmRespFrame(base, means, vars, ws)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // a frame already carrying the r15-era fixed temp names (_xx, _m,
+    // _ld0, …) must produce the SAME responsibilities, columns intact
+    val noisy = base.withColumn("_xx", lit("taken"))
+      .withColumn("_m", lit(7)).withColumn("_ld0", lit(0.0))
+    val got = Embeddings.gmmRespFrame(noisy, means, vars, ws)
+    assert(got.columns.toSeq ==
+      Seq("vec_id", "embedding", "_xx", "_m", "_ld0", "rs"))
+    val vals = got.collect().map(r => r.getLong(0) -> r.getSeq[Double](5)).toMap
+    assert(vals == clean, "caller columns shadowing temp names changed the math")
+    val err = intercept[IllegalArgumentException] {
+      Embeddings.gmmRespFrame(base.withColumn("rs", lit(1)), means, vars, ws)
+    }
+    assert(err.getMessage.contains("already exists"), err.getMessage)
+  }
+
   test("d12 standardization: per-dimension mean ~0, stddev ~1, zero-variance dim -> NULL") {
     import org.apache.spark.sql.functions._
     val out = Embeddings.d12.run(spark, sfDir).cache()

@@ -226,8 +226,10 @@ class GraphsSpec extends SparkTestBase {
     assert(math.abs(rs.values.sum - 1.0) < 1e-9)
     rs.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-6))
 
-    // tol = 0 never converges in floats → exactly maxIter rounds with
-    // per-round plans identical to the fixed-iteration pageRank
+    // tol = 0 is the explicit fixed-iteration mode (r15 advisor: float
+    // ranks CAN hit an exact fixed point, so "never converges" was not
+    // a guarantee) → exactly maxIter rounds with per-round plans
+    // identical to the fixed-iteration pageRank
     val hubV = (0L to 4L).toDF("id")
     val hubE = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
     val (dyn, dynRounds) = Graphs.pageRankUntilConvergenceTracked(
@@ -256,6 +258,23 @@ class GraphsSpec extends SparkTestBase {
       vpred = col("id") =!= 3, epred = col("src_attr") === col("dst_attr"))
     assert(v2.count() == 3)
     assert(e2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    // r15 advisor: the vertex attribute column is a parameter, and an
+    // edges frame already carrying src_attr/dst_attr fails loudly
+    // instead of producing ambiguous references under epred
+    val named = verts.withColumnRenamed("attr", "grp")
+    val (_, e3) = Graphs.subgraphTriplets(named, edges,
+      epred = col("src_attr") === col("dst_attr"), attrCol = "grp")
+    assert(e3.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((0L, 1L), (2L, 3L)))
+    val clashing = edges.withColumn("src_attr", lit("x"))
+    val err = intercept[IllegalArgumentException] {
+      Graphs.subgraphTriplets(verts, clashing)
+    }
+    assert(err.getMessage.contains("src_attr"), err.getMessage)
+    val missing = intercept[IllegalArgumentException] {
+      Graphs.subgraphTriplets(named, edges)
+    }
+    assert(missing.getMessage.contains("no 'attr' column"), missing.getMessage)
   }
 
   test("structural combinators: subgraph drops edges with a filtered endpoint") {
