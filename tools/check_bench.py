@@ -12,6 +12,11 @@ nonzero on any flag, any crashed query, any pinned query MISSING from the
 run (a deregistered slow query must not pass silently), or a run whose
 bench line carries partial=true (a truncated capture is not a gate pass).
 
+The PRODUCTION TWINS (SparkEntry.prodQueries, reported as "t_prod") are
+gated by the SAME rules against BASELINE.md's "Production-twin baseline"
+table (r15 verdict item 1: twin regressions used to be invisible by
+design — the r15 d17/cs02 twins read 1.55x their pins with no flag).
+
 Input formats accepted:
   - raw graft.Bench stdout line(s): {"metric":"total",...,"queries":{...}}
   - the driver's BENCH_rN.json artifact: {"parsed": {..., "t": [...]}} —
@@ -25,16 +30,23 @@ import sys
 
 
 def parse_baseline(path="BASELINE.md"):
-    base = {}
+    """Returns (main pins, twin pins) — twin pins share query names, so
+    rows after the "## Production-twin" heading go to their own map."""
+    base, twins = {}, {}
+    into = base
     for line in open(path, encoding="utf-8"):
         if line.startswith("## Production-twin"):
-            break  # twin pins share query names; only the main table gates
+            into = twins
+            continue
         m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|", line)
         if m and m.group(1) != "query":
-            base[m.group(1)] = float(m.group(2))
+            into[m.group(1)] = float(m.group(2))
     if not base:
         sys.exit(f"no baseline rows parsed from {path}")
-    return base
+    if not twins:
+        sys.exit(f"no production-twin rows parsed from {path} — the twin "
+                 "table is part of the gate (r15 verdict item 1)")
+    return base, twins
 
 
 def _names_from(correctness_path, t):
@@ -49,7 +61,10 @@ def _names_from(correctness_path, t):
 
 
 def load_bench(path, correctness_path=None):
-    """Returns (per-query seconds map, partial flag or None if unknown)."""
+    """Returns (per-query seconds map, twin seconds map, partial flag
+    or None if unknown). The twin map ("t_prod") is rendered as a NAMED
+    map in both bench output lines and in the driver artifact's parsed
+    form, so no name recovery is needed for it."""
     raw = open(path, encoding="utf-8").read()
     candidates = []
     try:
@@ -74,32 +89,40 @@ def load_bench(path, correctness_path=None):
         return data.get("parsed", {}).get("partial", None) \
             if isinstance(data.get("parsed"), dict) else None
 
+    def prod_of(data):
+        tp = data.get("t_prod")
+        if tp is None and isinstance(data.get("parsed"), dict):
+            tp = data["parsed"].get("t_prod")
+        if tp is None:
+            sys.exit("bench capture carries no t_prod map — twins are "
+                     "part of the gate; re-run with a Bench that emits it")
+        return {k: float(v) for k, v in tp.items()}
+
     # prefer a named per-query map from ANY surviving line before falling
     # back to the compact name-asc array (which needs a names source)
     for data in candidates:
         if "queries" in data:
             return ({k: float(v) for k, v in data["queries"].items()},
-                    partial_of(data))
+                    prod_of(data), partial_of(data))
     for data in candidates:
         if "t" in data and isinstance(data["t"], list):
-            return _names_from(correctness_path, data["t"]), partial_of(data)
+            return (_names_from(correctness_path, data["t"]),
+                    prod_of(data), partial_of(data))
         if "parsed" in data and "t" in data.get("parsed", {}):
             return (_names_from(correctness_path, data["parsed"]["t"]),
-                    partial_of(data))
+                    prod_of(data), partial_of(data))
     sys.exit(f"unrecognized bench format in {path}")
 
 
-def main():
-    if len(sys.argv) < 2:
-        sys.exit(__doc__)
-    bench, partial = load_bench(
-        sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
-    base = parse_baseline()
+def diff(bench, base, kind=""):
+    """Prints the per-query diff, returns (flagged, new, gone, crashed).
+    `kind` prefixes each line ("" for main queries, "twin " for t_prod)."""
     flagged, new, gone, crashed = [], [], [], []
+    tag = (kind + " ").rstrip() + " " if kind else ""
     for q, sec in sorted(bench.items()):
         if sec < 0:
             crashed.append(q)
-            print(f"CRSH {q:32s}   never ran (crash, not slow)")
+            print(f"CRSH {tag}{q:32s}   never ran (crash, not slow)")
             continue
         if q not in base:
             new.append((q, sec))
@@ -108,14 +131,30 @@ def main():
         status = "FLAG" if ratio > 2.0 else "ok"
         if ratio > 2.0:
             flagged.append((q, sec, base[q], ratio))
-        print(f"{status:4s} {q:32s} {sec:8.3f}s  base {base[q]:8.3f}s  x{ratio:.2f}")
+        print(f"{status:4s} {tag}{q:32s} {sec:8.3f}s  base {base[q]:8.3f}s  x{ratio:.2f}")
     for q in sorted(set(base) - set(bench)):
         gone.append(q)
     for q, sec in new:
-        print(f"NEW  {q:32s} {sec:8.3f}s  (no baseline — pin it in BASELINE.md)")
+        print(f"NEW  {tag}{q:32s} {sec:8.3f}s  (no baseline — pin it in BASELINE.md)")
     for q in gone:
-        print(f"GONE {q:32s} in baseline but not in this bench run")
-    print(f"\n{len(bench)} measured, {len(flagged)} over 2x baseline, "
+        print(f"GONE {tag}{q:32s} in baseline but not in this bench run")
+    return flagged, new, gone, crashed
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    bench, prod, partial = load_bench(
+        sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
+    base, twin_base = parse_baseline()
+    flagged, new, gone, crashed = diff(bench, base)
+    tf, tn, tg, tc = diff(prod, twin_base, kind="twin")
+    flagged += tf
+    new += tn
+    gone += tg
+    crashed += tc
+    print(f"\n{len(bench)} measured + {len(prod)} twins, "
+          f"{len(flagged)} over 2x baseline, "
           f"{len(crashed)} crashed, {len(new)} new, {len(gone)} missing"
           + (", PARTIAL RUN" if partial else ""))
     if partial:
