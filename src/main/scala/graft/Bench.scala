@@ -140,7 +140,9 @@ object Bench {
       // r15 additions, by the same rule: r04 is an iterative trainer
       // (2 solves + 2 Gramian jobs per round), t12 a per-merge-round
       // driver loop (one pair-count job per merge)
-      "r04_als_implicit", "t12_bpe_vocab")
+      "r04_als_implicit", "t12_bpe_vocab",
+      // r16: r05 trains r02's ALS loop before serving
+      "r05_als_recommend")
 
     // LOWER median: with an even sample count (e.g. one cold + one warm
     // round before the budget cut) report the faster middle sample —

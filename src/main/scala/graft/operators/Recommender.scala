@@ -361,6 +361,61 @@ object Recommender {
       .withColumn("pred", dot(col("p"), col("q")))
       .drop("p", "q")
 
+  /** Bulk top-N recommendation serving over the full catalog (reference
+    * mllib/recommendation/MatrixFactorizationModel.scala:116
+    * `recommendProducts`, generalized to every user at once — the
+    * batch-serving surface of the factor tables [[alsFactors]] trains and
+    * [[graft.ml.ModelIO.saveAlsFactors]] persists): for every user in
+    * `userF`, the k best catalog items by factor dot product.
+    *
+    * Scale shape: the CATALOG side broadcasts (|catalog|·dim doubles —
+    * model-sized, the reference blockifies for the same reason; it must
+    * never cartesian-MATERIALIZE), so scoring is one broadcast
+    * nested-loop expansion whose per-pair cost is a single native
+    * codegen `double_dot`. Per-user exact top-k runs through the native
+    * [[graft.plans.TopK]] operator: a map-side partial heap cuts each
+    * partition to k rows per user BEFORE the one planned exchange, so
+    * the shuffle carries O(k·|users|) rows, never users × catalog.
+    * Ranking is on the 6dp-ROUNDED score with an id-asc tiebreak (t06's
+    * rule: a last-ulp dot-product difference between runs or engines
+    * cannot flip an order); `score` in the output is that rounded
+    * value, `+ 0.0`-normalized so a −0.0 dot cannot split engines.
+    *
+    * @return (u, i, score, rk) — rk in 1..min(k, |catalog|), rows
+    *         already unique per (u, rk) */
+  def recommendProducts(userF: DataFrame, itemF: DataFrame, k: Int): DataFrame =
+    topKByDot(userF.select(col("u"), col("f")),
+      itemF.select(col("i"), col("f")), "u", "i", k)
+
+  /** [[recommendProducts]] transposed (reference
+    * MatrixFactorizationModel.scala:132 `recommendUsers`): the k best
+    * USERS per catalog item — audience selection. Same plan shape with
+    * the user side broadcast, so it expects |users| model-sized.
+    *
+    * @return (i, u, score, rk) */
+  def recommendUsers(userF: DataFrame, itemF: DataFrame, k: Int): DataFrame =
+    topKByDot(itemF.select(col("i"), col("f")),
+      userF.select(col("u"), col("f")), "i", "u", k)
+
+  /** Shared serving kernel: per `keyCol` row, top-k `candCol` rows by
+    * rounded factor dot product with candidate-id tiebreak. The
+    * candidate side is the broadcast one. */
+  private def topKByDot(keys: DataFrame, cands: DataFrame,
+                        keyCol: String, candCol: String, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(keys.sparkSession)
+    val scored = keys.select(col(keyCol), col("f").as("_p"))
+      .crossJoin(broadcast(cands.select(col(candCol), col("f").as("_q"))))
+      .select(col(keyCol), col(candCol),
+        (round(call_function("double_dot", col("_p"), col("_q")), 6) + 0.0)
+          .as("score"))
+    val top = graft.plans.TopK.perKey(scored, keyCol, "score", candCol, k)
+    // rank within the kept k rows only — the window input is already
+    // hash-partitioned on the key by TopK's exchange, so no new shuffle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("score").desc, col(candCol))
+    top.withColumn("rk", row_number().over(w))
+  }
+
   /** [[als]]'s trainer, returning the distributed FACTOR TABLES
     * (u, f: array<double>) / (i, f) — the reference
     * MatrixFactorizationModel's state (mllib/recommendation/
@@ -759,5 +814,80 @@ object Recommender {
     alsPredict(pairs, userF, itemF)
   }
 
-  val all: Seq[Q] = Seq(r01, r02, r03, r04)
+  /** Registered top-N serving pass (r16 — reference
+    * MatrixFactorizationModel.scala:116 recommendProducts parity in
+    * bulk): train r02's configuration on the deterministic
+    * 200-customer slice, then serve every user's top-3 catalog items
+    * through [[recommendProducts]] — broadcast catalog, native
+    * double_dot scoring, map-side-partial TopKPerKey.
+    *
+    * The claim-oracle pattern with an INDEPENDENT exact recount: the
+    * user set, per-user rating counts and the catalog size are values
+    * DuckDB re-derives row-for-row, and `topk_exact` certifies that
+    * the served (u, i, score, rk) set equals — both directions of
+    * exceptAll empty — a declarative re-derivation that shares NO
+    * mechanism with the serving path: interpreted HOF dot (vs the
+    * native codegen expression) ranked by a row_number window over the
+    * full cross product (vs the bounded-heap partial/final operator).
+    * The dot arithmetic is bit-identical by construction (same
+    * left-fold op order, DoubleDotSpec pins it), so the equality is
+    * exact, not toleranced. The raw scores stay engine-local (trained
+    * float state, like every factor-model entry); RecommenderSpec pins
+    * the serving surface against a driver-side brute force. */
+  val r05 = Q.sql(
+    "r05_als_recommend",
+    """WITH r AS (
+      |  SELECT o_custkey AS u, l_partkey AS i
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 200
+      |  GROUP BY 1, 2),
+      |users AS (SELECT u, count(*) AS n_rated FROM r GROUP BY u),
+      |cat AS (SELECT count(DISTINCT i) AS n_candidates FROM r)
+      |SELECT u, CAST(k AS INT) AS rk, n_rated, n_candidates,
+      |       TRUE AS topk_exact
+      |FROM users, cat, range(1, 4) t(k)
+      |WHERE k <= n_candidates
+      |ORDER BY u, rk""".stripMargin) { (s, dir) =>
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"))
+      .localCheckpoint()
+    val (userF, itemF, _) = alsFactors(pairs.select("u", "i", "r"),
+      dim = 8, iters = 5)
+    val recs = recommendProducts(userF, itemF, k = 3).localCheckpoint()
+    // independent recount: HOF dot + full-cross-product window ranking
+    val hofScored = userF.select(col("u"), col("f").as("_p"))
+      .crossJoin(broadcast(itemF.select(col("i"), col("f").as("_q"))))
+      .select(col("u"), col("i"),
+        (round(dot(col("_p"), col("_q")), 6) + 0.0).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("score").desc, col("i"))
+    val windowed = hofScored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("u", "i", "score", "rk")
+    val served = recs.select("u", "i", "score", "rk")
+    val topkExact = served.exceptAll(windowed).isEmpty &&
+      windowed.exceptAll(served).isEmpty
+    val nCand = itemF.count()
+    recs.select(col("u"), col("rk"))
+      .join(pairs.groupBy("u").agg(count(lit(1)).as("n_rated")), "u")
+      .select(col("u"), col("rk"), col("n_rated"),
+        lit(nCand).as("n_candidates"), lit(topkExact).as("topk_exact"))
+      .orderBy("u", "rk")
+  }.withProd { (s, dir) =>
+    // production path: train + serve, no recount cross product
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(avg("l_quantity").as("r"))
+      .localCheckpoint()
+    val (userF, itemF, _) = alsFactors(pairs.select("u", "i", "r"),
+      dim = 8, iters = 5)
+    recommendProducts(userF, itemF, k = 3)
+  }
+
+  val all: Seq[Q] = Seq(r01, r02, r03, r04, r05)
 }

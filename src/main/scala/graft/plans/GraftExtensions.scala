@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder))
     ext.injectFunction((
+      FunctionIdentifier("double_dot"), DoubleDot.info, DoubleDot.builder))
+    ext.injectFunction((
       FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder))
     ext.injectFunction((
       FunctionIdentifier("rgb24_pixels"), Rgb24Pixels.info, Rgb24Pixels.builder))
@@ -57,6 +59,8 @@ object GraftFunctions {
       FunctionIdentifier("simhash63"), SimHash63.info, SimHash63.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"), FloatDot.info, FloatDot.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("double_dot"), DoubleDot.info, DoubleDot.builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("pcm_s16le"), PcmS16Le.info, PcmS16Le.builder)
     spark.sessionState.functionRegistry.registerFunction(

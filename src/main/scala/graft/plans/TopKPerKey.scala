@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftshim.GraftDatasetFactory
 
@@ -21,6 +21,19 @@ import org.apache.spark.sql.graftshim.GraftDatasetFactory
   * planner contract (requiredChildDistribution = clustered on the key)
   * makes Spark insert exactly the one hash exchange the semantics need,
   * so AQE/EnsureRequirements stay in charge of the shuffle.
+  *
+  * The strategy plans a PARTIAL pass below that exchange (r16 — the
+  * map-side-combine shape aggregation gets for free): each input
+  * partition keeps only its own k best rows per key before shuffling,
+  * so the exchange carries at most k·|keys present| rows per partition
+  * instead of every candidate row. Top-k of a union of per-partition
+  * top-k's is the global top-k (any globally-kept row is in its own
+  * partition's kept set), so partial→final is exact — the property the
+  * r05 recommendation serving leans on, where the pre-exchange row
+  * count is users × catalog. Callers must make (orderCol, tiebreak)
+  * unique per key (every registered caller does) — rows tied on BOTH
+  * are interchangeable to the heap, so which one survives a partial
+  * cut is otherwise unspecified.
   */
 case class TopKPerKeyLogical(
     k: Int,
@@ -36,12 +49,16 @@ case class TopKPerKeyExec(
     k: Int,
     key: Attribute,
     sortOrder: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(key)) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(Seq(key))) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -75,7 +92,11 @@ case class TopKPerKeyExec(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case t: TopKPerKeyLogical =>
-      TopKPerKeyExec(t.k, t.key, t.sortOrder, planLater(t.child)) :: Nil
+      // partial below the (EnsureRequirements-inserted) exchange, final
+      // above it — the two-phase exact combine documented on the class
+      TopKPerKeyExec(t.k, t.key, t.sortOrder,
+        TopKPerKeyExec(t.k, t.key, t.sortOrder, planLater(t.child),
+          partial = true)) :: Nil
     case _ => Nil
   }
 }

@@ -116,6 +116,17 @@ class ModelIOSpec extends SparkTestBase {
       .select("u", "i", "pred").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
     assert(before.sameElements(after), "loaded ALS factors must predict bit-identically")
+    // r16: the top-N serving surface round-trips too — saved factor
+    // tables drive recommendProducts bit-identically (the r05 serving
+    // path: broadcast catalog + native double_dot + TopKPerKey)
+    val recsBefore = Recommender.recommendProducts(uF, iF, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted
+    val recsAfter = Recommender.recommendProducts(u2, i2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sorted
+    assert(recsBefore.sameElements(recsAfter),
+      "loaded ALS factors must serve bit-identical recommendations")
   }
 
   test("SVD++ serving state round-trips with bit-identical predictions") {

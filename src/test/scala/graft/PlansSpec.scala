@@ -81,6 +81,13 @@ class PlansSpec extends SparkTestBase {
     assert(p.contains("TopKPerKey"), s"custom exec missing:\n${p.take(600)}")
     assert(p.split("Exchange hashpartitioning").length - 1 == 1,
       s"expected exactly one hash exchange:\n$p")
+    // r16: the map-side partial heap sits BELOW the exchange, so the
+    // shuffle carries at most k rows per key per input partition
+    assert(p.contains("TopKPerKeyPartial"), s"partial pass missing:\n${p.take(600)}")
+    val iPartial = p.indexOf("TopKPerKeyPartial")
+    val iExchange = p.indexOf("Exchange hashpartitioning")
+    assert(iExchange < iPartial,
+      s"partial must be the exchange's CHILD (printed below it):\n$p")
   }
 
   test("native TopK handles k=1 and groups smaller than k") {

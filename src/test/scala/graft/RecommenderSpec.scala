@@ -270,4 +270,58 @@ class RecommenderSpec extends SparkTestBase {
     assert(out.filter(!col("monotone_obj")).count() == 0)
     assert(out.groupBy("u", "i").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("recommendProducts matches a driver-side brute force on planted factors") {
+    import TestSpark.spark.implicits._
+    // hand-planted factor tables: scores are exact small integers, so
+    // the rounded-score ranking is unambiguous and fully checkable
+    def fv(seed: Int) = Seq.tabulate(4)(j => ((seed * 13 + j * 7) % 9 - 4).toDouble)
+    val users = (0L until 12L).map(u => (u, fv(u.toInt))).toDF("u", "f")
+    val items = (0L until 9L).map(i => (i, fv(i.toInt + 100))).toDF("i", "f")
+    val got = Recommender.recommendProducts(users, items, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val itemArr = (0 until 9).map(i => fv(i + 100))
+    val expect = (0 until 12).flatMap { u =>
+      val p = fv(u)
+      itemArr.zipWithIndex
+        .map { case (q, i) => (i.toLong, p.zip(q).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (i, s) => (-s, i) }
+        .take(3).zipWithIndex
+        .map { case ((i, s), rk) => (u.toLong, i, s, rk + 1) }
+    }
+    assert(got == expect, s"got $got")
+    // transposed serving: recommendUsers is recommendProducts with the
+    // roles swapped
+    val gotU = Recommender.recommendUsers(users, items, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val userArr = (0 until 12).map(fv)
+    val expectU = (0 until 9).flatMap { i =>
+      val q = itemArr(i)
+      userArr.zipWithIndex
+        .map { case (p, u) => (u.toLong, p.zip(q).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (u, s) => (-s, u) }
+        .take(2).zipWithIndex
+        .map { case ((u, s), rk) => (i.toLong, u, s, rk + 1) }
+    }
+    assert(gotU == expectU, s"got $gotU")
+    // k past the catalog: every item comes back, ranks stay contiguous
+    val all9 = Recommender.recommendProducts(users, items, k = 50)
+    assert(all9.count() == 12 * 9)
+    assert(all9.groupBy("u").agg(max("rk").as("m"))
+      .filter(col("m") =!= 9).count() == 0)
+  }
+
+  test("r05: per-user top-3 rows with the serving path certified against the window recount") {
+    val out = Recommender.r05.run(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("topk_exact")).count() == 0,
+      "native TopK + double_dot serving must equal the HOF + window recount")
+    // exactly min(3, catalog) contiguous ranks per user
+    val perUser = out.groupBy("u")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+    assert(perUser.filter(col("n") =!= col("mx") || col("mn") =!= 1).count() == 0)
+    assert(perUser.filter(col("mx") > 3).count() == 0)
+  }
 }
