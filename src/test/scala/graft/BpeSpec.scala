@@ -100,6 +100,55 @@ class BpeSpec extends SparkTestBase {
     assert(got(2L).length < "newest".length * 6)
   }
 
+  test("batched BPE equals sequential merge-for-merge, count-for-count (r16)") {
+    import TestSpark.spark.implicits._
+    def batched(docs: org.apache.spark.sql.DataFrame, merges: Int, batch: Int) =
+      Bpe.bpeVocabBatched(docs, merges, batch).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    // the classic corpus — clean separation, batches actually form
+    val classic = Seq(
+      (0L, Array.fill(5)("low").mkString(" ")),
+      (1L, Array.fill(2)("lower").mkString(" ")),
+      (2L, Array.fill(6)("newest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqClassic = runMerges(classic, 6)
+    for (b <- Seq(1, 2, 4, 8))
+      assert(batched(classic, 6, b) == seqClassic, s"batch=$b diverged on classic")
+
+    // adversarial: a 2-letter alphabet makes overlaps and merged-string
+    // collisions (rule 3: e.g. 'ab' exists both as an early merge and
+    // inside later candidates) the COMMON case — prefixes must
+    // degenerate rather than diverge
+    val rnd = new scala.util.Random(7)
+    val tight = (0 until 60).map(id => (id.toLong,
+      (0 until 8).map(_ =>
+        (0 until (2 + rnd.nextInt(6))).map(_ => if (rnd.nextBoolean()) "a" else "b")
+          .mkString).mkString(" ")))
+      .toDF("doc_id", "text").localCheckpoint()
+    val seqTight = runMerges(tight, 16)
+    for (b <- Seq(3, 8))
+      assert(batched(tight, 16, b) == seqTight, s"batch=$b diverged on {a,b} corpus")
+
+    // richer seeded corpus + the round-count observable: batching must
+    // actually collapse driver round-trips when the data allows it
+    val vocab = Seq("low", "lower", "lowest", "new", "newer", "newest",
+      "wide", "wider", "widest", "tall", "form", "format", "union", "onion")
+    val rnd2 = new scala.util.Random(11)
+    val rich = (0 until 120).map(id => (id.toLong,
+      (0 until (5 + rnd2.nextInt(20)))
+        .map(_ => vocab(rnd2.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text").localCheckpoint()
+    val seqRich = runMerges(rich, 20)
+    val (df, rounds) = Bpe.bpeVocabBatchedTracked(rich, 20, batch = 8)
+    val gotRich = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(gotRich == seqRich, "batched diverged on the rich corpus")
+    assert(rounds < 20, s"batching saved no rounds ($rounds/20)")
+    assert(rounds >= (20 + 7) / 8, "round count below the batch-size floor?")
+  }
+
   test("BPE matches a driver-side reference implementation on a seeded random corpus") {
     import TestSpark.spark.implicits._
     val rnd = new scala.util.Random(4242)
