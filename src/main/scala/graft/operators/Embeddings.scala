@@ -348,6 +348,148 @@ object Embeddings {
     (means, vars, weights)
   }
 
+  /** FULL-covariance E-step responsibilities (r16 — the reference's
+    * actual model, mllib/clustering/GaussianMixture.scala:1 +
+    * stat/distribution/MultivariateGaussian.scala:1; [[gmmRespFrame]]
+    * is the diagonal restriction): per component one
+    * [[graft.functions.MultivariateGaussian]] logpdf — Σ⁻¹ and
+    * ln det Σ computed once on the driver, embedded as plan literals,
+    * the per-row quadratic form a bounded nested fold. Same staged-tier
+    * softmax as the diagonal path (each tier an attribute before the
+    * next consumes it — the t10/gm01 inlining lesson), same
+    * collision-free temp naming. Appends `out` (array of k
+    * responsibilities) to df. */
+  def gmmFullRespFrame(df: DataFrame, means: Array[Array[Double]],
+                       covs: Array[Array[Array[Double]]], weights: Array[Double],
+                       out: String = "rs"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists — pass a different `out`")
+    val p = Iterator.iterate("_")(_ + "_")
+      .find(u => !df.columns.exists(_.startsWith(u))).get
+    val k = weights.length
+    val keep = df.columns.map(col).toSeq
+    val ldCols = (0 until k).map { j =>
+      val g = graft.functions.MultivariateGaussian(
+        means(j).toSeq, covs(j).map(_.toSeq).toSeq)
+      (lit(math.log(weights(j))) + g.logpdf(col("embedding"))).as(s"${p}ld$j")
+    }
+    val lds = (0 until k).map(j => col(s"${p}ld$j"))
+    val es = (0 until k).map(j => col(s"${p}e$j"))
+    df
+      .select(keep ++ ldCols: _*)
+      .select(keep ++ lds :+ greatest(lds: _*).as(s"${p}m"): _*)
+      .select(keep ++ (0 until k).map(j =>
+        exp(col(s"${p}ld$j") - col(s"${p}m")).as(s"${p}e$j")): _*)
+      .select(keep ++ es :+ es.reduce(_ + _).as(s"${p}z"): _*)
+      .select(keep :+ array(es.map(_ / col(s"${p}z")): _*).as(out): _*)
+  }
+
+  /** Full-covariance GMM EM (r16 — reference GaussianMixture.scala's
+    * model; [[gmmFit]] is the diagonal restriction the registered gm01
+    * keeps): fit (means, covariances, weights) over a pre-checkpointed
+    * (vec_id, embedding) frame.
+    *
+    * Scale shape: the E-step is [[gmmFullRespFrame]]'s one codegen'd
+    * map against O(k·dim²) plan literals; the M-step is ONE
+    * explode-to-upper-triangle + groupBy((p, q)) pass whose output is
+    * dim(dim+1)/2 rows × (2k+1) aggregates — Σ rⱼ·xₚxq per cell,
+    * Σ rⱼ·xₚ read off the diagonal rows, component mass off cell
+    * (0,0) — so the driver sees O(k·dim²) per round, never rows.
+    * `dim ≤ 16` keeps the literal footprint (k·dim² doubles in every
+    * task) and the driver dim³ inversions model-sized; wider
+    * embeddings belong to the diagonal path (the reference caps full-Σ
+    * use the same way in practice — its docs flag the dim² blowup).
+    * Each Σ update adds a 1e-6 ridge on the diagonal, so the driver
+    * inversion stays positive definite (the reference's pseudo-inverse
+    * tolerance serves the same purpose). Means seed from
+    * [[kmeansParallelSeeds]], covariances from the seeds' hard-cell
+    * per-dimension variances (diagonal start), weights uniform —
+    * fully deterministic. */
+  def gmmFullFit(base: DataFrame, k: Int, iters: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Array[Double]) = {
+    require(k >= 2, "GMM needs k >= 2")
+    val dim = base.select(size(col("embedding"))).head.getInt(0)
+    require(dim <= 16,
+      s"gmmFull embeds k·dim² literals per task and inverts k dim×dim " +
+        s"matrices per round on the driver — dim $dim > 16; use gmmFit")
+    val seeds = kmeansParallelSeeds(base, k)
+    var means: Array[Array[Double]] = seeds.map(_.map(_.toDouble))
+    val cellVar = withCluster(base, seeds)
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("cluster", "p").agg(var_pop(col("x").cast("double")).as("v"))
+      .collect()
+    var covs: Array[Array[Array[Double]]] =
+      Array.tabulate(k, dim, dim)((_, a, b) => if (a == b) 1e-2 else 0.0)
+    cellVar.foreach(r =>
+      covs(r.getInt(0))(r.getInt(1))(r.getInt(1)) = math.max(
+        if (r.isNullAt(2)) 1e-2 else r.getDouble(2), 1e-6))
+    var weights: Array[Double] = Array.fill(k)(1.0 / k)
+
+    val n = base.count().toDouble
+    val cellCount = dim * (dim + 1) / 2
+    for (_ <- 1 to iters) {
+      val withR = gmmFullRespFrame(base, means, covs, weights)
+      // upper-triangle cells (p ≤ q) as one staged explode: the x array
+      // becomes an attribute first so the dim²/2 products read it once
+      val cells = withR
+        .select(col("rs"),
+          transform(col("embedding"), x => x.cast("double")).as("xd"))
+        .select(col("rs"), explode(flatten(
+          transform(sequence(lit(0), lit(dim - 1)), pi =>
+            transform(sequence(pi, lit(dim - 1)), qi =>
+              struct(pi.as("p"), qi.as("q"),
+                (element_at(col("xd"), pi + 1) *
+                  element_at(col("xd"), qi + 1)).as("xx"),
+                element_at(col("xd"), pi + 1).as("xp")))))).as("c"))
+      // row layout after groupBy(p, q): [p, q, sxx_0..k-1, sx_0..k-1, m_0..k-1]
+      val aggs =
+        (0 until k).map(j => sum(col("rs")(j) * col("c.xx")).as(s"sxx$j")) ++
+          (0 until k).map(j => sum(col("rs")(j) * col("c.xp")).as(s"sx$j")) ++
+          (0 until k).map(j => sum(col("rs")(j)).as(s"m$j"))
+      val stats = cells
+        .groupBy(col("c.p").as("p"), col("c.q").as("q"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      require(stats.length == cellCount, s"expected $cellCount cells")
+      val byCell = stats.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      // mass: every base row contributes to every cell exactly once
+      val mass = Array.tabulate(k)(j => byCell((0, 0)).getDouble(2 + 2 * k + j))
+      val newMeans = Array.tabulate(k, dim)((j, pp) => means(j)(pp))
+      val newCovs = Array.tabulate(k, dim, dim)((j, a, b) => covs(j)(a)(b))
+      for (j <- 0 until k if mass(j) > 1e-9) {
+        val w = mass(j)
+        for (pp <- 0 until dim)
+          newMeans(j)(pp) = byCell((pp, pp)).getDouble(2 + k + j) / w
+        for (pp <- 0 until dim; qq <- pp until dim) {
+          val exq = byCell((pp, qq)).getDouble(2 + j) / w
+          val c = exq - newMeans(j)(pp) * newMeans(j)(qq) +
+            (if (pp == qq) 1e-6 else 0.0)
+          newCovs(j)(pp)(qq) = c
+          newCovs(j)(qq)(pp) = c
+        }
+      }
+      means = newMeans
+      covs = newCovs
+      weights = Array.tabulate(k)(j => math.max(mass(j) / n, 1e-12))
+    }
+    (means, covs, weights)
+  }
+
+  /** Hard assignment through [[gmmFullFit]] — [[gmmAssign]]'s
+    * full-covariance sibling.
+    *
+    * @return (vec_id, cluster, resp) — ties to the smaller component */
+  def gmmFullAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val (means, covs, weights) = gmmFullFit(base, k, iters)
+    val best = (0 until k).map(j =>
+      struct(col("rs")(j).as("r"), lit(-j).as("nc")))
+    gmmFullRespFrame(base, means, covs, weights)
+      .select(col("vec_id"), greatest(best: _*).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).as("cluster"),
+        round(col("b.r"), 6).as("resp"))
+  }
+
   /** k=8 diagonal-covariance GMM over the embeddings table. The EM fit
     * itself is engine-local float iteration, but the per-row E-step
     * surface is certifiable — so the entry carries the d08 claim-flag

@@ -137,6 +137,59 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(first == again, "EM must be deterministic")
   }
 
+  test("full-covariance GMM recovers planted correlated blobs with the right covariance signs") {
+    val dim = 4
+    // two blobs whose SHAPE (not just location) carries signal: blob 0
+    // has strongly positively correlated dims (0,1), blob 1 negatively —
+    // deterministic per-point jitter, no RNG
+    def t(i: Int, salt: Int): Double = (((i * 7 + salt * 13) % 21) - 10) / 10.0
+    val rows: java.util.List[Row] = new java.util.ArrayList()
+    var id = 0L
+    for (g <- 0 until 2; _ <- 0 until 120) {
+      val i = id.toInt
+      val sgn = if (g == 0) 1.0 else -1.0
+      val c = if (g == 0) 2.0 else -2.0
+      val v = Array(
+        (c + 0.5 * t(i, 1)).toFloat,
+        (c + sgn * 0.5 * t(i, 1) + 0.1 * t(i, 2)).toFloat,
+        (0.1 * t(i, 3)).toFloat,
+        (0.1 * t(i, 4)).toFloat)
+      rows.add(Row(id, v.toSeq)); id += 1
+    }
+    val emb = spark.createDataFrame(rows, embSchema)
+    val base = emb.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding")).localCheckpoint()
+    val (means, covs, weights) = Embeddings.gmmFullFit(base, k = 2, iters = 6)
+    // map planted blobs to components by mean sign on dim 0
+    val compOf = (g: Int) => {
+      val want = if (g == 0) 1.0 else -1.0
+      (0 until 2).maxBy(j => means(j)(0) * want)
+    }
+    val cA = compOf(0)
+    val cB = compOf(1)
+    assert(cA != cB, s"components collapsed: means ${means.map(_.toSeq).toSeq}")
+    assert(math.abs(means(cA)(0) - 2.0) < 0.2 && math.abs(means(cB)(0) + 2.0) < 0.2,
+      s"means off: ${means.map(_.toSeq).toSeq}")
+    // the full-Σ payoff: recovered off-diagonal signs match the plant
+    assert(covs(cA)(0)(1) > 0.05,
+      s"blob-0 cov(0,1) should be strongly positive, got ${covs(cA)(0)(1)}")
+    assert(covs(cB)(0)(1) < -0.05,
+      s"blob-1 cov(0,1) should be strongly negative, got ${covs(cB)(0)(1)}")
+    assert(math.abs(weights(cA) - 0.5) < 0.05 && math.abs(weights(cB) - 0.5) < 0.05)
+    // assignment recovers the blobs through the full-Σ densities
+    val got = Embeddings.gmmFullAssign(emb, k = 2, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wrong = (0 until 240).count { i =>
+      got(i.toLong) != (if (i < 120) cA else cB)
+    }
+    assert(wrong <= 5, s"$wrong/240 points misassigned")
+    // deterministic end-to-end
+    val again = Embeddings.gmmFullAssign(emb, k = 2, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == again, "full-covariance EM must be deterministic")
+  }
+
   test("gmmRespFrame temp names never collide with caller columns; taken `out` fails loudly") {
     import org.apache.spark.sql.functions._
     val rows: java.util.List[Row] = new java.util.ArrayList()
