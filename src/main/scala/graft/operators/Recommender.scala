@@ -864,9 +864,12 @@ object Recommender {
         (round(dot(col("_p"), col("_q")), 6) + 0.0).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("score").desc, col("i"))
+    // checkpoint the 600-row recount so the two exceptAll directions
+    // don't each re-run the users×catalog window pass
     val windowed = hofScored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("u", "i", "score", "rk")
+      .localCheckpoint()
     val served = recs.select("u", "i", "score", "rk")
     val topkExact = served.exceptAll(windowed).isEmpty &&
       windowed.exceptAll(served).isEmpty
