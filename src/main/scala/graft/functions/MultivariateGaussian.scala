@@ -53,18 +53,32 @@ final case class MultivariateGaussian(mu: Seq[Double], sigma: Seq[Seq[Double]]) 
 
   private val logNorm = -0.5 * (d * math.log(2.0 * math.Pi) + logDet)
 
-  /** Per-row log density of an `array<double>` (or float, cast) column —
-    * a bounded nested fold over plan literals, no shuffle, no UDF. */
-  def logpdf(x: Column): Column = {
-    val muL = typedlit(mu)
+  /** The centered vector x − μ as a column expression — stage THIS as
+    * an attribute (one projection) before feeding [[logpdfFromCentered]]
+    * when the density is consumed more than once per row: Column
+    * composition inlines the producer, so an unstaged u re-evaluates
+    * its zip_with at every element_at of the d² quadratic-form fold. */
+  def centered(x: Column): Column =
+    zip_with(x, typedlit(mu), (xi, mi) => xi.cast("double") - mi)
+
+  /** Log density from an ALREADY-CENTERED `array<double>` column
+    * (ideally an attribute, see [[centered]]): the d² fold then reads
+    * each element in O(1) instead of re-deriving the centering. */
+  def logpdfFromCentered(u: Column): Column = {
     val invL = typedlit(inv.map(_.toSeq).toSeq)
-    val u = zip_with(x, muL, (xi, mi) => xi.cast("double") - mi)
     val quad = aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, i) =>
       acc + element_at(u, i + 1) *
         aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (a2, j) =>
           a2 + element_at(element_at(invL, i + 1), j + 1) * element_at(u, j + 1)))
     lit(logNorm) - lit(0.5) * quad
   }
+
+  /** Per-row log density of an `array<double>` (or float, cast) column —
+    * a bounded nested fold over plan literals, no shuffle, no UDF.
+    * Self-contained convenience form: the centering is INLINED into
+    * every element read of the fold (O(d³) per row); per-row hot paths
+    * should stage [[centered]] and call [[logpdfFromCentered]]. */
+  def logpdf(x: Column): Column = logpdfFromCentered(centered(x))
 
   def pdf(x: Column): Column = exp(logpdf(x))
 }

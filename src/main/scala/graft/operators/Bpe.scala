@@ -203,9 +203,20 @@ object Bpe {
         .agg(max(col("e.c")).as("cnt"))
         .select(lit("sym").as("kind"), col("a"), col("b"), col("cnt"))
       val rows = topB.unionAll(sym).collect()
+      // the union does not preserve branch ordering, so re-sort driver-
+      // side — by UNSIGNED UTF-8 BYTES, Spark's string order (Java's
+      // UTF-16 compareTo diverges on supplementary characters, which
+      // would silently flip tie-breaks vs the sequential trainer)
+      def u8 = (s: String) => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def less(a: (String, String, Long), b: (String, String, Long)): Boolean = {
+        if (a._3 != b._3) return a._3 > b._3
+        val cl = java.util.Arrays.compareUnsigned(u8(a._1), u8(b._1))
+        if (cl != 0) return cl < 0
+        java.util.Arrays.compareUnsigned(u8(a._2), u8(b._2)) < 0
+      }
       val top = rows.filter(_.getString(0) == "top")
         .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
-        .sortBy { case (l, r, c) => (-c, l, r) }
+        .sortWith(less)
       require(top.nonEmpty,
         s"BPE ran dry after ${out.length} merges — lower the merge count")
       val maxIn = rows.filter(r => r.getString(0) == "sym" && r.getString(1) == "in")

@@ -368,14 +368,21 @@ object Embeddings {
       .find(u => !df.columns.exists(_.startsWith(u))).get
     val k = weights.length
     val keep = df.columns.map(col).toSeq
+    val gs = (0 until k).map(j => graft.functions.MultivariateGaussian(
+      means(j).toSeq, covs(j).map(_.toSeq).toSeq))
+    // tier 0: each component's CENTERED vector as an attribute, so the
+    // d² quadratic-form fold reads elements in O(1) instead of
+    // re-deriving the zip_with per element (the inlining pitfall inside
+    // a single Column function)
+    val uCols = (0 until k).map(j => gs(j).centered(col("embedding")).as(s"${p}u$j"))
     val ldCols = (0 until k).map { j =>
-      val g = graft.functions.MultivariateGaussian(
-        means(j).toSeq, covs(j).map(_.toSeq).toSeq)
-      (lit(math.log(weights(j))) + g.logpdf(col("embedding"))).as(s"${p}ld$j")
+      (lit(math.log(weights(j))) +
+        gs(j).logpdfFromCentered(col(s"${p}u$j"))).as(s"${p}ld$j")
     }
     val lds = (0 until k).map(j => col(s"${p}ld$j"))
     val es = (0 until k).map(j => col(s"${p}e$j"))
     df
+      .select(keep ++ uCols: _*)
       .select(keep ++ ldCols: _*)
       .select(keep ++ lds :+ greatest(lds: _*).as(s"${p}m"): _*)
       .select(keep ++ (0 until k).map(j =>

@@ -30,7 +30,10 @@ import org.apache.spark.sql.graftshim.GraftDatasetFactory
   * top-k's is the global top-k (any globally-kept row is in its own
   * partition's kept set), so partial→final is exact — the property the
   * r05 recommendation serving leans on, where the pre-exchange row
-  * count is users × catalog. Callers must make (orderCol, tiebreak)
+  * count is users × catalog. Partial state is BOUNDED: past
+  * [[TopK.PartialFlushKeys]] distinct keys the map streams its rows
+  * and resets (still exact — flushed unions are supersets the final
+  * pass re-selects from). Callers must make (orderCol, tiebreak)
   * unique per key (every registered caller does) — rows tied on BOTH
   * are interchangeable to the heap, so which one survives a partial
   * cut is otherwise unspecified.
@@ -65,23 +68,54 @@ case class TopKPerKeyExec(
     val localK = k
     val localKey = key
     val localOrder = sortOrder
+    val isPartial = partial
     child.execute().mapPartitions { rows =>
       // best row first; heap head is the current worst of the kept k
       val ordering = RowOrdering.create(localOrder, childOutput)
       val keyProj = UnsafeProjection.create(Seq(localKey), childOutput)
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      rows.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ordering))
-        if (heap.size < localK) {
-          heap.enqueue(row.copy())
-        } else if (ordering.lt(row, heap.head)) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+      // PARTIAL passes see arbitrary key mixes, so the map is bounded:
+      // past PartialFlushKeys distinct keys the kept rows stream
+      // downstream (pull-interleaved with input consumption — the rows
+      // leave this task's memory through the shuffle writer) and the
+      // map resets. A key split across flushes emits the union of its
+      // chunk top-k's — a SUPERSET of its partition top-k, which the
+      // final pass re-selects from, so exactness is preserved; this is
+      // the no-spill analogue of partial-aggregation fallback. The
+      // FINAL pass runs post-exchange where its state is the
+      // k·(keys/P) answer itself — it never flushes.
+      val flushAt = if (isPartial) TopK.PartialFlushKeys else Int.MaxValue
+      new Iterator[InternalRow] {
+        private var heaps =
+          mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var done = false
+        private def drain(): Unit = {
+          out = heaps.valuesIterator.flatMap(_.iterator)
+          heaps = mutable.HashMap.empty
         }
+        private def refill(): Unit = {
+          while (!out.hasNext && !done) {
+            if (!rows.hasNext) {
+              done = true
+              drain()
+            } else {
+              val row = rows.next()
+              val heap = heaps.getOrElseUpdate(
+                keyProj(row).copy(),
+                mutable.PriorityQueue.empty[InternalRow](ordering))
+              if (heap.size < localK) {
+                heap.enqueue(row.copy())
+              } else if (ordering.lt(row, heap.head)) {
+                heap.dequeue()
+                heap.enqueue(row.copy())
+              }
+              if (heaps.size >= flushAt) drain()
+            }
+          }
+        }
+        override def hasNext: Boolean = { refill(); out.hasNext }
+        override def next(): InternalRow = { refill(); out.next() }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 
@@ -102,6 +136,13 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
+  /** Distinct-key bound on the partial pass's in-memory heap map: past
+    * this many keys the kept rows stream to the shuffle and the map
+    * resets (see TopKPerKeyExec.doExecute — exact, since the final pass
+    * re-selects). At k=3 and 64-byte rows this caps partial state
+    * around tens of MB per task regardless of input cardinality. */
+  val PartialFlushKeys: Int = 1 << 17
+
   /** Exact top-k rows per key, ordered by `orderCol` descending with
     * `tiebreak` ascending making the kept set deterministic. */
   def perKey(df: DataFrame, keyCol: String, orderCol: String,

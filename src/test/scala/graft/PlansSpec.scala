@@ -90,6 +90,26 @@ class PlansSpec extends SparkTestBase {
       s"partial must be the exchange's CHILD (printed below it):\n$p")
   }
 
+  test("native TopK partial flush stays exact past the distinct-key bound") {
+    import graft.plans.TopK
+    // coalesce(2) puts ~150k distinct keys in one partition — past
+    // PartialFlushKeys (131072), so the partial pass flushes mid-stream;
+    // keys whose rows straddle a flush emit both chunk top-1's and the
+    // final pass must still pick the right one
+    val n = 300000L
+    assert(n / 2 > TopK.PartialFlushKeys, "test no longer exercises the flush")
+    val df = spark.range(n).select(
+      (col("id") % 200000L).as("k"), col("id").as("v"), col("id").as("t"))
+      .coalesce(2)
+    val top = TopK.perKey(df, "k", "v", "t", k = 1).cache()
+    assert(top.count() == 200000L)
+    // key x has rows {x} (x >= 100000) or {x, x + 200000}: top-1 by v
+    val wrong = top.filter(col("v") =!=
+      when(col("k") < 100000L, col("k") + 200000L).otherwise(col("k"))).count()
+    assert(wrong == 0, s"$wrong keys kept the wrong row across a flush")
+    top.unpersist()
+  }
+
   test("native TopK handles k=1 and groups smaller than k") {
     import graft.plans.TopK
     val orders = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
