@@ -13,7 +13,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     operators.Relational.all ++ operators.Analytics.all ++
       operators.EventTime.all ++ operators.SkewTools.all ++
-      operators.TextOps.all ++ operators.Bpe.all ++ operators.Word2Vec.all ++
+      operators.TextOps.all ++ operators.Bpe.all ++ operators.Perplexity.all ++
+      operators.Word2Vec.all ++
       operators.Classify.all ++
       operators.Features.all ++ operators.Recommender.all ++
       operators.Regression.all ++ operators.Trees.all ++

@@ -226,6 +226,24 @@ class PlanSpec extends SparkTestBase {
       s"moment flags must broadcast the 1-row aggregate: ${p.take(1200)}")
   }
 
+  test("t13 broadcasts the bounded model sides and reads only doc_id+text") {
+    // the vocabulary mapping, unigram model and totals are bounded →
+    // broadcast; the only corpus-scale joins are the bigram-key scoring
+    // join and the doc-key assembly. No column beyond (doc_id, text)
+    // may reach any documents scan.
+    val df = SparkEntry.queries("t13_lm_perplexity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 4,
+      s"model sides not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian")
+    val reads = p.split("\n").filter(_.contains("ReadSchema"))
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("lang") && !r.contains("url")),
+      s"unpruned documents scan:\n${reads.mkString("\n")}")
+  }
+
   test("whole-stage codegen is active on the scan-agg path") {
     // AQE finalizes the physical plan only on execution; run the query
     // first, then the adaptive plan shows its codegen stages as "*(n)"

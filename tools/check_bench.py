@@ -9,8 +9,11 @@ provenance notes). This script flags every query whose measured median
 exceeds 2x its pinned baseline (the BASELINE.json criterion, made
 mechanically checkable), lists queries new since the baseline, and exits
 nonzero on any flag, any crashed query, any pinned query MISSING from the
-run (a deregistered slow query must not pass silently), or a run whose
-bench line carries partial=true (a truncated capture is not a gate pass).
+run (a deregistered slow query must not pass silently), any NEW query
+without a pin (an unpinned entry has no throughput criterion at all —
+BASELINE.md says to pin a query's first clean measurement when
+registering it), or a run whose bench line carries partial=true (a
+truncated capture is not a gate pass).
 
 The PRODUCTION TWINS (SparkEntry.prodQueries, reported as "t_prod") are
 gated by the SAME rules against BASELINE.md's "Production-twin baseline"
@@ -168,10 +171,15 @@ def main():
         print("\nGONE queries are gate failures: a pinned query missing from "
               "the run can hide a deregistered slow entry. Remove the pin "
               "with a cited reason if the query was intentionally dropped.")
+    if new:
+        print("\nNEW queries are gate failures until pinned: an unpinned "
+              "entry has no throughput criterion (BASELINE.md: pin the "
+              "first clean measurement when registering a query).")
     # gone → nonzero so deregistering a slow query can't silently pass;
+    # new → nonzero so an entry can't ride unpinned past the 2x criterion;
     # partial → nonzero so a truncated capture is never mistaken for a
-    # full pass (both per the r13 advisor findings)
-    if flagged or crashed or gone or partial:
+    # full pass (gone/partial per the r13 advisor findings)
+    if flagged or crashed or gone or new or partial:
         sys.exit(1)
 
 
