@@ -603,18 +603,37 @@ object Graphs {
     * path). One checkpoint + one convergence action per round covers
     * both directions, so the driver pays max(d_f, d_b) round-trips
     * instead of d_f + d_b — at any scale, half the barriers. */
-  private def minPropagateBoth(vertices: DataFrame, edges: DataFrame, maxIter: Int): DataFrame = {
+  private def minPropagateBoth(vertices: DataFrame, edges: DataFrame, maxIter: Int,
+      smallState: Boolean = false): DataFrame = {
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
     var m = cut(vertices.select(col("id"), col("id").as("fmin"), col("id").as("bmin")))
     var last = -1L
     var converged = false
-    for (_ <- 1 to maxIter if !converged) {
-      val fMsgs = edges.join(m.select(col("id"), col("fmin")), edges("src") === col("id"))
+    // r16: when the DRIVER already knows the remaining vertex set is
+    // small (it counts it every outer round), say so — the label state
+    // side of the message joins broadcasts instead of shuffling, which
+    // removes two sort-merge exchanges per relaxation (guide §3.1: the
+    // caller knows a size the optimizer only estimates). Large graphs
+    // keep the pure shuffle path.
+    def st(state: DataFrame): DataFrame = if (smallState) broadcast(state) else state
+    def relax(state: DataFrame): DataFrame = {
+      val fMsgs = edges.join(st(state.select(col("id"), col("fmin"))), edges("src") === col("id"))
         .select(col("dst").as("id"), col("fmin"), lit(Long.MaxValue).as("bmin"))
-      val bMsgs = rev.join(m.select(col("id"), col("bmin")), rev("src") === col("id"))
+      val bMsgs = rev.join(st(state.select(col("id"), col("bmin"))), rev("src") === col("id"))
         .select(col("dst").as("id"), lit(Long.MaxValue).as("fmin"), col("bmin"))
-      val m1 = m.unionByName(fMsgs).unionByName(bMsgs)
+      state.unionByName(fMsgs).unionByName(bMsgs)
         .groupBy("id").agg(min("fmin").as("fmin"), min("bmin").as("bmin"))
+    }
+    for (_ <- 1 to maxIter if !converged) {
+      // r16: TWO relaxations per round in one plan — the tail rounds of
+      // this loop are relaxation-limited (a label must physically travel
+      // the remaining cycle edges; the pointer jump already covers the
+      // chain-limited part), so folding a second edge pass into the same
+      // checkpointed round halves the number of driver barriers the
+      // longest cycle needs. Fixpoint and labels unchanged (min is
+      // idempotent/associative; R∘R's fixpoints are R's — labels are
+      // monotone non-increasing).
+      val m1 = relax(relax(m))
       val jump = m1.as("x")
         .join(m1.select(col("id").as("fid"), col("fmin").as("ff")).as("yf"),
           col("x.fmin") === col("yf.fid"))
@@ -623,6 +642,10 @@ object Graphs {
         .select(col("x.id").as("id"),
           least(col("x.fmin"), col("yf.ff")).as("fmin"),
           least(col("x.bmin"), col("yb.bb")).as("bmin"))
+      // (r16 note: a SECOND in-plan pointer jump was measured here and
+      // REVERTED — it did not cut the round count on this graph (the
+      // tail rounds are relaxation-limited, not chain-limited) while the
+      // two extra joins raised per-round cost ~1.6×.)
       m = cut(jump)
       val row = m.agg(coalesce(sum("fmin"), lit(0L)) + coalesce(sum("bmin"), lit(0L))).head
       val sig = row.getLong(0)
@@ -683,44 +706,48 @@ object Graphs {
       // TRIM (the Trim of FW-BW-Trim): a vertex with no in-edge or no
       // out-edge in the remaining subgraph cannot sit on a cycle — it is
       // its own SCC. Peeling to fixpoint eats the condensation's DAG
-      // tails at ~4 cheap jobs a layer, leaving the expensive double
-      // propagation to run only on the 2-core where cycles can live —
-      // without it, every DAG layer costs two full propagate fixpoints.
-      // singleton layers peeled this round accumulate as plans over the
-      // checkpointed per-layer leaves and fold into `assigned` in ONE
-      // union+checkpoint after the fixpoint (2 fewer jobs per layer);
-      // `e` likewise narrows as an uncheckpointed plan — ≤ layer-count
-      // deep, cut once before the propagation reads it repeatedly
-      val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var peeled = nRemaining > 0
+      // tails, leaving the expensive double propagation to run only on
+      // the 2-core where cycles can live — without it, every DAG layer
+      // costs two full propagate fixpoints.
+      //
+      // r16: the peel iterates on the EDGE SET ALONE — e ← e restricted
+      // to src ∈ dsts(e) ∧ dst ∈ srcs(e) — one checkpoint + one cheap
+      // count per layer (the former shape also checkpointed and counted
+      // a per-layer vertex frame and stacked per-layer anti-join peel
+      // plans: 2 more jobs a layer for bookkeeping the fixpoint makes
+      // free). At the fixpoint srcs(e) = dsts(e) = the 2-core, so ALL
+      // peeled singletons fall out of one anti-join afterwards. Same
+      // fixpoint, same assignments — the subgraph where every vertex
+      // keeps in- and out-support is layer-order-independent.
+      var nE = e.count()
+      var peeled = nE > 0
       while (peeled) {
-        val srcs = e.select(col("src").as("id")).distinct()
-        val dsts = e.select(col("dst").as("id")).distinct()
-        val core = cut(remaining
-          .join(srcs, Seq("id"), "left_semi")
-          .join(dsts, Seq("id"), "left_semi"))
-        val nCore = core.count()
+        val e2 = cut(e
+          .join(e.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
+          .join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi"))
+        val nE2 = e2.count()
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
-          System.err.println(s"[scc] trim $nRemaining->$nCore t=${System.nanoTime() / 1000000}")
-        peeled = nCore < nRemaining
-        if (peeled) {
-          peels += remaining.join(core, Seq("id"), "left_anti")
-            .select(col("id"), col("id").as("scc"))
-          remaining = core
-          nRemaining = nCore
-          // re-checkpoint the narrowed edge set: left as a plan it nests
-          // per layer and each layer's degree pass recomputes the whole
-          // chain (quadratic in layers)
-          e = cut(e
-            .join(core.select(col("id").as("src")), "src")
-            .join(core.select(col("id").as("dst")), "dst")
-            .select("src", "dst"))
-        }
+          System.err.println(s"[scc] trim e $nE->$nE2 t=${System.nanoTime() / 1000000}")
+        peeled = nE2 < nE
+        e = e2
+        nE = nE2
       }
-      if (peels.nonEmpty)
-        assigned = cut(peels.foldLeft(assigned)(_ unionByName _))
+      // 2-core vertex set (= srcs(e) at the fixpoint); everything else
+      // still remaining is a singleton SCC, assigned in one batch
+      val core = cut(e.select(col("src").as("id")).distinct())
+      val nCore = core.count()
+      if (nCore < nRemaining) {
+        assigned = cut(assigned.unionByName(
+          remaining.join(core, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc"))))
+        remaining = core
+        nRemaining = nCore
+      }
       if (nRemaining > 0) {
-        val lab = minPropagateBoth(remaining, e, maxPropagate)
+        // 2M-vertex threshold ≈ tens of MB of (id, fmin, bmin) state —
+        // comfortably broadcastable; beyond it the shuffle path stands
+        val lab = minPropagateBoth(remaining, e, maxPropagate,
+          smallState = nRemaining <= 2000000L)
         assigned = cut(assigned.unionByName(
           lab.filter(col("fmin") === col("bmin"))
             .select(col("id"), col("fmin").as("scc"))))

@@ -154,8 +154,16 @@ object Trees {
             lit(s.node * 2 + 1) + (col("b")(s.feature) > s.thresholdBin).cast("int"))
             .otherwise(acc)
         }
+        // r16: the routed node column stays a STAGED PROJECTION over the
+        // one checkpointed base instead of a per-level re-materialization
+        // (each level used to pay one full-frame localCheckpoint job +
+        // I/O just to store an integer derivable from `b`). The when-
+        // chain is referenced many times by the next level's route, so
+        // CollapseProject keeps each level's projection staged — node is
+        // computed once per row per job, and every later job scans the
+        // same checkpointed partitions in the same order (counts and
+        // split choices are bit-identical).
         df = df.select(col("b"), col("label"), col("w"), route.as("node"))
-          .localCheckpoint()
       }
     }
     // finalize leaves: weighted-majority class of every still-open node
@@ -232,8 +240,10 @@ object Trees {
             lit(s.node * 2 + 1) + (col("b")(s.feature) > s.thresholdBin).cast("int"))
             .otherwise(acc)
         }
+        // r16: staged projection, no per-level checkpoint (see train's
+        // note — node is a cheap integer function of `b`; rematerializing
+        // the whole frame per level bought nothing but a job + I/O)
         df = df.select(col("b"), col("y"), col("w"), route.as("node"))
-          .localCheckpoint()
       }
     }
     val fin = df.groupBy("node")
@@ -444,6 +454,12 @@ object Trees {
             .otherwise(acc)
         }
       }
+      // (r16 note: dropping this per-level checkpoint for a staged
+      // projection — the trainRegressionBinned/train change — was
+      // measured and REVERTED here: the forest's per-level route is an
+      // nTrees-wide ARRAY feeding an nTrees-way explode, so recomputing
+      // all previous levels' arrays per scan cost more than the saved
+      // materialization, 6.1 s → 9.2 s at sf0.1.)
       df = df.select(col("b"), col("label"), col("w"),
         array(routes: _*).as("node")).localCheckpoint()
     }
@@ -873,7 +889,10 @@ object Trees {
       : (Double, Double, Seq[RModel], Seq[Double]) = {
     var frame = binForRegression(data, fts, yCol, bins)
     val f0 = frame.agg(avg("y")).head.getDouble(0)
-    frame = frame.withColumn("y", col("y") - f0).localCheckpoint()
+    // r16: staged residual projection over the one binned checkpoint
+    // (same IEEE ops and scan order → bit-identical aggregates), no
+    // per-round full-frame re-materialization
+    frame = frame.withColumn("y", col("y") - f0)
     val trees = scala.collection.mutable.ArrayBuffer.empty[RModel]
     val mses = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to rounds) {
@@ -883,7 +902,6 @@ object Trees {
         .select(col("b"),
           (col("y") - lit(shrink) * regressExpr(tree, col("b"))).as("y"),
           col("w"), lit(0).as("node"))
-        .localCheckpoint()
       mses += frame.agg(avg(col("y") * col("y"))).head.getDouble(0)
     }
     (f0, shrink, trees.toSeq, mses.toSeq)
@@ -955,9 +973,16 @@ object Trees {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(shrink > 0 && shrink <= 1, s"shrink must be in (0,1], got $shrink")
     pseudoResidual(loss, lit(0), lit(0)) // validate the loss name eagerly
+    // r16: ONE checkpoint (the binned base) for the whole boost. The
+    // ensemble margin F is carried as a staged projection built tree by
+    // tree — F_m = F_{m-1} + ν·t_m(b), the same left-to-right IEEE
+    // additions the former per-round re-materialization stored — so
+    // every cube/loss job scans the SAME checkpointed partitions in the
+    // same order and all sums stay bit-identical, while the loop stops
+    // paying one full-frame localCheckpoint write per round for a
+    // column that is a cheap when-chain over `b`.
     var frame = binForRegression(data, fts, yCol, bins)
       .select(col("b"), col("y"), lit(0.0).as("F"), col("w"))
-      .localCheckpoint()
     val weights = 1.0 +: Seq.fill(rounds - 1)(shrink)
     val trees = scala.collection.mutable.ArrayBuffer.empty[RModel]
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -970,7 +995,6 @@ object Trees {
       frame = frame.select(col("b"), col("y"),
           (col("F") + lit(weights(m)) * regressExpr(tree, col("b"))).as("F"),
           col("w"))
-        .localCheckpoint()
       if (track) losses += frame.agg(avg(lossValue(loss, col("y"), col("F"))))
         .head.getDouble(0)
     }
@@ -1134,7 +1158,11 @@ object Trees {
     var frame = binForRegression(li, fts, col("l_extendedprice") / 1000.0, bins = 32)
     // F0 = global mean
     val f0 = frame.agg(avg("y")).head.getDouble(0)
-    frame = frame.withColumn("y", col("y") - f0).localCheckpoint()
+    // r16: the residual column stays a staged projection over the one
+    // binned checkpoint (same per-row IEEE ops, same scan order → every
+    // aggregate bit-identical); the loop no longer re-materializes the
+    // full frame once per round just to store y − ν·t_m(b).
+    frame = frame.withColumn("y", col("y") - f0)
     val mseInit = frame.agg(avg(col("y") * col("y"))).head.getDouble(0)
     val mses = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     for (m <- 1 to 4) {
@@ -1142,7 +1170,6 @@ object Trees {
       frame = frame
         .select(col("b"), (col("y") - lit(shrink) * regressExpr(tree, col("b"))).as("y"),
           col("w"), lit(0).as("node"))
-        .localCheckpoint()
       mses += ((m, frame.agg(avg(col("y") * col("y"))).head.getDouble(0)))
     }
     // flags from the measured per-round MSEs (aggregates computed in the
@@ -1175,7 +1202,9 @@ object Trees {
     val shrink = 0.5
     var frame = binForRegression(li, fts, col("l_extendedprice") / 1000.0, bins = 32)
     val f0 = frame.agg(avg("y")).head.getDouble(0)
-    frame = frame.withColumn("y", col("y") - f0).localCheckpoint()
+    // r16: staged residual projection, one checkpoint total (see the
+    // gated entry's note)
+    frame = frame.withColumn("y", col("y") - f0)
     val trees = scala.collection.mutable.ArrayBuffer.empty[RModel]
     for (_ <- 1 to 4) {
       val tree = trainRegressionBinned(frame, d = fts.length, depth = 2, bins = 32)
@@ -1183,7 +1212,6 @@ object Trees {
       frame = frame
         .select(col("b"), (col("y") - lit(shrink) * regressExpr(tree, col("b"))).as("y"),
           col("w"), lit(0).as("node"))
-        .localCheckpoint()
     }
     frame.select(gbtPredictExpr(f0, shrink, trees.toSeq, col("b")).as("pred"))
   }

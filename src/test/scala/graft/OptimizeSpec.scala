@@ -34,6 +34,27 @@ class OptimizeSpec extends SparkTestBase {
       assert(b <= a + 1e-15, s"loss rose in $hist") }
   }
 
+  test("leastSquaresObjective (moment statistics) agrees with the row-pass objective") {
+    val df = planted(600)
+    val x = array(lit(1.0), col("x1"), col("x2"))
+    val rowObj = Optimize.objective(df, x, col("y"), d = 3, kind = "leastSquares")
+    val momObj = Optimize.leastSquaresObjective(df, x, col("y"), d = 3)
+    for (w <- Seq(Array(0.0, 0.0, 0.0), Array(1.0, -2.0, 0.5), Array(2.0, 3.0, -1.5))) {
+      val (fR, gR) = rowObj.eval(w)
+      val (fM, gM) = momObj.eval(w)
+      assert(math.abs(fR - fM) <= 1e-9 * math.max(1.0, math.abs(fR)),
+        s"loss mismatch at ${w.toList}: row $fR vs moments $fM")
+      gR.zip(gM).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)),
+          s"gradient mismatch at ${w.toList}: ${gR.toList} vs ${gM.toList}") }
+    }
+    // and L-BFGS on the moment objective still nails the planted optimum
+    val (w, hist) = Optimize.lbfgs(momObj, Array(0.0, 0.0, 0.0), maxIter = 60)
+    assert(hist.last < 1e-10 && math.abs(w(0) - 2.0) < 1e-5 &&
+      math.abs(w(1) - 3.0) < 1e-5 && math.abs(w(2) + 1.5) < 1e-5,
+      s"moment-objective lbfgs: loss ${hist.last}, weights ${w.toList}")
+  }
+
   test("lbfgs converges far faster than sqrt-decay gradient descent") {
     val df = planted(600)
     def freshObj() = Optimize.objective(df,
