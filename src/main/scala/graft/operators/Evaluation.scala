@@ -88,20 +88,39 @@ object Evaluation {
   }
 
   /** The metric computation behind ev01, over any (score, pos∈{0,1})
-    * frame — spec'd on planted curves with hand-computed areas. */
+    * frame — spec'd on planted curves with hand-computed areas.
+    *
+    * r16: EVERYTHING derives from the bounded per-distinct-score curve
+    * in ONE raw-data pass. The former shape scanned the frame ~5×
+    * (totals, the q54 global-index sort, the rank join-back, the curve,
+    * the threshold count). The Mann-Whitney rank sum restructures
+    * EXACTLY: positives at score s all carry the fractional rank
+    * r̄(s) = cum_lt(s) + (c(s)+1)/2, so Σ ranks of positives =
+    * Σ_s cp(s)·r̄(s) — and every quantity in that identity (counts,
+    * half-integer ranks, their products ≤ n², partial sums ≤ n·(n+1))
+    * is exactly representable in double at any n < 2^26, so the
+    * per-curve-row sum is BIT-IDENTICAL to the per-raw-row sum it
+    * replaces (both are exact). p/n totals likewise (integer sums).
+    * The PR curve path is unchanged; its threshold count folds into
+    * the same bounded aggregate. */
   def binaryMetrics(sl: DataFrame): DataFrame = {
-    val t = sl.agg(sum(col("pos")).cast("double").as("p"),
-      (count(lit(1)) - sum(col("pos"))).cast("double").as("n")).head
-    val (p, n) = (t.getDouble(0), t.getDouble(1))
-    val ranked = sl.join(Stats.spearmanRanks(sl, "score"), "score")
-    val aucRoc = ranked.agg(
-      ((sum(when(col("pos") === 1, col("rk_score")).otherwise(0.0)) -
-        lit(p) * (lit(p) + 1) / 2.0) / lit(p * n)).as("v")).head.getDouble(0)
+    // one full-data pass; everything after is per-distinct-score
     val curve = sl.groupBy("score").agg(
       sum(col("pos")).cast("double").as("cp"),
       count(lit(1)).cast("double").as("ct"))
-    // one row per DISTINCT score — the reference's curve cardinality;
-    // the window input is this bounded aggregate, never the raw rows
+      .localCheckpoint()
+    val t = curve.agg(sum(col("cp")).as("p"),
+      (sum(col("ct")) - sum(col("cp"))).as("n"), count(lit(1)).as("nt")).head
+    val (p, n, nThresh) = (t.getDouble(0), t.getDouble(1), t.getLong(2))
+    // fractional average rank per distinct score, over the bounded curve
+    val wLt = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aucRoc = curve
+      .select(col("cp"),
+        (coalesce(sum(col("ct")).over(wLt), lit(0.0)) +
+          (col("ct") + 1.0) / 2.0).as("r"))
+      .agg(((sum(col("cp") * col("r")) - lit(p) * (lit(p) + 1) / 2.0) /
+        lit(p * n)).as("v")).head.getDouble(0)
     val w = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = curve.select(col("score"),
@@ -114,7 +133,6 @@ object Evaluation {
     val aucPr = pr.agg(
       sum((col("rec") - col("prev_rec")) * (col("prec") + col("prev_prec")) / 2.0))
       .head.getDouble(0)
-    val nThresh = curve.count()
     val spark = sl.sparkSession
     import spark.implicits._
     Seq((p.toLong, n.toLong, nThresh,

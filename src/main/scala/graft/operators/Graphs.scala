@@ -869,6 +869,11 @@ object Graphs {
     var v = deg.crossJoin(broadcast(totalDeg))
       .select(col("src").as("id"), (col("deg") / col("t")).as("v"))
       .localCheckpoint()
+    // (r16 note: materializing the matvec result once per round via a
+    // lazy localCheckpoint — so the broadcast L1 subtree and the main
+    // stream share it — was measured and REVERTED: the bounded
+    // join+aggregate is cheaper to compute twice than to store/reload,
+    // 4.5 s → 5.4 s at sf0.1.)
     for (_ <- 1 to iters) {
       val next = norm.join(v, norm("dst") === v("id"))
         .select(col("src").as("id"), (col("a") * col("v")).as("c"))

@@ -151,32 +151,43 @@ object Recommender {
     for (_ <- 1 to iters) {
       val s = cut(scored(userF, itemF))
       if (track) js += sse(s)
-      val dBu = s.groupBy("u").agg(avg("err").as("db"))
-      val dP = s.select(col("u"), col("err"), posexplode(col("q")).as(Seq("p", "qv")))
-        .groupBy("u", "p").agg(avg(col("err") * col("qv")).as("g"))
-        .groupBy("u").agg(asArr("g").as("dp"))
-      val dBi = s.groupBy("i").agg(avg("err").as("db"))
-      val dQ = s.select(col("i"), col("err"), posexplode(col("x")).as(Seq("p", "xv")))
-        .groupBy("i", "p").agg(avg(col("err") * col("xv")).as("g"))
-        .groupBy("i").agg(asArr("g").as("dq"))
+      // r16: the three user-keyed gradients (bias avg, p-gradient, the
+      // y-gradient's per-user term) FUSE into one (u, p) aggregation —
+      // they group the same exploded rows by the same keys, so the
+      // former three shuffle chains (plus a re-join of nu for w, which
+      // already rides `s`) collapse into one two-stage chain; the two
+      // item-keyed gradients fuse the same way. The bias avg is read
+      // from the p=0 cell (every p-cell of a user sees the same row
+      // multiset), keeping one deterministic evaluation per key.
+      val uAgg = s.select(col("u"), col("w"), col("err"),
+          posexplode(col("q")).as(Seq("p", "qv")))
+        .groupBy("u", "p").agg(avg(col("err") * col("qv")).as("g"),
+          sum(col("err") * col("qv")).as("g0"),
+          avg(col("err")).as("db0"), max(col("w")).as("w"))
+        .groupBy("u").agg(asArr("g").as("dp"), asArr("g0").as("g1"),
+          max(when(col("p") === 0, col("db0"))).as("db"),
+          max(col("w")).as("w"))
+      val iAgg = s.select(col("i"), col("err"),
+          posexplode(col("x")).as(Seq("p", "xv")))
+        .groupBy("i", "p").agg(avg(col("err") * col("xv")).as("g"),
+          avg(col("err")).as("db0"))
+        .groupBy("i").agg(asArr("g").as("dq"),
+          max(when(col("p") === 0, col("db0"))).as("db"))
       // y-gradient: per-user term g_u = w_u · Σ_i err_ui·q_i, joined back
       // along the user's rating edges (LINEAR in |ratings|)
-      val gU = s.select(col("u"), col("w"), col("err"), posexplode(col("q")).as(Seq("p", "qv")))
-        .groupBy("u", "p").agg(sum(col("err") * col("qv")).as("g0"))
-        .groupBy("u").agg(asArr("g0").as("g1"))
-        .join(nu, "u")
-        .select(col("u"), transform(col("g1"), v => v * col("w")).as("gy"))
+      val gU = uAgg.select(col("u"),
+        transform(col("g1"), v => v * col("w")).as("gy"))
       val dY = r2.join(gU, "u")
         .select(col("i"), posexplode(col("gy")).as(Seq("p", "v")))
         .groupBy("i", "p").agg(avg("v").as("g"))
         .groupBy("i").agg(asArr("g").as("dy"))
 
-      userF = cut(userF.join(dBu, Seq("u"), "left").join(dP, Seq("u"), "left")
+      userF = cut(userF.join(uAgg, Seq("u"), "left")
         .select(col("u"),
           when(col("dp").isNull, col("p")).otherwise(
             zip_with(col("p"), col("dp"), (p, g) => p + lit(lr) * (g - lit(reg) * p))).as("p"),
           (col("bu") + lit(lr) * (coalesce(col("db"), lit(0.0)) - lit(reg) * col("bu"))).as("bu")))
-      itemF = cut(itemF.join(dBi, Seq("i"), "left").join(dQ, Seq("i"), "left")
+      itemF = cut(itemF.join(iAgg, Seq("i"), "left")
         .join(dY, Seq("i"), "left")
         .select(col("i"),
           when(col("dq").isNull, col("q")).otherwise(
@@ -864,15 +875,20 @@ object Recommender {
         (round(dot(col("_p"), col("_q")), 6) + 0.0).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("score").desc, col("i"))
-    // checkpoint the 600-row recount so the two exceptAll directions
-    // don't each re-run the users×catalog window pass
     val windowed = hofScored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("u", "i", "score", "rk")
-      .localCheckpoint()
     val served = recs.select("u", "i", "score", "rk")
-    val topkExact = served.exceptAll(windowed).isEmpty &&
-      windowed.exceptAll(served).isEmpty
+    // r16: ONE signed-multiplicity pass replaces the two exceptAll
+    // directions (A ≡ B as multisets ⟺ every (row → +1/−1) group sums
+    // to zero — the same predicate, one shuffle + take(1) instead of
+    // two anti-join jobs), which also lets the 600-row window recount
+    // stay an unmaterialized plan consumed exactly once.
+    val topkExact = served.withColumn("_s", lit(1L))
+      .unionByName(windowed.withColumn("_s", lit(-1L)))
+      .groupBy("u", "i", "score", "rk").agg(sum("_s").as("_d"))
+      .filter(col("_d") =!= 0L)
+      .isEmpty
     val nCand = itemF.count()
     recs.select(col("u"), col("rk"))
       .join(pairs.groupBy("u").agg(count(lit(1)).as("n_rated")), "u")

@@ -65,7 +65,7 @@ object Topics {
       val sums = (0 until k).map(j => sum(col(s"g$j")).as(s"t$j"))
       g.groupBy(key).agg(sums.head, sums.tail: _*)
     }
-    var nDK = cut(aggTo(gInit, "d"))
+    var nDK = aggTo(gInit, "d") // single-consumer: plan over the edges checkpoint (r16)
     var nWK = cut(aggTo(gInit, "w"))
 
     def nK(wk: DataFrame): Array[Double] = {
@@ -88,9 +88,14 @@ object Topics {
       val gamma = scored.select(
         col("d") +: col("w") +: (0 until k).map(j =>
           (col("cnt") * g(j) / z).as(s"g$j")): _*)
-      // one materialization feeds BOTH re-aggregations
+      // one materialization feeds both re-aggregations; nWK stays
+      // checkpointed (it is read twice — the E-step join and the
+      // topic-mass aggregate — one evaluation keeps them consistent),
+      // while nDK is consumed exactly ONCE (next round's E-step join),
+      // so it rides as a plan over the checkpointed gamma instead of
+      // paying its own materialization job per iteration (r16)
       val gammaCk = cut(gamma)
-      nDK = cut(aggTo(gammaCk, "d"))
+      nDK = aggTo(gammaCk, "d")
       nWK = cut(aggTo(gammaCk, "w"))
     }
 
