@@ -54,7 +54,7 @@ object Clusters {
         .select(col("dst").as("id"), col("label"))
       val updated = labels.select(col("id"), col("label")).union(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the fingerprint below materializes it (r16)
       val newSum = labelSum(updated)
       changed = newSum != prevSum
       prevSum = newSum
@@ -125,7 +125,7 @@ object Clusters {
       val minsS = e1.groupBy("u").agg(min("v").as("m"))
       val small = e1.join(minsS, "u").select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
-      val e2 = canon(small).localCheckpoint()
+      val e2 = canon(small).localCheckpoint(false) // lazy: sig() materializes it (r16)
       val e2Sig = sig(e2)
       converged = e2Sig == eSig
       e = e2

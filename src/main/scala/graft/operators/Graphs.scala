@@ -542,7 +542,7 @@ object Graphs {
         .select(col("dst").as("id"), col("lm"), (col("d") + 1L).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("id", "lm").agg(min("d").as("d"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the fingerprint below materializes it (r16)
       val row = dist.agg(count(lit(1)), coalesce(sum("d"), lit(0L))).head
       val sig = (row.getLong(0), row.getLong(1))
       converged = sig == last
@@ -596,6 +596,13 @@ object Graphs {
   private def cut(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStats(df)
 
+  /** Lazy lineage cut (r16): the caller's NEXT action materializes the
+    * blocks, fusing "checkpoint the round's state" and "read its 1-row
+    * fingerprint" into one job — see
+    * GraftDatasetFactory.localCheckpointFreshStatsLazy. */
+  private def cutLazy(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStatsLazy(df)
+
   /** BOTH direction labels advance in one loop state (id, fmin, bmin):
     * fmin relaxes along the edges, bmin along their reversal, and both
     * take a pointer-jumping shortcut (label ← min(label, label(label)) —
@@ -634,6 +641,8 @@ object Graphs {
       // idempotent/associative; R∘R's fixpoints are R's — labels are
       // monotone non-increasing).
       val m1 = relax(relax(m))
+      // (jump's checkpoint is LAZY: the convergence aggregate right
+      // below materializes it — one job per round instead of two)
       val jump = m1.as("x")
         .join(m1.select(col("id").as("fid"), col("fmin").as("ff")).as("yf"),
           col("x.fmin") === col("yf.fid"))
@@ -646,7 +655,7 @@ object Graphs {
       // REVERTED — it did not cut the round count on this graph (the
       // tail rounds are relaxation-limited, not chain-limited) while the
       // two extra joins raised per-round cost ~1.6×.)
-      m = cut(jump)
+      m = cutLazy(jump)
       val row = m.agg(coalesce(sum("fmin"), lit(0L)) + coalesce(sum("bmin"), lit(0L))).head
       val sig = row.getLong(0)
       if (sys.env.contains("GRAFT_SCC_DEBUG"))
@@ -722,7 +731,7 @@ object Graphs {
       var nE = e.count()
       var peeled = nE > 0
       while (peeled) {
-        val e2 = cut(e
+        val e2 = cutLazy(e
           .join(e.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
           .join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi"))
         val nE2 = e2.count()
@@ -734,7 +743,7 @@ object Graphs {
       }
       // 2-core vertex set (= srcs(e) at the fixpoint); everything else
       // still remaining is a singleton SCC, assigned in one batch
-      val core = cut(e.select(col("src").as("id")).distinct())
+      val core = cutLazy(e.select(col("src").as("id")).distinct())
       val nCore = core.count()
       if (nCore < nRemaining) {
         assigned = cut(assigned.unionByName(

@@ -46,6 +46,14 @@ object Recommender {
   private def cut(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStats(df)
 
+  /** Lazy lineage cut (r16): the next consuming action materializes the
+    * blocks, so a training round's "checkpoint state" job fuses with
+    * the round's tracking aggregate / Gramian collect (or cascades into
+    * the next round's first job when tracking is off) — same values,
+    * same storage, fewer driver barriers. */
+  private def cutLazy(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStatsLazy(df)
+
   /** Deterministic uniform(-0.5, 0.5)/dim init from (id, dim, salt). */
   private def initArr(id: Column, dim: Int, salt: Long): Column =
     transform(sequence(lit(0), lit(dim - 1)), j =>
@@ -149,7 +157,7 @@ object Recommender {
     def sse(f: DataFrame): Double =
       f.agg(sum(pow(col("err"), 2))).head.getDouble(0)
     for (_ <- 1 to iters) {
-      val s = cut(scored(userF, itemF))
+      val s = cutLazy(scored(userF, itemF))
       if (track) js += sse(s)
       // r16: the three user-keyed gradients (bias avg, p-gradient, the
       // y-gradient's per-user term) FUSE into one (u, p) aggregation —
@@ -182,12 +190,12 @@ object Recommender {
         .groupBy("i", "p").agg(avg("v").as("g"))
         .groupBy("i").agg(asArr("g").as("dy"))
 
-      userF = cut(userF.join(uAgg, Seq("u"), "left")
+      userF = cutLazy(userF.join(uAgg, Seq("u"), "left")
         .select(col("u"),
           when(col("dp").isNull, col("p")).otherwise(
             zip_with(col("p"), col("dp"), (p, g) => p + lit(lr) * (g - lit(reg) * p))).as("p"),
           (col("bu") + lit(lr) * (coalesce(col("db"), lit(0.0)) - lit(reg) * col("bu"))).as("bu")))
-      itemF = cut(itemF.join(iAgg, Seq("i"), "left")
+      itemF = cutLazy(itemF.join(iAgg, Seq("i"), "left")
         .join(dY, Seq("i"), "left")
         .select(col("i"),
           when(col("dq").isNull, col("q")).otherwise(
@@ -197,7 +205,7 @@ object Recommender {
           (col("bi") + lit(lr) * (coalesce(col("db"), lit(0.0)) - lit(reg) * col("bi"))).as("bi")))
     }
     val finS = scored(userF, itemF)
-    val fin = if (track) { val c = cut(finS); js += sse(c); c } else finS
+    val fin = if (track) { val c = cutLazy(finS); js += sse(c); c } else finS
     // serving factors (lazy plans — only evaluated if the caller uses them)
     val userX = userF.join(impProfile(r2, nu, itemF), Seq("u"), "left")
       .select(col("u"),
@@ -496,9 +504,9 @@ object Recommender {
       .localCheckpoint()
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
-      userF = cut(halfRound(itemF, "i", "u", "f",
+      userF = cutLazy(halfRound(itemF, "i", "u", "f",
         Option(userF).filter(_ => nonnegative)))
-      itemF = cut(halfRound(userF, "u", "i", "f",
+      itemF = cutLazy(halfRound(userF, "u", "i", "f",
         if (nonnegative) Some(itemF) else None))
       if (track) js += objective(userF, itemF)
     }
@@ -752,9 +760,9 @@ object Recommender {
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
       val gY = gramian(itemF, dim)
-      userF = cut(halfRound(itemF, "i", "u", gY))
+      userF = cutLazy(halfRound(itemF, "i", "u", gY))
       val gX = gramian(userF, dim)
-      itemF = cut(halfRound(userF, "u", "i", gX))
+      itemF = cutLazy(halfRound(userF, "u", "i", gX))
       if (track) {
         val gY2 = gramian(itemF, dim)
         var frob = 0.0

@@ -33,6 +33,12 @@ object Topics {
   private def cut(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStats(df)
 
+  /** Lazy lineage cut (r16): the next round's topic-mass aggregate
+    * materializes γ and n_wk in one cascaded job instead of two eager
+    * checkpoint jobs per round — see GraftDatasetFactory. */
+  private def cutLazy(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftDatasetFactory.localCheckpointFreshStatsLazy(df)
+
   /** Train and return the topic-word summary: for every topic, the
     * `topWords` highest-φ terms, φ_wk = (n_wk + β)/(n_k + V·β).
     *
@@ -94,9 +100,9 @@ object Topics {
       // while nDK is consumed exactly ONCE (next round's E-step join),
       // so it rides as a plan over the checkpointed gamma instead of
       // paying its own materialization job per iteration (r16)
-      val gammaCk = cut(gamma)
+      val gammaCk = cutLazy(gamma)
       nDK = aggTo(gammaCk, "d")
-      nWK = cut(aggTo(gammaCk, "w"))
+      nWK = cutLazy(aggTo(gammaCk, "w"))
     }
 
     val topicMass = nK(nWK)

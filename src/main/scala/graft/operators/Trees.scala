@@ -460,8 +460,12 @@ object Trees {
       // nTrees-wide ARRAY feeding an nTrees-way explode, so recomputing
       // all previous levels' arrays per scan cost more than the saved
       // materialization, 6.1 s → 9.2 s at sf0.1.)
+      // r16: LAZY checkpoint — the next level's cube collect (or the
+      // leaf-finalize pass) materializes the routed frame in the same
+      // job, fusing the former per-level eager write job with its first
+      // consumer; blocks persist exactly as before.
       df = df.select(col("b"), col("label"), col("w"),
-        array(routes: _*).as("node")).localCheckpoint()
+        array(routes: _*).as("node")).localCheckpoint(false)
     }
     // finalize leaves for every still-open (tree, node) in ONE pass
     val fin = df

@@ -99,7 +99,7 @@ object Word2Vec {
     val spark = docs.sparkSession
     graft.plans.GraftFunctions.register(spark)
     import spark.implicits._
-    val vocab = vocabulary(docs, vocabSize).localCheckpoint()
+    val vocab = vocabulary(docs, vocabSize).localCheckpoint(false) // lazy: count() materializes (r16)
     val nVocab = vocab.count().toInt
     require(nVocab >= 2, s"need at least 2 in-vocab words, got $nVocab")
     // checkpoint the pair set COMPACTED: the per-iteration job reruns 15
@@ -107,6 +107,9 @@ object Word2Vec {
     // fewer near-empty tasks later. ~4M pairs/partition keeps partitions
     // well under executor memory even after the ×2×dim posexplode.
     val nPart = math.max(1, (docs.sparkSession.sparkContext.defaultParallelism / 4))
+    // (EAGER on purpose: the per-iteration plan consumes `data` twice —
+    // the dU/dV union branches — so a lazy mark would double-compute
+    // the pair build inside the first materializing job)
     val data = trainingPairs(docs, vocab, nVocab, window, negatives, seed)
       .repartition(nPart)
       .localCheckpoint()

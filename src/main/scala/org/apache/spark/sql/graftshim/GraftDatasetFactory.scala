@@ -40,4 +40,26 @@ object GraftDatasetFactory {
       case _ => ds
     }
   }
+
+  /** LAZY [[localCheckpointFreshStats]]: marks the frame for local
+    * checkpointing but lets the CALLER's next action materialize it —
+    * the r16 loop fusion. A driver-iterated round that eagerly
+    * checkpoints its state and then runs a 1-row convergence/tracking
+    * aggregate pays two jobs for one pass; with the lazy mark the
+    * aggregate both materializes the blocks and returns the
+    * fingerprint in ONE job, and later rounds read the stored blocks
+    * exactly as with the eager form. Same values, same storage, half
+    * the driver barriers. Only use where a consuming action follows
+    * promptly (otherwise materialization cascades into the next
+    * consumer's job — correct, but it moves cost where you may not
+    * want it). */
+  def localCheckpointFreshStatsLazy(df: DataFrame): DataFrame = {
+    val ds = df.localCheckpoint(eager = false)
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(ds.sparkSession,
+          lr.copy()(ds.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+      case _ => ds
+    }
+  }
 }
