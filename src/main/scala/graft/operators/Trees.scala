@@ -128,7 +128,8 @@ object Trees {
     val raw = data.select(array(fts.map(_.cast("double")): _*).as("x"),
       labelCol.cast("string").as("label"), weight.cast("long").as("w"))
     var df = raw.select(array(binColumns(raw, d, bins): _*).as("b"),
-      col("label"), col("w"), lit(0).as("node")).localCheckpoint()
+      col("label"), col("w"), lit(0).as("node"))
+      .localCheckpoint(false) // lazy: level-0's cube collect materializes (r16)
 
     var splits = Map.empty[Int, Split]
     var leaves = Map.empty[Int, String]
@@ -264,7 +265,8 @@ object Trees {
     val raw = data.select(array(fts.map(_.cast("double")): _*).as("x"),
       yCol.cast("double").as("y"))
     raw.select(array(binColumns(raw, d, bins): _*).as("b"), col("y"),
-      lit(1L).as("w"), lit(0).as("node")).localCheckpoint()
+      lit(1L).as("w"), lit(0).as("node"))
+      .localCheckpoint(false) // lazy: the caller's first pass materializes (r16)
   }
 
   /** Split choice for one node from its histogram cells
@@ -412,7 +414,8 @@ object Trees {
       labelCol.cast("string").as("label"), array(wCols: _*).as("w"))
     var df = raw.select(array(binColumns(raw, d, bins): _*).as("b"),
       col("label"), col("w"),
-      typedlit(Seq.fill(nTrees)(0)).as("node")).localCheckpoint()
+      typedlit(Seq.fill(nTrees)(0)).as("node"))
+      .localCheckpoint(false) // lazy: level-0's cube collect materializes (r16)
 
     val splits = Array.fill(nTrees)(Map.empty[Int, Split])
     val leaves = Array.fill(nTrees)(Map.empty[Int, String])
