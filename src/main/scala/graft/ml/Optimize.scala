@@ -55,7 +55,7 @@ object Optimize {
     require(Seq("leastSquares", "logistic", "hinge").contains(kind),
       s"gradient kind '$kind' (supported: leastSquares, logistic, hinge)")
     val frame = data.select(xCol.as("x"), yCol.cast("double").as("y"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes (r16)
     val n = frame.count().toDouble
     require(n > 0, "objective over an empty frame")
     Objective(d, w => {

@@ -702,16 +702,16 @@ object Graphs {
       maxOuter: Int = 30, maxPropagate: Int = 30): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    var remaining = cut(vertices.select("id"))
+    var remaining = cutLazy(vertices.select("id")) // count below materializes (r16)
     var nRemaining = remaining.count()
     var assigned = Seq.empty[(Long, Long)].toDF("id", "scc")
     var outer = 0
     while (nRemaining > 0 && outer < maxOuter) {
       outer += 1
-      var e = cut(edges
+      var e = cutLazy(edges
         .join(remaining.select(col("id").as("src")), "src")
         .join(remaining.select(col("id").as("dst")), "dst")
-        .select("src", "dst"))
+        .select("src", "dst")) // the edge count below materializes (r16)
       // TRIM (the Trim of FW-BW-Trim): a vertex with no in-edge or no
       // out-edge in the remaining subgraph cannot sit on a cycle — it is
       // its own SCC. Peeling to fixpoint eats the condensation's DAG

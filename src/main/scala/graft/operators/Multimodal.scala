@@ -478,7 +478,7 @@ object Multimodal {
     val media = docs.select(col("doc_id"),
       wavPayload(n, rate,
         k => (col("doc_id") * 31L + k * 7L) % 2048L - 1024L).as("payload"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the parse job materializes; the barrier is the LogicalRDD itself (r16)
     val parsed = parseWav(media, "payload")
     val nWins = ((col("n_samples") - 160L) / 80L).cast("int") + 1
     parsed
@@ -632,7 +632,7 @@ object Multimodal {
     val media = docs.select(col("doc_id"),
       bmpPayload(w, h,
         (x, y) => (law(0)(x, y), law(1)(x, y), law(2)(x, y))).as("payload"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: single consumer (r16)
     val chSum = (shift: Int) => aggregate(col("pixels"), lit(0L),
       (acc, v) => acc + shiftright(v, shift).bitwiseAND(255))
     parseBmp(media, "payload")
@@ -792,7 +792,7 @@ object Multimodal {
       y4mPayload(w, h, nf,
         (f, x, yy) => (col("doc_id") * 11L + f * 17L + yy * 5L + x * 3L) % 256L,
         f => (col("doc_id") + f * 7L) % 256L).as("payload"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: single consumer (r16)
     frameLumaStats(parseY4m(media, "payload"), "payload", stride = 2)
       .select(col("doc_id"), col("width"), col("height"), col("fps_num"),
         col("n_frames"), col("frame_idx"), col("y_sum"), col("y_max"))

@@ -148,7 +148,7 @@ object Regression {
     val xs = lit(1.0) +: xCols.map(c => col(c).cast("double"))
     val data = feats.select(
       array(xs: _*).as("x"), col(yCol).cast("double").as("y"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: iteration 1's gradient agg materializes (r16)
     var beta = Array.fill(d + 1)(0.0)
     for (_ <- 0 until iters) {
       val margin = (0 to d).map(j => col("x")(j) * lit(beta(j))).reduce(_ + _)
@@ -467,7 +467,7 @@ object Regression {
     val data = feats.select(
       array(xs: _*).as("x"),
       (col(yCol).cast("double") * 2.0 - 1.0).as("s"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: iteration 1's gradient agg materializes (r16)
     var beta = Array.fill(d + 1)(0.0)
     for (_ <- 0 until iters) {
       val margin = (0 to d).map(j => col("x")(j) * lit(beta(j))).reduce(_ + _)
