@@ -107,7 +107,7 @@ object Bpe {
       segs = segs.select(applyMerge(col("seg"), l, r).as("seg"), col("n"))
       // lineage cut every few rounds: the chain is one thin projection
       // per round over a vocabulary-sized table
-      if ((step + 1) % 8 == 0) segs = segs.localCheckpoint()
+      if ((step + 1) % 8 == 0) segs = segs.localCheckpoint(false) // lazy: next round's count materializes (r16)
     }
     out.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
@@ -258,7 +258,7 @@ object Bpe {
       rounds += 1
       // a batched round appends up to `batch` replaces to the projection
       // chain, so cut twice as often as the sequential trainer
-      if (sinceCut % 2 == 0) segs = segs.localCheckpoint()
+      if (sinceCut % 2 == 0) segs = segs.localCheckpoint(false) // lazy: next round's count materializes (r16)
     }
     (out.toSeq.toDF("step", "lhs", "rhs", "cnt"), rounds)
   }

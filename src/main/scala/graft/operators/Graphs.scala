@@ -345,8 +345,9 @@ object Graphs {
   def labelPropagation(vertices: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("label")).localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1 materializes (r16)
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint(false) // lazy: single reference per round (r16)
     for (_ <- 1 to iters) {
       val msgs = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
@@ -357,7 +358,7 @@ object Graphs {
       labels = vertices.select(col("id"))
         .join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: next round (or the caller) materializes (r16)
     }
     labels
   }
@@ -527,7 +528,7 @@ object Graphs {
   def shortestPaths(edges: DataFrame, landmarks: DataFrame, maxHops: Int): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1 materializes (r16)
     var dist = landmarks.select(col("lm").as("id"), col("lm"), lit(0L).as("d"))
       .localCheckpoint()
     // early exit on the (row count, Σd) fingerprint: relaxation only ever
@@ -872,12 +873,12 @@ object Graphs {
     val deg = bidir.groupBy("src").agg(sum("w").as("deg"))
     val norm = bidir.join(deg, "src")
       .select(col("src"), col("dst"), (col("w") / col("deg")).as("a"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1 materializes (r16)
     // reference init: degree / total-degree (already L1-normalized)
     val totalDeg = deg.agg(sum("deg").as("t"))
     var v = deg.crossJoin(broadcast(totalDeg))
       .select(col("src").as("id"), (col("deg") / col("t")).as("v"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1 materializes (r16)
     // (r16 note: materializing the matvec result once per round via a
     // lazy localCheckpoint — so the broadcast L1 subtree and the main
     // stream share it — was measured and REVERTED: the bounded
@@ -901,7 +902,7 @@ object Graphs {
     val prev = idx.select((col("rn") + 1).as("rn"), col("v").as("v_prev"))
     val ranked = idx.join(prev, Seq("rn"), "left")
       .select(col("id"), col("v"), col("rn"), (col("v") - col("v_prev")).as("gap"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the bounded cuts collect materializes (r16)
     val cuts = ranked.filter(col("gap").isNotNull)
       .orderBy(col("gap").desc, col("rn")).limit(k - 1)
       .select(col("rn").as("cut"), col("gap"))

@@ -875,7 +875,8 @@ object Recommender {
       .localCheckpoint()
     val (userF, itemF, _) = alsFactors(pairs.select("u", "i", "r"),
       dim = 8, iters = 5)
-    val recs = recommendProducts(userF, itemF, k = 3).localCheckpoint()
+    val recs = recommendProducts(userF, itemF, k = 3)
+      .localCheckpoint(false) // lazy: the certificate diff materializes (r16)
     // independent recount: HOF dot + full-cross-product window ranking
     val hofScored = userF.select(col("u"), col("f").as("_p"))
       .crossJoin(broadcast(itemF.select(col("i"), col("f").as("_q"))))

@@ -52,7 +52,7 @@ object Topics {
       .select(col("doc_id").as("d"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
       .groupBy("d", "w").agg(count(lit(1)).cast("double").as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the vocab count below materializes (r16)
     val vocabSize = edges.select("w").distinct().count().toDouble
 
     def ts(prefix: String): Seq[String] = (0 until k).map(j => s"$prefix$j")
