@@ -20,7 +20,12 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.PlanDump <sfDir> <outDir> <query>[,<query>...]")
+      sys.exit(2)
+    }
+    val (sfDir, outDir) = (args(0), args(1))
     val names = args.drop(2).flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -51,8 +56,9 @@ object PlanDump {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val plan = df.queryExecution.explainString(mode)
         df.write.format("noop").mode("overwrite").save()
-        // listener events are async; give the bus a moment to drain
-        Thread.sleep(400)
+        // listener events are async; block until the bus has delivered
+        // everything (deterministic, unlike a fixed sleep — r16 advisor)
+        org.apache.spark.sql.graftshim.GraftDatasetFactory.drainListenerBus(spark)
         Files.writeString(Paths.get(s"$outDir/$n.txt"),
           plan + s"\n\n# executed end-to-end (incl. noop sink): jobs=${jobs.get - j0} " +
             s"stages=${stages.get - s0} tasks=${tasks.get - t0}\n")

@@ -119,14 +119,18 @@ object Optimize {
         sum(col("y") * col("y")).as("syy") :+
         count(lit(1)).cast("double").as("n")
     val row = frame.agg(aggs.head, aggs.tail: _*).head()
+    // read n FIRST (count is 0, never null) so an empty or all-null-x
+    // frame fails with the intended message instead of an NPE from
+    // getDouble on the null sum cells (r16 advisor)
+    val n = row.getDouble(upper.length + d + 1)
+    require(n > 0 && !row.isNullAt(0),
+      "objective over an empty (or all-null-feature) frame")
     val m = Array.ofDim[Double](d, d)
     upper.zipWithIndex.foreach { case ((j, k), i) =>
       m(j)(k) = row.getDouble(i); m(k)(j) = row.getDouble(i)
     }
     val b = Array.tabulate(d)(j => row.getDouble(upper.length + j))
     val syy = row.getDouble(upper.length + d)
-    val n = row.getDouble(upper.length + d + 1)
-    require(n > 0, "objective over an empty frame")
     Objective(d, w => {
       var quad = 0.0; var lin = 0.0
       val grad = new Array[Double](d)

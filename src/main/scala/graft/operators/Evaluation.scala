@@ -13,14 +13,15 @@ import graft.{Q, Tables}
   * a 100 TB training-data pipeline needs to score its quality/language
   * filter models on held-out data without ever collecting rows:
   *
-  *  - binary: AUC-ROC computed as the Mann-Whitney rank-sum statistic on
-  *    q59's DISTRIBUTED fractional ranks — algebraically identical to the
-  *    reference's trapezoid-over-cumulative-counts (ties handled by the
-  *    average rank exactly as the trapezoid handles the tied-score
-  *    vertical), but with no ordered global scan; AUC-PR from the
-  *    per-distinct-score curve (the curve is an aggregate, one row per
-  *    threshold — the reference's own curve cardinality — so the final
-  *    cumulative window runs over that bounded table, fs01's discipline).
+  *  - binary: AUC-ROC computed as the Mann-Whitney rank-sum statistic
+  *    whose fractional average ranks are DERIVED from the bounded
+  *    per-distinct-score curve (one aggregated row per threshold — the
+  *    reference's own curve cardinality) via a single-partition window
+  *    over those ~|distinct scores| rows — algebraically identical to
+  *    the reference's trapezoid-over-cumulative-counts (ties handled by
+  *    the average rank exactly as the trapezoid handles the tied-score
+  *    vertical), with no ordered scan of the RAW rows; AUC-PR from the
+  *    same curve (fs01's discipline).
   *  - multiclass: confusion-cell aggregates → per-class precision /
   *    recall / F1 + overall accuracy.
   *  - regression: one exact-decimal moment aggregate (rg01's rule, so
@@ -41,8 +42,9 @@ object Evaluation {
     * AUC-ROC = (Σ ranks of positives − P(P+1)/2) / (P·N) on fractional
     * average ranks (Mann-Whitney U). Equal to the reference's
     * trapezoidal area under the per-threshold ROC including its tie
-    * handling; the rank table comes from q54's range-partitioned
-    * numbering, so no stage funnels all rows through one task. AUC-PR
+    * handling; the ranks derive from the bounded per-distinct-score
+    * curve via a single-partition window over ~|distinct scores| rows,
+    * so no stage funnels the RAW rows through one task. AUC-PR
     * follows the reference exactly: points (recall, precision) per
     * distinct score descending with (0, 1) prepended, trapezoid sum —
     * the cumulative window runs over the aggregated curve (one row per
@@ -347,6 +349,18 @@ object Evaluation {
         (col("l_extendedprice").cast("decimal(18,6)") *
           (lit(1.0) - col("l_discount")).cast("decimal(18,6)")).as("rev"))
     val split = lit("1998-07-01").cast("date")
+    // r17 note: two single-scan fusions of the preds and truth branches
+    // were built and MEASURED WORSE here, then reverted (the r16
+    // pic01/ev04 materialize-vs-recompute rule, third data point):
+    // (a) one (c, part) period-conditional aggregate + localCheckpoint
+    //     shared by both branches — 1.7 → 2.6 s;
+    // (b) the same aggregate consumed in ONE plan via customer windows
+    //     (tsz/pos/cumh over the agg, no checkpoint) — 1.7 → 2.4 s.
+    // Both lose because the branches are ASYMMETRIC: o_orderdate >= split
+    // keeps ~3% of rows and both period filters push down to the scans,
+    // so the "duplicated" truth scan costs ~3% of a pass while the fused
+    // shapes pay full-width aggregation plus extra window sorts over the
+    // whole pair set. The two-branch shape below is the measured floor.
     val preds = joined.filter(col("o_orderdate") < split)
       .groupBy("c", "part").agg(sum("rev").as("spend"))
       .withColumn("pos", row_number().over(

@@ -334,10 +334,11 @@ object Recommender {
     * canonical recommender, re-expressed Spark-first. Each half-round
     * holds one side fixed and solves every key's dim×dim normal
     * equations (Σ qqᵀ + λ·n_u·I) p = Σ r·q — the ALS-WR weighted-λ
-    * form the reference implements — in flatMap-style mapGroups: the
+    * form the reference implements — over per-key partner-sorted row
+    * lists assembled by a native collect_list aggregation (r17): the
     * genuinely per-key sequential kernel (t07's rule), bounded at
     * dim² per rating + dim³ per key, never corpus-sized. A half-round
-    * is ONE key-equality join (ratings ⋈ fixed side) + ONE groupByKey:
+    * is ONE key-equality join (ratings ⋈ fixed side) + ONE groupBy:
     * factors live in two distributed id-keyed tables (MLlib's layout)
     * and never touch the driver. Group rows are sorted by partner id
     * before accumulating so float summation order — and therefore the
@@ -456,30 +457,46 @@ object Recommender {
     // if the sweep budget stops short of the exact constrained optimum.
     // The default path keeps the lean 4-field row (no null _f0 column
     // riding the r02 shuffle for a feature it never reads).
+    // r17: DataFrame-native group assembly (guide §2.3 "aggregate before
+    // you shuffle" + codegen). The former groupByKey→mapGroups shape paid
+    // the Dataset encoder on BOTH sides of its exchange every half-round:
+    // an AppendColumns deserialize-per-row to compute the key, an
+    // in-partition sort, and a second deserialize-per-row inside
+    // MapGroups. groupBy + sort_array(collect_list(struct(...))) keeps the
+    // whole pre-solve pipeline in native codegen, partial-aggregates the
+    // per-key lists map-side, and the one remaining object hop is the
+    // bounded (key, rows) array fed to the solver. The solver sees the
+    // group's rows sorted by partner key EXACTLY as before — sort_array
+    // orders the structs lexicographically and the partner key (the
+    // struct's first field) is unique per group (ratings are one row per
+    // (u, i)) — so every solve, and therefore the whole trainer, is
+    // bit-identical. The nonnegative warm start joins AFTER the
+    // aggregation (one _f0 row per key instead of one per rating riding
+    // the exchange).
     def halfRound(fixed: DataFrame, fixedKey: String, solveKey0: String,
                   factCol: String, prev: Option[DataFrame]): DataFrame = {
       val base = r2.join(fixed, fixedKey)
         .select(col(solveKey0), col(fixedKey), col("r"), col(factCol))
       val (d0, r0, nn0) = (dim, reg, nonnegative) // plain captures, not `this`
+      val agged = base.groupBy(col(solveKey0)).agg(
+        sort_array(collect_list(struct(
+          col(fixedKey).as("_1"), col("r").as("_2"), col(factCol).as("_3"))))
+          .as("_rows"))
       val solved = prev match {
         case None =>
-          base.as[(Long, Long, Double, Seq[Double])]
-            .groupByKey(_._1)
-            .mapGroups { (key, rows) =>
-              val sorted = rows.toArray.sortBy(_._2)
+          agged.as[(Long, Seq[(Long, Double, Seq[Double])])]
+            .map { case (key, rows) =>
               (key, Recommender.solveNormalEq(
-                sorted.iterator.map(t => (t._3, t._4)), null, d0, r0, nn0))
+                rows.iterator.map(t => (t._2, t._3)), null, d0, r0, nn0))
             }
         case Some(p) =>
-          base.join(p.select(col(solveKey0), col("f").as("_f0")),
+          agged.join(p.select(col(solveKey0), col("f").as("_f0")),
               Seq(solveKey0), "left")
-            .as[(Long, Long, Double, Seq[Double], Option[Seq[Double]])]
-            .groupByKey(_._1)
-            .mapGroups { (key, rows) =>
-              val sorted = rows.toArray.sortBy(_._2)
+            .as[(Long, Seq[(Long, Double, Seq[Double])], Option[Seq[Double]])]
+            .map { case (key, rows, f0) =>
               (key, Recommender.solveNormalEq(
-                sorted.iterator.map(t => (t._3, t._4)),
-                sorted.head._5.map(_.toArray).orNull, d0, r0, nn0))
+                rows.iterator.map(t => (t._2, t._3)),
+                f0.map(_.toArray).orNull, d0, r0, nn0))
             }
       }
       solved.toDF(solveKey0, "f")
@@ -724,17 +741,23 @@ object Recommender {
     val r2 = ratings.select(col("u"), col("i"), col("r").cast("double").as("r"))
       .localCheckpoint()
 
+    // r17: same DataFrame-native group assembly as [[alsFactors]] — the
+    // typed groupByKey/mapGroups encoder round-trips are replaced by a
+    // codegen collect_list aggregation; the solver still sees each key's
+    // rows sorted by (unique) partner key, so every solve is bit-identical.
     def halfRound(fixed: DataFrame, fixedKey: String, solveKey0: String,
                   gram: Array[Double]): DataFrame = {
       val base = r2.join(fixed, fixedKey)
         .select(col(solveKey0), col(fixedKey), col("r"), col("f"))
       val (d0, r0, a0, g0) = (dim, reg, alpha, gram) // plain captures, not `this`
-      base.as[(Long, Long, Double, Seq[Double])]
-        .groupByKey(_._1)
-        .mapGroups { (key, rows) =>
-          val sorted = rows.toArray.sortBy(_._2)
+      base.groupBy(col(solveKey0)).agg(
+        sort_array(collect_list(struct(
+          col(fixedKey).as("_1"), col("r").as("_2"), col("f").as("_3"))))
+          .as("_rows"))
+        .as[(Long, Seq[(Long, Double, Seq[Double])])]
+        .map { case (key, rows) =>
           (key, Recommender.solveImplicitNormalEq(
-            sorted.iterator.map(t => (t._3, t._4)), g0, d0, r0, a0))
+            rows.iterator.map(t => (t._2, t._3)), g0, d0, r0, a0))
         }
         .toDF(solveKey0, "f")
     }

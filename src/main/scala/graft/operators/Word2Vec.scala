@@ -18,7 +18,10 @@ import graft.functions.TextFunctions.tokens
   *  - the DATA (labeled skip-gram pairs) is built once as narrow
   *    (center, context, label) int rows — positives from a ±window
   *    OFFSET-EQUALITY join (never a quadratic within-document
-  *    self-join), negatives hash-drawn per positive — and checkpointed;
+  *    self-join), negatives hash-drawn per positive — then collapsed to
+  *    its distinct (c, t, label) triples with a count weight and
+  *    checkpointed (r17): the iterated frame is bounded by 2·vocab²
+  *    rows at any corpus size;
   *  - each iteration is one codegen'd map (native `float_dot` logit +
   *    sigmoid) and ONE shuffle: both gradient streams (dU keyed by
   *    center scaled by v, dV keyed by context scaled by u) go through a
@@ -102,15 +105,26 @@ object Word2Vec {
     val vocab = vocabulary(docs, vocabSize).localCheckpoint(false) // lazy: count() materializes (r16)
     val nVocab = vocab.count().toInt
     require(nVocab >= 2, s"need at least 2 in-vocab words, got $nVocab")
-    // checkpoint the pair set COMPACTED: the per-iteration job reruns 15
-    // times over this exact data, so paying one coalesce now buys 15×
-    // fewer near-empty tasks later. ~4M pairs/partition keeps partitions
-    // well under executor memory even after the ×2×dim posexplode.
+    // checkpoint the pair MULTISET COLLAPSED to its distinct (c, t, label)
+    // triples with a count weight (r17, guide §2.3 "aggregate before you
+    // iterate"): the 15 per-iteration gradient jobs re-scan this exact
+    // data, and every quantity they compute — the per-key mean gradients —
+    // depends on a (c, t) pair only through g(c,t) and the fixed model
+    // rows, so duplicate occurrences fold into a weight once at build
+    // time. The checkpointed frame is bounded by 2·vocab² rows (vocab is
+    // capped) REGARDLESS of corpus size, where the raw pair set grows
+    // linearly with the corpus: at 100 TB the iteration cost becomes
+    // scale-invariant instead of corpus-sized. The per-key means are
+    // computed as Σ w·g·x / Σ w — the same value as the former per-row
+    // avg up to float summation order (the embedding floats are
+    // engine-local; the entry's published columns are exact integer
+    // counts and a finiteness flag, both unchanged).
     val nPart = math.max(1, (docs.sparkSession.sparkContext.defaultParallelism / 4))
     // (EAGER on purpose: the per-iteration plan consumes `data` twice —
     // the dU/dV union branches — so a lazy mark would double-compute
     // the pair build inside the first materializing job)
     val data = trainingPairs(docs, vocab, nVocab, window, negatives, seed)
+      .groupBy("c", "t", "label").agg(count(lit(1)).cast("double").as("w"))
       .repartition(nPart)
       .localCheckpoint()
 
@@ -140,14 +154,18 @@ object Word2Vec {
           lit(1.0) / (lit(1.0) + exp(-call_function("float_dot", col("u"), col("v"))))
             - col("label"))
       // both gradient streams through one shuffle; map-side combine
-      // collapses each partition to <= 2*vocab*dim rows
-      val dU = scored.select(lit(0).as("side"), col("c").as("key"), col("g"),
+      // collapses each partition to <= 2*vocab*dim rows. The mean over
+      // raw occurrences is the weight-w weighted mean over the distinct
+      // triples (each occurrence of a triple contributes the same g·x).
+      val dU = scored.select(lit(0).as("side"), col("c").as("key"),
+        (col("w") * col("g")).as("wg"), col("w"),
         posexplode(col("v")).as(Seq("p", "x")))
-      val dV = scored.select(lit(1).as("side"), col("t").as("key"), col("g"),
+      val dV = scored.select(lit(1).as("side"), col("t").as("key"),
+        (col("w") * col("g")).as("wg"), col("w"),
         posexplode(col("u")).as(Seq("p", "x")))
       val grads = dU.unionByName(dV)
         .groupBy("side", "key", "p")
-        .agg(avg(col("g") * col("x")).as("d"))
+        .agg((sum(col("wg") * col("x")) / sum(col("w"))).as("d"))
         .collect()
       grads.foreach { r =>
         val (side, k, p, d) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))

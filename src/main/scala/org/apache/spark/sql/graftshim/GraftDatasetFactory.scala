@@ -53,6 +53,15 @@ object GraftDatasetFactory {
     * promptly (otherwise materialization cascades into the next
     * consumer's job — correct, but it moves cost where you may not
     * want it). */
+  /** Block until the async listener bus has delivered every queued
+    * event — the deterministic replacement for "sleep and hope" when a
+    * tool reads listener-accumulated counters right after an action
+    * (r16 advisor: PlanDump's evidence counts could under-count on a
+    * loaded host). `SparkContext.listenerBus` is private[spark], hence
+    * this shim. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def localCheckpointFreshStatsLazy(df: DataFrame): DataFrame = {
     val ds = df.localCheckpoint(eager = false)
     ds.queryExecution.analyzed match {
