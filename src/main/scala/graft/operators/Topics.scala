@@ -96,12 +96,16 @@ object Topics {
           (col("cnt") * g(j) / z).as(s"g$j")): _*)
       // one materialization feeds both re-aggregations; nWK stays
       // checkpointed (it is read twice — the E-step join and the
-      // topic-mass aggregate — one evaluation keeps them consistent),
-      // while nDK is consumed exactly ONCE (next round's E-step join),
-      // so it rides as a plan over the checkpointed gamma instead of
-      // paying its own materialization job per iteration (r16)
+      // topic-mass aggregate — one evaluation keeps them consistent).
+      // nDK is EAGERLY checkpointed (r17 adjudication): r16 demoted it
+      // to a plan over the gamma checkpoint (single consumer, −1 job per
+      // round), the builder's A/B read neutral, but BOTH r16 driver runs
+      // read lda01 +30–36%; a same-host 5-round A/B this round read the
+      // two variants equal within noise (plan min 4.78 s vs eager min
+      // 4.55 s, overlapping samples), so the r15 eager shape — whose
+      // driver reading was clean — is restored.
       val gammaCk = cutLazy(gamma)
-      nDK = aggTo(gammaCk, "d")
+      nDK = cut(aggTo(gammaCk, "d"))
       nWK = cutLazy(aggTo(gammaCk, "w"))
     }
 
