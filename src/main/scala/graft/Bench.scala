@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints per-query seconds as JSON on stdout
+  * (three lines — full named map, compact array, heaviest-named tail
+  * line; see `emit`).
   *
   * Each query is forced through a `noop` sink so the full result is
   * materialized (a bare count() would let Catalyst prune the computed
@@ -48,7 +50,7 @@ import org.apache.spark.sql.SparkSession
   * accumulate in a concurrent map and a JVM shutdown hook prints the
   * JSON line from whatever has been gathered, so a truncated run still
   * reports every query measured so far (un-measured queries read -1 and
-  * the line carries "partial":true). Exactly ONE line ever reaches
+  * the line carries "partial":true). Exactly ONE emit ever reaches
   * stdout — the hook and the normal path race through an AtomicBoolean.
   */
 object Bench {
@@ -222,15 +224,45 @@ object Bench {
       val ts = rs.map(r => short(r._2)).mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"cov_shared_cold":$covSharedCold,"bucketed_write_cold":$bucketedWriteCold,"pairs_shared_cold":$pairsSharedCold,"n":${rs.size},"order":"name-asc","t":$ts,"t_prod":${renderProd()}}"""
     }
+    // r17 (r16 verdict item 6): the external capture keeps only the LAST
+    // ~2000 bytes of stdout, and a fully-NAMED per-query map cannot fit
+    // that window (the 159 query names alone are ~2.5 KB), which is why
+    // the r16 comparator recovered zero named rows from the compact
+    // line's bare `t` array. This third, FINAL line is self-describing
+    // within the window: headline total + t_prod + a `queries` map of
+    // the SLOWEST entries, greedily filled until the line reaches ~1900
+    // bytes (the heavy queries are the ones a regression comparison can
+    // resolve; sub-second entries drown in host noise). `queries_omitted`
+    // records the truncation; the full named map stays on line 1 and
+    // every raw sample in BENCH_SAMPLES.json.
+    def renderTopNamed(rs: Seq[(String, Double)]): String = {
+      val total = r3(rs.map(_._2).filter(_ >= 0).sum)
+      val partial = rs.exists(_._2 < 0) || prodResults().exists(_._2 < 0) ||
+        roundsDone == 0
+      val head = s"""{"metric":"total","value":$total,"unit":"sec","rounds":$roundsDone,"partial":$partial,"sf":"$sfDir","n":${rs.size},"t_prod":${renderProd()},"queries_omitted":NNN,"queries":{"""
+      val tail = "}}"
+      val budget = 1900 - head.length - tail.length
+      val byCost = rs.filter(_._2 >= 0).sortBy { case (n, v) => (-v, n) }
+      val sb = new StringBuilder
+      var kept = 0
+      for ((n, v) <- byCost) {
+        val entry = (if (kept == 0) "" else ",") + "\"" + n + "\":" + v
+        if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
+      }
+      head.replace("NNN", (rs.size - kept).toString) + sb.result() + tail
+    }
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
-      // two parse-friendly JSON lines, flushed straight to stdout (the
-      // forked JVM inherits stdout — no sbt [info] prefix, see build.sbt):
-      // full named line first, compact total+array line LAST so a
-      // tail-kept capture window always parses to the headline total and
-      // all per-query medians.
+      // three parse-friendly JSON lines, flushed straight to stdout (the
+      // forked JVM inherits stdout — no sbt [info] prefix, see
+      // build.sbt): full named line first (the human record), the
+      // compact total+array line (every per-query median, name-asc),
+      // then the heaviest-queries NAMED line LAST so the tail-kept
+      // capture window always parses to the headline total, t_prod, and
+      // named seconds for every expensive query.
       val rs = results()
       println(render(rs))
       println(renderCompact(rs))
+      println(renderTopNamed(rs))
       Console.flush()
       writeSamplesFile()
     }

@@ -101,19 +101,37 @@ def load_bench(path, correctness_path=None):
                      "part of the gate; re-run with a Bench that emits it")
         return {k: float(v) for k, v in tp.items()}
 
-    # prefer a named per-query map from ANY surviving line before falling
-    # back to the compact name-asc array (which needs a names source)
+    # preference order (r17 — Bench now prints a THIRD, final line whose
+    # "queries" map is truncated to the heaviest entries so the external
+    # ~2KB tail capture stays self-describing):
+    #   1. a COMPLETE named map (no queries_omitted, or zero omitted),
+    #   2. the compact name-asc "t" array (needs a names source),
+    #   3. the truncated heaviest-queries map, with a warning — only the
+    #      captured entries can be gated.
     for data in candidates:
-        if "queries" in data:
-            return ({k: float(v) for k, v in data["queries"].items()},
-                    prod_of(data), partial_of(data))
+        d = data.get("parsed") if isinstance(data.get("parsed"), dict) \
+            and "queries" in data.get("parsed", {}) else data
+        if "queries" in d and not d.get("queries_omitted"):
+            return ({k: float(v) for k, v in d["queries"].items()},
+                    prod_of(d), partial_of(d), False)
     for data in candidates:
         if "t" in data and isinstance(data["t"], list):
             return (_names_from(correctness_path, data["t"]),
-                    prod_of(data), partial_of(data))
+                    prod_of(data), partial_of(data), False)
         if "parsed" in data and "t" in data.get("parsed", {}):
             return (_names_from(correctness_path, data["parsed"]["t"]),
-                    prod_of(data), partial_of(data))
+                    prod_of(data), partial_of(data), False)
+    for data in candidates:
+        d = data.get("parsed") if isinstance(data.get("parsed"), dict) \
+            and "queries" in data.get("parsed", {}) else data
+        if "queries" in d:
+            print(f"WARNING: only a truncated named map survived in {path} "
+                  f"({d.get('queries_omitted')} queries omitted by the "
+                  "capture); gating the captured heaviest entries only — "
+                  "pinned queries absent from this map are NOT treated as "
+                  "deregistered.")
+            return ({k: float(v) for k, v in d["queries"].items()},
+                    prod_of(d), partial_of(d), True)
     sys.exit(f"unrecognized bench format in {path}")
 
 
@@ -147,10 +165,16 @@ def diff(bench, base, kind=""):
 def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
-    bench, prod, partial = load_bench(
+    bench, prod, partial, truncated = load_bench(
         sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else None)
     base, twin_base = parse_baseline()
     flagged, new, gone, crashed = diff(bench, base)
+    if truncated and gone:
+        # the capture only kept the heaviest entries: absence from the
+        # truncated map is a capture artifact, not a deregistration
+        print(f"(truncated capture: {len(gone)} pinned queries below the "
+              "capture cut are not gated this run)")
+        gone = []
     tf, tn, tg, tc = diff(prod, twin_base, kind="twin")
     flagged += tf
     new += tn
