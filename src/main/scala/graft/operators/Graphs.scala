@@ -644,6 +644,10 @@ object Graphs {
       val m1 = relax(relax(m))
       // (jump's checkpoint is LAZY: the convergence aggregate right
       // below materializes it — one job per round instead of two)
+      // (r17 note: broadcasting the yf/yb lookup sides under smallState
+      // was measured NEUTRAL here (8.37 vs 8.34 s) and rejected: m1 is an
+      // unmaterialized plan, so each broadcast build re-evaluates the
+      // relax chain, trading two exchanges for two extra computations.)
       val jump = m1.as("x")
         .join(m1.select(col("id").as("fid"), col("fmin").as("ff")).as("yf"),
           col("x.fmin") === col("yf.fid"))
@@ -731,10 +735,19 @@ object Graphs {
       // keeps in- and out-support is layer-order-independent.
       var nE = e.count()
       var peeled = nE > 0
+      // r17: TWO peels per round in one plan (the double-relax argument
+      // applied to trim): the peel operator P(e) = e restricted to
+      // src ∈ dsts(e) ∧ dst ∈ srcs(e) is monotone-decreasing and P∘P has
+      // exactly P's fixpoints, so the fixpoint — and therefore every
+      // assignment — is unchanged while the driver pays ⌈layers/2⌉
+      // checkpoint+count barriers instead of one per layer. At any
+      // scale the trim depth is the condensation's tail length, so the
+      // barrier count is the 100 TB quantity here (sf0.1: 7 → 4 rounds).
+      def peel(ed: DataFrame): DataFrame = ed
+        .join(ed.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
+        .join(ed.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
       while (peeled) {
-        val e2 = cutLazy(e
-          .join(e.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
-          .join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi"))
+        val e2 = cutLazy(peel(peel(e)))
         val nE2 = e2.count()
         if (sys.env.contains("GRAFT_SCC_DEBUG"))
           System.err.println(s"[scc] trim e $nE->$nE2 t=${System.nanoTime() / 1000000}")
@@ -754,10 +767,14 @@ object Graphs {
         nRemaining = nCore
       }
       if (nRemaining > 0) {
-        // 2M-vertex threshold ≈ tens of MB of (id, fmin, bmin) state —
-        // comfortably broadcastable; beyond it the shuffle path stands
+        // 400k-vertex threshold (r17, r16 advisor): each propagate round
+        // builds FOUR broadcasts of the (id, fmin, bmin) state (2 per
+        // relax × 2 relaxations), dozens per fixpoint, all collected on
+        // the driver — so the bound is sized like a broadcast-join
+        // threshold (~10 MB of 24-byte rows), not "whatever fits".
+        // Beyond it the pure shuffle path stands.
         val lab = minPropagateBoth(remaining, e, maxPropagate,
-          smallState = nRemaining <= 2000000L)
+          smallState = nRemaining <= 400000L)
         assigned = cut(assigned.unionByName(
           lab.filter(col("fmin") === col("bmin"))
             .select(col("id"), col("fmin").as("scc"))))
