@@ -457,8 +457,13 @@ class StreamingSpec extends SparkTestBase {
     // NOTE: with ProcessingTimeTimeout registered the engine schedules
     // timeout-evaluation batches on its own, so processAllAvailable()
     // never drains — poll the sink for the expected row count instead.
+    // 180 s deadline (r17): generous on purpose — this bound exists only
+    // to fail a HUNG query loudly, and a tighter bound is the one
+    // wall-clock assumption in this suite a contended host could break
+    // (the r16 full-suite run had one unattributed StreamingSpec
+    // failure that 21 quiet re-runs could not reproduce).
     def awaitRows(table: String, n: Long): Unit = {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
       while (spark.table(table).count() < n) {
         assert(System.nanoTime() < deadline, s"timed out waiting for $n rows")
         Thread.sleep(100)
