@@ -423,6 +423,13 @@ object Trees {
     // weight-carrier is allowed.min, also in the set), so the level cube
     // drops the others before the shuffle: nTrees×featuresPerTree rows
     // per input row instead of nTrees×d
+    // (r17 note: exploding the allowed (t, f) pairs DIRECTLY as a
+    // struct-array literal — skipping the nTrees×d intermediate and this
+    // filter — was measured ~15% SLOWER across every sample (5.4 → 6.2 s
+    // warm) and reverted: a struct-array literal explode materializes
+    // row objects where posexplode over the int array + an int-compare
+    // filter stays in flat codegen. Same trap as r16's reverted t05
+    // literal-model shape.)
     val allowedPair = (0 until nTrees).map(t =>
       col("t") === t && col("f").isin(allowed(t).toSeq.sorted.map(Int.box): _*))
       .reduce(_ || _)
